@@ -1,0 +1,46 @@
+"""Connected components vs union-find oracle — exact match required."""
+
+from l_space_spark.operators import connected_components
+
+from conftest import edges_df
+from oracles import KNOWS_EDGES, components_oracle, cycle, two_cliques, zipf_edges
+
+
+def _run(spark, pairs, **kw):
+    res = connected_components(spark, edges_df(spark, pairs), **kw)
+    return {r["id"]: r["component"] for r in res.state.collect()}, res
+
+
+def test_cycle_single_component(spark):
+    got, res = _run(spark, cycle(10))
+    assert res.converged
+    assert set(got.values()) == {0}
+
+
+def test_two_cliques(spark):
+    k = 5
+    got, _ = _run(spark, two_cliques(k))
+    assert got == components_oracle(two_cliques(k))
+    assert set(got.values()) == {0, k}
+
+
+def test_knows_micrograph_one_weak_component(spark):
+    got, _ = _run(spark, KNOWS_EDGES)
+    assert got == components_oracle(KNOWS_EDGES)
+    assert set(got.values()) == {123}
+
+
+def test_zipf_graph_exact(spark):
+    pairs = zipf_edges(n_repos=200)
+    got, res = _run(spark, pairs)
+    assert got == components_oracle(pairs)
+    assert res.converged
+
+
+def test_disjoint_chains(spark):
+    # long chain exercises multi-superstep propagation
+    pairs = [(i, i + 1) for i in range(0, 19)] + [(100 + i, 101 + i) for i in range(9)]
+    got, _ = _run(spark, pairs)
+    want = components_oracle(pairs)
+    assert got == want
+    assert set(got.values()) == {0, 100}

@@ -1,0 +1,85 @@
+"""PageRank vs numpy oracle: closed forms, golden graph, zipf graph, CSR parity."""
+
+import numpy as np
+import pytest
+
+from l_space_spark.operators import pagerank
+
+from conftest import edges_df
+from oracles import KNOWS_EDGES, cycle, pagerank_oracle, star, zipf_edges
+
+
+def _run(spark, pairs, **kw):
+    res = pagerank(spark, edges_df(spark, pairs), **kw)
+    ranks = {r["id"]: r["rank"] for r in res.state.collect()}
+    return ranks, res
+
+
+def _assert_close(got: dict, want: dict, atol=1e-6):
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) <= atol, (k, got[k], want[k])
+
+
+def test_cycle_uniform(spark):
+    n = 12
+    got, res = _run(spark, cycle(n))
+    assert res.converged
+    for v, r in got.items():
+        assert abs(r - 1.0 / n) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_star_closed_form(spark):
+    k = 8
+    got, _ = _run(spark, star(k))
+    want, _ = pagerank_oracle(star(k))
+    _assert_close(got, want)
+    assert got[0] > got[1]  # hub dominates
+    spokes = [got[i] for i in range(1, k + 1)]
+    assert max(spokes) - min(spokes) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_knows_micrograph(spark):
+    got, res = _run(spark, KNOWS_EDGES)
+    want, _ = pagerank_oracle(KNOWS_EDGES)
+    _assert_close(got, want)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_zipf_graph_oracle(spark):
+    pairs = zipf_edges(n_repos=200)
+    got, res = _run(spark, pairs)
+    want, _ = pagerank_oracle(pairs)
+    _assert_close(got, want)
+    assert res.converged
+
+
+def test_fixed_iters_mode_matches_oracle_exactly(spark):
+    pairs = zipf_edges(n_repos=150)
+    got, res = _run(spark, pairs, tol=0.0, max_iters=7)
+    want, it = pagerank_oracle(pairs, tol=0.0, max_iters=7)
+    assert it == 7 and res.iterations == 7
+    _assert_close(got, want, atol=1e-12)
+
+
+@pytest.mark.parametrize("impl", ["csr"])
+def test_csr_impl_parity(spark, impl):
+    pairs = zipf_edges(n_repos=150)
+    got, _ = _run(spark, pairs, impl=impl, tol=0.0, max_iters=5, num_partitions=4)
+    want, _ = pagerank_oracle(pairs, tol=0.0, max_iters=5)
+    _assert_close(got, want, atol=1e-9)
+
+
+def test_salted_impl_parity(spark):
+    pairs = zipf_edges(n_repos=150)
+    got, _ = _run(spark, pairs, salt=4, tol=0.0, max_iters=5)
+    want, _ = pagerank_oracle(pairs, tol=0.0, max_iters=5)
+    _assert_close(got, want, atol=1e-9)
+
+
+def test_rank_mass_conserved_each_superstep(spark):
+    pairs = zipf_edges(n_repos=100)
+    got, _ = _run(spark, pairs, tol=0.0, max_iters=3)
+    assert abs(sum(got.values()) - 1.0) < 1e-9

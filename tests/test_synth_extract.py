@@ -1,0 +1,70 @@
+"""Generator determinism + extraction correctness + the sha256 per-row invariant."""
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from l_space_spark import extract, synth
+
+N_REPOS = 120
+FILES = 3
+
+
+def test_generator_deterministic_and_partition_independent(spark):
+    a = synth.generate_repos(spark, N_REPOS, FILES, seed=42, num_partitions=2)
+    b = synth.generate_repos(spark, N_REPOS, FILES, seed=42, num_partitions=7)
+    pa = a.orderBy("repo", "path").toPandas()
+    pb = b.orderBy("repo", "path").toPandas()
+    pd.testing.assert_frame_equal(pa, pb)
+    # matches the pure-pandas oracle
+    po = (
+        synth.repos_pandas_oracle(N_REPOS, FILES, seed=42)
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(pa.reset_index(drop=True), po)
+
+
+def test_sha256_invariant(spark):
+    """Spark sha2(content,256) == hashlib oracle, before AND after extraction."""
+    repos = synth.generate_repos(spark, N_REPOS, FILES, seed=42)
+    with_sha = extract.with_content_sha(repos)
+    rows = with_sha.select("content", "content_sha").collect()
+    assert len(rows) == N_REPOS * FILES
+    for r in rows:
+        assert r["content_sha"] == hashlib.sha256(r["content"].encode()).hexdigest()
+
+    # extraction must not disturb the source rows: re-check after running it
+    names = extract.extract_edge_names(repos)
+    names.count()
+    again = extract.with_content_sha(repos).select("content", "content_sha").collect()
+    for r in again:
+        assert r["content_sha"] == hashlib.sha256(r["content"].encode()).hexdigest()
+
+
+def test_extracted_edges_match_generator_oracle(spark):
+    repos = synth.generate_repos(spark, N_REPOS, FILES, seed=42)
+    names = extract.extract_edge_names(repos)
+    got = {
+        (int(r["src_repo"][4:]), int(r["dst_repo"][4:]))
+        for r in names.collect()
+    }
+    assert got == synth.expected_edges(N_REPOS, seed=42)
+
+
+def test_vertex_encoding_no_collisions_and_join_consistent(spark):
+    repos = synth.generate_repos(spark, N_REPOS, FILES, seed=42)
+    vertices, edges = extract.build_graph(repos)
+    v = vertices.collect()
+    assert len({r["id"] for r in v}) == len(v)  # xxhash64 collision-free here
+    # every edge endpoint resolves to a vertex
+    n_edges = edges.count()
+    assert (
+        edges.join(vertices.select(F.col("id").alias("src")), "src", "left_semi").count()
+        == n_edges
+    )
+    assert (
+        edges.join(vertices.select(F.col("id").alias("dst")), "dst", "left_semi").count()
+        == n_edges
+    )
