@@ -1,0 +1,982 @@
+"""The engine's query catalog — every entry is a (PySpark builder, ANSI-SQL
+oracle) pair over the driver's parquet tables.
+
+This is the correctness surface for SURVEY §2: graph algorithms (PageRank /
+connected components / label propagation / triangle counting — the north
+rule), the traversal-step families re-expressed relationally (scan, move ≡
+join, filter/predicates, barrier aggregations, order/clip, set ops, window,
+projection), and the training-data pipeline operators (exact + MinHash-LSH +
+SimHash + n-gram-Jaccard dedup, text analysis, embedding similarity search).
+
+Design rules (driver compares Spark vs DuckDB by row count + schema +
+order-insensitive value hash):
+
+- Column names are aliased identically on both sides.
+- Float-producing aggregates are emitted as fixed-point BIGINTs
+  (``floor(x·10^k + 0.5)``) at a precision coarser than cross-engine fp
+  summation drift — the 1e-6 tolerance idea from the north rule applied to
+  the oracle gate. Raw parquet doubles (no arithmetic) pass through exact.
+- Hashes are computed portably: 60-bit ints from md5 hex, identical
+  expressions in Spark (``conv(substr(md5(x),1,15),16,10)``) and DuckDB
+  (``('0x'||substr(md5(x),1,15))::BIGINT``) — so MinHash/SimHash/LSH get
+  EXACT oracles, not rows-only checks.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.components import connected_components
+from .operators.labelprop import label_propagation
+from .operators.pagerank import pagerank
+from .operators.triangles import triangle_count, triangles_per_vertex
+from .sources import (
+    CHAIN_EDGES_SQL,
+    CUSTOMER_SUPPLIER_EDGES_SQL,
+    MOD_EDGES_SQL,
+    chain_edges,
+    customer_supplier_edges,
+    load,
+    mod_edges,
+)
+from .traversal import Graph, P
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+    return deco
+
+
+def hash60(col: Column) -> Column:
+    """Portable 60-bit hash (same value in DuckDB — see module doc)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _hash60_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def fixed_point(col: Column, scale: float) -> Column:
+    return F.floor(col * F.lit(scale) + F.lit(0.5)).cast("long")
+
+
+TOKENS_RE = "[a-z0-9]+"
+
+
+def tokens(col: Column) -> Column:
+    return F.regexp_extract_all(F.lower(col), F.lit(TOKENS_RE), 0)
+
+
+_TOKENS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+# =====================================================================
+# 1. Graph algorithms (north rule) — derived edge tables from testdata
+# =====================================================================
+
+PR_ITERS = 10
+
+
+@register(
+    "pagerank_top20",
+    # fixed-iteration power method unrolled as chained CTEs; identical update
+    # rule to operators/pagerank.py (damping .85, dangling mass, distinct
+    # edges, self-loops dropped); ranks emitted at 1e-6 fixed point.
+    None,  # filled below (generated)
+)
+def q_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = customer_supplier_edges(spark, sf_dir)
+    res = pagerank(spark, edges, damping=0.85, tol=-1.0, max_iters=PR_ITERS,
+                   resume=False)
+    out = (
+        res.state.select("id", fixed_point(F.col("rank"), 1e6).alias("rank_e6"))
+        .orderBy(F.col("rank_e6").desc(), F.col("id"))
+        .limit(20)
+    )
+    return out
+
+
+def _pagerank_oracle(edges_sql: str, iters: int, damping: float = 0.85) -> str:
+    # MATERIALIZED: DuckDB inlines plain CTEs per reference — the unrolled
+    # chain would re-scan the base parquet hundreds of times otherwise.
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({edges_sql}),",
+        "links AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),",
+        "verts AS MATERIALIZED (SELECT src AS id FROM links UNION SELECT dst FROM links),",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS d FROM links GROUP BY src),",
+        "nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM verts),",
+        "r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM verts),",
+    ]
+    for k in range(iters):
+        parts += [
+            f"m{k} AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0.0) AS mass FROM r{k} r"
+            f" LEFT JOIN deg d ON d.src = r.id WHERE d.src IS NULL),",
+            f"c{k} AS MATERIALIZED (SELECT l.dst AS id, sum(r.rank / d.d) AS contrib"
+            f" FROM r{k} r JOIN deg d ON d.src = r.id JOIN links l ON l.src = r.id"
+            f" GROUP BY l.dst),",
+            f"r{k+1} AS MATERIALIZED (SELECT v.id,"
+            f" (1 - {damping}) / (SELECT n FROM nn)"
+            f" + {damping} * ((SELECT mass FROM m{k}) / (SELECT n FROM nn)"
+            f"                + coalesce(c.contrib, 0.0)) AS rank"
+            f" FROM verts v LEFT JOIN c{k} c ON c.id = v.id),",
+        ]
+    parts.append(
+        f"fin AS (SELECT id, CAST(floor(rank * 1e6 + 0.5) AS BIGINT) AS rank_e6"
+        f" FROM r{iters})"
+    )
+    parts.append("SELECT id, rank_e6 FROM fin ORDER BY rank_e6 DESC, id LIMIT 20")
+    return "\n".join(parts)
+
+
+ORACLES["pagerank_top20"] = _pagerank_oracle(CUSTOMER_SUPPLIER_EDGES_SQL, PR_ITERS)
+
+
+@register(
+    "connected_components",
+    f"""
+WITH RECURSIVE e0 AS ({CHAIN_EDGES_SQL}),
+und AS (
+  SELECT src, dst FROM e0 WHERE src <> dst
+  UNION
+  SELECT dst, src FROM e0 WHERE src <> dst
+),
+verts AS (SELECT DISTINCT src AS id FROM und),
+reach(id, comp) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT u.dst, r.comp FROM reach r JOIN und u ON u.src = r.id
+)
+SELECT id, min(comp) AS component FROM reach GROUP BY id ORDER BY id
+""".strip(),
+)
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = chain_edges(spark, sf_dir)
+    res = connected_components(spark, edges, max_iters=200, resume=False)
+    return res.state.select("id", "component").orderBy("id")
+
+
+LP_ITERS = 4
+
+
+@register("label_propagation", None)  # generated below
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = chain_edges(spark, sf_dir)
+    res = label_propagation(spark, edges, max_iters=LP_ITERS, fixed_iters=True,
+                            resume=False)
+    return res.state.select("id", "label").orderBy("id")
+
+
+def _labelprop_oracle(edges_sql: str, iters: int) -> str:
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({edges_sql}),",
+        "und AS MATERIALIZED (SELECT src, dst FROM e0 WHERE src <> dst"
+        " UNION SELECT dst, src FROM e0 WHERE src <> dst),",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM und),",
+        "l0 AS MATERIALIZED (SELECT id, id AS label FROM verts),",
+    ]
+    for k in range(iters):
+        parts += [
+            f"msg{k} AS MATERIALIZED (SELECT u.dst AS vid, l.label FROM l{k} l"
+            f" JOIN und u ON u.src = l.id),",
+            f"cnt{k} AS MATERIALIZED (SELECT vid, label, count(*) AS c FROM msg{k}"
+            f" GROUP BY vid, label),",
+            f"best{k} AS MATERIALIZED (SELECT vid, label FROM ("
+            f"   SELECT vid, label,"
+            f"   row_number() OVER (PARTITION BY vid ORDER BY c DESC, label ASC) AS rn"
+            f"   FROM cnt{k}) WHERE rn = 1),",
+            f"l{k+1} AS MATERIALIZED (SELECT v.id, coalesce(b.label, v.label) AS label"
+            f" FROM l{k} v LEFT JOIN best{k} b ON b.vid = v.id),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT id, label FROM l{iters} ORDER BY id")
+    return "\n".join(parts)
+
+
+ORACLES["label_propagation"] = _labelprop_oracle(CHAIN_EDGES_SQL, LP_ITERS)
+
+
+@register(
+    "triangle_count",
+    f"""
+WITH e0 AS ({MOD_EDGES_SQL}),
+canon AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM canon e1
+JOIN canon e2 ON e2.a = e1.a AND e2.b > e1.b
+JOIN canon e3 ON e3.a = e1.b AND e3.b = e2.b
+""".strip(),
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = triangle_count(spark, mod_edges(spark, sf_dir))
+    return spark.createDataFrame([(n,)], "n_triangles long")
+
+
+@register(
+    "triangles_per_vertex",
+    f"""
+WITH e0 AS ({MOD_EDGES_SQL}),
+canon AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM canon e1
+  JOIN canon e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN canon e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+),
+verts AS (SELECT a AS id FROM canon UNION SELECT b FROM canon)
+SELECT v.id, CAST(coalesce(c.n, 0) AS BIGINT) AS triangles
+FROM verts v LEFT JOIN (SELECT id, count(*) AS n FROM corners GROUP BY id) c
+  ON c.id = v.id
+ORDER BY v.id
+""".strip(),
+)
+def q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = triangles_per_vertex(spark, mod_edges(spark, sf_dir))
+    return df.select("id", F.col("triangles").cast("long").alias("triangles")).orderBy("id")
+
+
+@register(
+    "degree_distribution",
+    f"""
+WITH e0 AS ({CUSTOMER_SUPPLIER_EDGES_SQL}),
+deg AS (SELECT src, count(*) AS out_deg FROM (SELECT DISTINCT src, dst FROM e0
+        WHERE src <> dst) GROUP BY src)
+SELECT out_deg, CAST(count(*) AS BIGINT) AS n_vertices
+FROM deg GROUP BY out_deg ORDER BY out_deg
+""".strip(),
+)
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = customer_supplier_edges(spark, sf_dir)
+    deg = (
+        e.where(F.col("src") != F.col("dst")).distinct()
+        .groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    )
+    return deg.groupBy("out_deg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices")
+    ).orderBy("out_deg")
+
+
+# =====================================================================
+# 2. Traversal-step families, relationally (SURVEY §2.2-2.7 coverage)
+# =====================================================================
+
+
+@register(
+    "scan_filter_agg",  # Has-filter + barrier Sum (pushdown-able scan)
+    """
+SELECT CAST(floor(sum(l_extendedprice * l_discount) + 0.5) AS BIGINT)
+  AS revenue_dollars
+FROM lineitem
+WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""".strip(),
+)
+def q_scan_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.where(F.col("l_discount").between(0.05, 0.07) & (F.col("l_quantity") < 24))
+        .agg(
+            F.floor(F.sum(F.col("l_extendedprice") * F.col("l_discount")) + 0.5)
+            .cast("long").alias("revenue_dollars")
+        )
+    )
+
+
+@register(
+    "group_agg_q1",  # Group + mapValues(count/sum) — barrier family
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(floor(sum(l_extendedprice) * 100 + 0.5) AS BIGINT) AS sum_base_cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""".strip(),
+)
+def q_group_agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            fixed_point(F.sum("l_extendedprice"), 100.0).alias("sum_base_cents"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "join_group_topk",  # Out-move (join) + group + order/limit (top-k idiom)
+    """
+SELECT o.o_orderkey,
+       CAST(floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5)
+            AS BIGINT) AS revenue_cents
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey
+ORDER BY revenue_cents DESC, o.o_orderkey
+LIMIT 10
+""".strip(),
+)
+def q_join_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderkey")
+        .agg(
+            fixed_point(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 100.0
+            ).alias("revenue_cents")
+        )
+        .orderBy(F.col("revenue_cents").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "semi_join_where",  # Where-step ≡ EXISTS ≡ left-semi
+    """
+SELECT c_custkey FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+ORDER BY c_custkey
+""".strip(),
+)
+def q_semi_join_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+        .select("c_custkey").orderBy("c_custkey")
+    )
+
+
+@register(
+    "anti_join_not",  # Not-step ≡ NOT EXISTS ≡ left-anti
+    """
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+""".strip(),
+)
+def q_anti_join_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .select("c_custkey").orderBy("c_custkey")
+    )
+
+
+@register(
+    "order_topk",  # Order(desc)+Limit on raw column (no fp arithmetic)
+    """
+SELECT c_custkey, c_acctbal FROM customer
+ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+""".strip(),
+)
+def q_order_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.select("c_custkey", "c_acctbal")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "window_topk_per_group",  # window functions (reference has none — §2.5)
+    """
+SELECT c_nationkey, c_custkey FROM (
+  SELECT c_nationkey, c_custkey,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+) WHERE rn <= 2
+ORDER BY c_nationkey, c_custkey
+""".strip(),
+)
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("c_nationkey", "c_custkey")
+        .orderBy("c_nationkey", "c_custkey")
+    )
+
+
+@register(
+    "union_dedup",  # Union (UNION ALL) + Dedup ≡ DISTINCT
+    """
+SELECT DISTINCT c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  UNION ALL
+  SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+) ORDER BY c_custkey
+""".strip(),
+)
+def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.where(F.col("c_acctbal") > 9000).select("c_custkey")
+    return a.unionByName(b).distinct().orderBy("c_custkey")
+
+
+@register(
+    "predicate_suite",  # P-library on relational data (between/prefix/regex/within)
+    """
+SELECT c_custkey FROM customer
+WHERE c_acctbal BETWEEN 1000 AND 3000
+  AND c_name LIKE 'Customer#%'
+  AND c_mktsegment IN ('MACHINERY', 'HOUSEHOLD')
+  AND regexp_matches(c_name, '[02468]$')
+ORDER BY c_custkey
+""".strip(),
+)
+def q_predicate_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    between = P.between(1000, 3000)
+    prefix = P.prefix("Customer#")
+    within = P.within("MACHINERY", "HOUSEHOLD")
+    regex = P.regex("[02468]$")
+    return (
+        c.where(between(F.col("c_acctbal")))
+        .where(prefix(F.col("c_name")))
+        .where(within(F.col("c_mktsegment")))
+        .where(regex(F.col("c_name")))
+        .select("c_custkey").orderBy("c_custkey")
+    )
+
+
+@register(
+    "rollup_counts",  # grouping sets family (Catalyst-free for the reference)
+    """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+FROM customer GROUP BY ROLLUP (c_mktsegment)
+ORDER BY c_mktsegment NULLS FIRST
+""".strip(),
+)
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.rollup("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("c_mktsegment").asc_nulls_first())
+    )
+
+
+@register(
+    "count_distinct_per_group",
+    """
+SELECT c_nationkey, CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+""".strip(),
+)
+def q_count_distinct_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.countDistinct("c_mktsegment").alias("n_segments"))
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "dsl_traversal_nation",  # the traversal DSL end-to-end on relational data
+    """
+SELECT n.n_name AS name
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE c.c_acctbal > 9000
+ORDER BY name
+""".strip(),
+)
+def q_dsl_traversal_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N.has('c_acctbal', P.gt(9000)).out('in_nation').out('n_name') — the
+    Has + Out + Out step chain compiled to joins by the DSL."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    cv = c.select((F.col("c_custkey") * 2).alias("vid"), "c_acctbal")
+    nv = n.select((F.col("n_nationkey") * 2 + 1).alias("vid"), "n_name")
+    props = Graph.melt_properties(cv, "vid", num_cols=["c_acctbal"]).unionByName(
+        Graph.melt_properties(nv, "vid", str_cols=["n_name"])
+    )
+    links = c.select(
+        (F.col("c_custkey") * 2).alias("src"),
+        F.lit("in_nation").alias("label"),
+        F.lit("node").alias("dst_kind"),
+        (F.col("c_nationkey") * 2 + 1).alias("dst_id"),
+        F.lit(None).cast("string").alias("dst_str"),
+        F.lit(None).cast("double").alias("dst_dbl"),
+        F.lit(None).cast("long").alias("dst_lng"),
+        F.lit(None).cast("date").alias("dst_dt"),
+    )
+    verts = cv.select(F.col("vid").alias("id")).unionByName(
+        nv.select(F.col("vid").alias("id"))
+    )
+    g = Graph(verts, props.unionByName(links))
+    t = g.N().has("c_acctbal", P.gt(9000.0)).out("in_nation").out("n_name")
+    return t.to_df().select(F.col("_str").alias("name")).orderBy("name")
+
+
+# ----------------------------------------------------------------- events
+@register(
+    "events_per_user",
+    """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS total_cents
+FROM events GROUP BY user_id ORDER BY user_id
+""".strip(),
+)
+def q_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            fixed_point(F.sum("value"), 100.0).alias("total_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_max_gap",  # lead/lag window over event time
+    """
+SELECT user_id, CAST(max(gap) AS BIGINT) AS max_gap_us FROM (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id) AS gap
+  FROM events
+) WHERE gap IS NOT NULL GROUP BY user_id ORDER BY user_id
+""".strip(),
+)
+def q_events_max_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact: no cross-engine truncation; parquet ts is NTZ and
+    # the session timezone is pinned UTC, so the cast is wall-clock identity
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (
+        e.withColumn("gap", us - F.lag(us).over(w))
+        .where(F.col("gap").isNotNull())
+        .groupBy("user_id")
+        .agg(F.max("gap").cast("long").alias("max_gap_us"))
+        .orderBy("user_id")
+    )
+
+
+# =====================================================================
+# 3. Training-data pipeline operators (documents / embeddings)
+# =====================================================================
+
+
+@register(
+    "dedup_exact_sha",  # exact dedup via content hash (BASELINE invariant fn)
+    """
+SELECT sha256(text) AS text_sha, CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY text_sha HAVING count(*) > 1 ORDER BY text_sha
+""".strip(),
+)
+def q_dedup_exact_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2(F.col("text"), 256).alias("text_sha"))
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+        .orderBy("text_sha")
+    )
+
+
+@register(
+    "doc_fingerprint",  # normalized-content fingerprint per doc
+    f"""
+SELECT doc_id, {_hash60_sql("array_to_string(" + _TOKENS_SQL + ", ' ')")} AS fp
+FROM documents ORDER BY doc_id
+""".strip(),
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", hash60(F.array_join(tokens(F.col("text")), " ")).alias("fp")
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_token_stats",
+    f"""
+SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents ORDER BY doc_id
+""".strip(),
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+_STOPWORDS = ["a", "the", "and", "of", "to", "in", "is", "it"]
+
+
+@register(
+    "text_quality",
+    f"""
+SELECT doc_id,
+  CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+  CAST(len(list_filter({_TOKENS_SQL},
+       t -> list_contains({_STOPWORDS!r}, t))) AS BIGINT) AS n_stopwords,
+  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+       AS BIGINT) AS n_punct
+FROM documents ORDER BY doc_id
+""".strip().replace("'", "'"),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        .cast("long").alias("n_stopwords"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), "[.,!?;:]", ""))
+        ).cast("long").alias("n_punct"),
+    ).orderBy("doc_id")
+
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "das"],
+    "fr": ["le", "et", "les"],
+    "es": ["el", "y", "los"],
+}
+
+
+def _langid_sql() -> str:
+    score_cols = []
+    for lang, words in _LANG_MARKERS.items():
+        score_cols.append(
+            f"len(list_filter({_TOKENS_SQL}, t -> list_contains({words!r}, t)))"
+            f" AS s_{lang}"
+        )
+    scores = ", ".join(score_cols)
+    pairs = ", ".join(f"('{lg}', s_{lg})" for lg in _LANG_MARKERS)
+    return f"""
+WITH scored AS (SELECT doc_id, {scores} FROM documents),
+ranked AS (
+  SELECT doc_id, p.lang, p.s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY p.s DESC, p.lang ASC) AS rn
+  FROM scored, LATERAL (SELECT * FROM (VALUES {pairs}) AS t(lang, s)) p
+)
+SELECT doc_id, CASE WHEN s > 0 THEN lang ELSE 'und' END AS lang_pred
+FROM ranked WHERE rn = 1 ORDER BY doc_id
+""".strip()
+
+
+@register("lang_id", _langid_sql())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (argmax score, tie → lexicographic lang)."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+
+    def marker_count(words: list[str]) -> Column:
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scored = d.select(
+        "doc_id",
+        *[
+            marker_count(words).alias(f"s_{lang}")
+            for lang, words in _LANG_MARKERS.items()
+        ],
+    )
+    pairs = F.array(*[
+        F.struct(F.col(f"s_{lg}").alias("s"), F.lit(lg).alias("lang"))
+        for lg in _LANG_MARKERS
+    ])
+    # argmax score with lexicographic-lang tie-break: sort (s desc, lang asc)
+    best = F.sort_array(
+        F.transform(pairs, lambda p: F.struct(
+            (-p["s"]).alias("neg"), p["lang"].alias("lang"), p["s"].alias("s"))),
+    )[0]
+    return scored.select(
+        "doc_id",
+        F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+_NGRAM_SQL = f"""
+toks AS MATERIALIZED (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
+grams AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                        for i in range(1, len(ts) - 1)]) AS gs
+  FROM toks WHERE len(ts) >= 3
+),
+ex AS MATERIALIZED (SELECT doc_id, unnest(gs) AS g FROM grams),
+sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ai, b.doc_id AS bi, count(*) AS i
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+"""
+
+
+def _spark_grams(d: DataFrame) -> DataFrame:
+    """(doc_id, g) distinct word-3-gram shingles per document."""
+    ts = tokens(F.col("text"))
+    grams = F.when(
+        F.size(ts) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ts) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(ts, i), F.element_at(ts, i + 1),
+                    F.element_at(ts, i + 2)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select("doc_id", F.explode(grams).alias("g"))
+
+
+@register(
+    "dedup_ngram_jaccard",  # exact 3-gram Jaccard ≥ 0.5 near-dup pairs
+    f"""
+WITH {_NGRAM_SQL}
+SELECT ai AS a, bi AS b
+FROM inter JOIN sizes sa ON sa.doc_id = ai JOIN sizes sb ON sb.doc_id = bi
+WHERE 3 * i >= sa.n + sb.n  -- J = i/(na+nb-i) ≥ 1/2 in exact int arithmetic
+ORDER BY a, b
+""".strip(),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ex = _spark_grams(d).persist()
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = ex.select(F.col("doc_id").alias("ai"), "g")
+    b = ex.select(F.col("doc_id").alias("bi"), "g")
+    inter = (
+        a.join(b, "g").where(F.col("ai") < F.col("bi"))
+        .groupBy("ai", "bi").agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("ai"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("bi"), F.col("n").alias("nb"))
+    out = (
+        inter.join(sa, "ai").join(sb, "bi")
+        .where(3 * F.col("i") >= F.col("na") + F.col("nb"))
+        .select(F.col("ai").alias("a"), F.col("bi").alias("b"))
+        .orderBy("a", "b")
+    )
+    return out
+
+
+MINHASH_K = 8
+
+
+def _minhash_sql() -> str:
+    mins = ", ".join(
+        f"min({_hash60_sql(f'{i}::VARCHAR || ' + chr(39) + ':' + chr(39) + ' || g')}) AS h{i}"
+        for i in range(MINHASH_K)
+    )
+    return f"""
+WITH {_NGRAM_SQL}
+SELECT doc_id, {mins} FROM ex GROUP BY doc_id ORDER BY doc_id
+""".strip()
+
+
+@register("minhash_signatures", _minhash_sql())
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K=8 portable MinHash over word-3-gram shingles — exact oracle parity
+    because the hash family is md5-derived on both engines."""
+    d = load(spark, sf_dir, "documents")
+    ex = _spark_grams(d)
+    aggs = [
+        F.min(hash60(F.concat(F.lit(f"{i}:"), F.col("g")))).alias(f"h{i}")
+        for i in range(MINHASH_K)
+    ]
+    return ex.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+def _lsh_pairs_sql() -> str:
+    mins = ", ".join(
+        f"min({_hash60_sql(f'{i}::VARCHAR || ' + chr(39) + ':' + chr(39) + ' || g')}) AS h{i}"
+        for i in range(MINHASH_K)
+    )
+    return f"""
+WITH {_NGRAM_SQL},
+sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band,
+         md5(h0::VARCHAR || ',' || h1::VARCHAR || ',' || h2::VARCHAR || ',' || h3::VARCHAR) AS bkey
+  FROM sig
+  UNION ALL
+  SELECT doc_id, 1,
+         md5(h4::VARCHAR || ',' || h5::VARCHAR || ',' || h6::VARCHAR || ',' || h7::VARCHAR)
+  FROM sig
+)
+SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+WHERE a.doc_id < b.doc_id
+ORDER BY a, b
+""".strip()
+
+
+@register("minhash_lsh_pairs", _lsh_pairs_sql())
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding (2 bands × 4 rows) over the MinHash signatures →
+    candidate near-duplicate pairs. The scale path: candidates come from a
+    band-key equi-join (shuffle on band hash), never an all-pairs product."""
+    sig = q_minhash_signatures(spark, sf_dir)
+    bands = []
+    for band, cols in enumerate([["h0", "h1", "h2", "h3"], ["h4", "h5", "h6", "h7"]]):
+        key = F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
+        bands.append(
+            sig.select("doc_id", F.lit(band).alias("band"), key.alias("bkey"))
+        )
+    b = bands[0].unionByName(bands[1])
+    a1 = b.select(F.col("doc_id").alias("a"), "band", "bkey")
+    b1 = b.select(F.col("doc_id").alias("b"), "band", "bkey")
+    return (
+        a1.join(b1, ["band", "bkey"]).where(F.col("a") < F.col("b"))
+        .select("a", "b").distinct().orderBy("a", "b")
+    )
+
+
+def _simhash_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS tok FROM documents
+),
+h AS (SELECT doc_id, {_hash60_sql('tok')} AS hv FROM toks),
+bits AS (
+  SELECT doc_id, b.b AS bit,
+         sum(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, generate_series(0, 59) AS b(b)
+  GROUP BY doc_id, b.b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM bits GROUP BY doc_id ORDER BY doc_id
+""".strip()
+
+
+@register("simhash", _simhash_sql())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash over distinct tokens — portable hash, exact oracle."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    )
+    h = toks.select("doc_id", hash60(F.col("tok")).alias("hv"))
+    bits = h.select(
+        "doc_id", "hv", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit")
+    ).groupBy("doc_id", "bit").agg(
+        F.sum(
+            F.when(F.expr("(hv >> bit) & 1") == 1, 1).otherwise(-1)
+        ).alias("s")
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+            .otherwise(F.lit(0).cast("long"))
+        ).cast("long").alias("simhash")
+    ).orderBy("doc_id")
+
+
+N_QUERIES_EMB = 20
+TOPK_EMB = 5
+
+
+@register(
+    "embedding_cosine_topk",
+    f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES_EMB}),
+sims AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor,
+         round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]), 6) AS sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor) AS rnk
+  FROM sims
+)
+SELECT query_id, neighbor, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {TOPK_EMB} ORDER BY query_id, rnk
+""".strip(),
+)
+def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the correctness baseline for ANN). Cosine
+    via zip_with/aggregate (JVM-side, no UDF); similarity quantized to 1e-6
+    before ranking so cross-engine fp summation can't flip ranks; ties break
+    by neighbor id."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
+    e = e.withColumn("nrm", norm)
+    q = e.where(F.col("vec_id") < N_QUERIES_EMB).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    c = e.select(F.col("vec_id").alias("neighbor"), F.col("v").alias("cv"),
+                 F.col("nrm").alias("cn"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    sims = (
+        q.join(c, F.col("neighbor") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor",
+            F.round(dot / (F.col("qn") * F.col("cn")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOPK_EMB)
+        .select("query_id", "neighbor", F.col("rnk").cast("long").alias("rnk"))
+        .orderBy("query_id", "rnk")
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

@@ -1,0 +1,94 @@
+"""Table loaders + derived edge graphs over the driver's parquet testdata.
+
+The reference's storage layer proves that a graph at scale is a partitioned
+edge table (Cassandra provider's sharded edge tables,
+``store/cassandra/.../CassandraGraphTables.scala:7-21``); these helpers derive
+deterministic edge tables from relational inputs. An Iceberg catalog would
+swap ``spark.read.parquet`` for ``spark.table`` — same layout, partition
+pruning + snapshots for free (SURVEY §4.1).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def customer_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite customer→supplier edge table via orders ⋈ lineitem.
+
+    Vertex ids are disjoint: customer = 2·custkey, supplier = 2·suppkey+1.
+    All suppliers are dangling (no out-edges) — deliberately exercises
+    PageRank's dangling-mass redistribution.
+    """
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+CUSTOMER_SUPPLIER_EDGES_SQL = """
+SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+""".strip()
+
+
+def chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse multi-component chain graph keyed off customer ids."""
+    c = load(spark, sf_dir, "customer")
+    return c.where(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_custkey") + F.col("c_custkey") % 7 + 1).alias("dst"),
+    )
+
+
+CHAIN_EDGES_SQL = """
+SELECT c_custkey AS src, c_custkey + (c_custkey % 7) + 1 AS dst
+FROM customer WHERE c_custkey % 3 = 0
+""".strip()
+
+
+def mod_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudo-random graph with triangles (multiplicative
+    mod-N neighbors), keyed off customer ids."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    n = F.lit(1500)
+    parts = [
+        c.select(F.col("c_custkey").alias("src"),
+                 ((F.col("c_custkey") * m) % n + 1).alias("dst"))
+        for m in (37, 101)
+    ]
+    parts.append(
+        c.select(F.col("c_custkey").alias("src"),
+                 (F.col("c_custkey") % n + 1).alias("dst"))
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+MOD_EDGES_SQL = """
+SELECT c_custkey AS src, (c_custkey * 37) % 1500 + 1 AS dst FROM customer
+UNION ALL
+SELECT c_custkey, (c_custkey * 101) % 1500 + 1 FROM customer
+UNION ALL
+SELECT c_custkey, (c_custkey % 1500) + 1 FROM customer
+""".strip()
