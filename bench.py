@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Per-round benchmark — headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "pagerank": {...}}
+
+The pagerank sub-object carries the north-star numbers: supersteps/sec and
+edges-processed/sec to fixed-superstep completion (BASELINE.md protocol).
+Scaling-efficiency evidence (local[8] vs local[32]) is produced separately
+by bench_scaling.py — too slow to run per-round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from l_space_spark.session import get_spark  # noqa: E402
+from l_space_spark import queries as q  # noqa: E402
+from l_space_spark.operators.pagerank import pagerank, prepare_links  # noqa: E402
+from l_space_spark.sources import customer_supplier_edges  # noqa: E402
+
+HEADLINE = [
+    "pagerank_top20",
+    "connected_components",
+    "label_propagation",
+    "triangle_count",
+    "group_agg_q1",
+    "join_group_topk",
+    "window_topk_per_group",
+    "minhash_lsh_pairs",
+    "simhash",
+    "dedup_ngram_jaccard",
+    "embedding_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="l-space-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = q.QUERIES[name](spark, sf_dir)
+        df.collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    # north-star: supersteps/sec and edges/sec on the derived graph
+    edges = customer_supplier_edges(spark, sf_dir)
+    links, _, _ = prepare_links(edges)
+    n_edges = links.count()
+    iters = 10
+    t0 = time.time()
+    res = pagerank(spark, edges, tol=-1.0, max_iters=iters, resume=False)
+    res.state.count()
+    pr_wall = time.time() - t0
+    pr = {
+        "edges": n_edges,
+        "supersteps": res.iterations,
+        "wall_s": round(pr_wall, 3),
+        "supersteps_per_s": round(res.iterations / pr_wall, 3),
+        "edges_per_s": round(res.iterations * n_edges / pr_wall, 1),
+    }
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "pagerank": pr,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

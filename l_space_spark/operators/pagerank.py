@@ -153,10 +153,12 @@ def pagerank(
     sum_fn = _dsum if deterministic else F.sum
 
     def step(ranks: DataFrame, i: int) -> DataFrame:
-        mass_row = (
-            ranks.join(dangling, "id", "left_semi").agg(sum_fn(F.col("rank"))).first()[0]
+        # dangling mass as a broadcast ONE-ROW DataFrame, not a collected
+        # scalar: the whole superstep stays lazy (no driver action), which
+        # lets the runner fuse `materialize_every` rounds into one job
+        mass_df = ranks.join(dangling, "id", "left_semi").agg(
+            F.coalesce(sum_fn(F.col("rank")), F.lit(0.0)).alias("__mass")
         )
-        mass = float(mass_row) if mass_row is not None else 0.0
 
         if impl == "csr":
             contribs = _csr_contribs(ranks, links, num_partitions)
@@ -175,15 +177,17 @@ def pagerank(
                 .agg(sum_fn(F.col("rank") * F.col("w")).alias("contrib"))
             )
 
-        base = (1.0 - damping) / n + damping * mass / n
-        return vertices.join(
-            contribs, vertices["id"] == contribs["dst"], "left"
-        ).select(
-            vertices["id"],
-            (
-                F.lit(base)
-                + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
-            ).alias("rank"),
+        return (
+            vertices.join(contribs, vertices["id"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(mass_df))
+            .select(
+                vertices["id"],
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("__mass") / F.lit(float(n))
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
         )
 
     def l1_delta(old: DataFrame, new: DataFrame) -> float:
@@ -199,6 +203,9 @@ def pagerank(
         max_iters=max_iters,
         tol=tol if not fixed_iters else -1.0,
         checkpoint_dir=checkpoint_dir,
+        # fixed-iteration mode has no per-round action at all — fuse 3
+        # supersteps per materialization (plan depth stays bounded)
+        materialize_every=3 if fixed_iters else 1,
         config={
             "algo": "pagerank",
             "damping": damping,

@@ -77,7 +77,16 @@ class SuperstepRunner:
         checkpoint_every: int = 1,
         config: dict | None = None,
         collect_partition_counts: bool = True,
+        materialize_every: int = 1,
     ) -> None:
+        """``materialize_every``: in fixed-iteration mode (no ``metric_fn``,
+        no durable checkpoint), localCheckpoint only every k-th superstep and
+        let the rounds in between stay LAZY — k supersteps fuse into one
+        Catalyst plan and the per-superstep driver-roundtrip/job overhead is
+        paid once per k. Requires the step function to be fully lazy (no
+        ``collect``/``first`` inside — e.g. scalar aggregates expressed as
+        broadcast one-row joins). Ignored when a metric or durable
+        checkpoint forces per-round evaluation."""
         self.spark = spark
         self.max_iters = max_iters
         self.tol = tol
@@ -85,6 +94,7 @@ class SuperstepRunner:
         self.checkpoint_every = max(1, checkpoint_every)
         self.config = dict(config or {})
         self.collect_partition_counts = collect_partition_counts
+        self.materialize_every = max(1, materialize_every)
         self.config_hash = self._hash_config()
 
     def _hash_config(self) -> str:
@@ -165,14 +175,20 @@ class SuperstepRunner:
             new_state = step_fn(state, i)
 
             durable = self.checkpoint_dir and (i % self.checkpoint_every == 0)
+            rows = None
             if durable:
                 path = self._step_dir(i)
                 new_state.write.mode("overwrite").parquet(path)
                 new_state = self.spark.read.parquet(path).persist()
+                rows = new_state.count()
             else:
-                # localCheckpoint materializes AND caches — no extra persist
-                new_state = new_state.localCheckpoint(eager=True)
-            rows = new_state.count()
+                lazy_ok = metric_fn is None and self.materialize_every > 1
+                boundary = ((i + 1 - start_iter) % self.materialize_every == 0
+                            or i == self.max_iters - 1)
+                if not lazy_ok or boundary:
+                    # localCheckpoint materializes AND caches — cuts lineage
+                    new_state = new_state.localCheckpoint(eager=True)
+                # else: stay lazy; this round fuses into the next plan
 
             delta = metric_fn(state, new_state) if metric_fn else None
             if durable:

@@ -855,7 +855,8 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding (2 bands × 4 rows) over the MinHash signatures →
     candidate near-duplicate pairs. The scale path: candidates come from a
     band-key equi-join (shuffle on band hash), never an all-pairs product."""
-    sig = q_minhash_signatures(spark, sf_dir)
+    # persist: the band self-join references the signature pipeline twice
+    sig = q_minhash_signatures(spark, sf_dir).persist()
     bands = []
     for band, cols in enumerate([["h0", "h1", "h2", "h3"], ["h4", "h5", "h6", "h7"]]):
         key = F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
