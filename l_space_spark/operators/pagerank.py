@@ -126,6 +126,7 @@ def pagerank(
     salt: int | None = None,
     deterministic: bool = False,
     resume: bool = True,
+    fuse: int = 1,
 ) -> SuperstepResult:
     """Run PageRank to convergence (or exactly ``max_iters`` when ``tol <= 0``).
 
@@ -171,14 +172,22 @@ def pagerank(
             partial = joined.groupBy("dst", "s").agg(F.sum("c").alias("c"))
             contribs = partial.groupBy("dst").agg(F.sum("c").alias("contrib"))
         else:
+            # shuffle_hash hint: |V|-row tables fit under the broadcast
+            # threshold, but broadcasting ranks every superstep serializes on
+            # the driver (collect+build+ship per round — a hard scaling
+            # ceiling). A shuffled hash join moves only the |V|-row rank
+            # table; the |E|-row links side reuses its persisted src-hash
+            # partitioning and never re-shuffles.
             contribs = (
-                ranks.join(links, ranks["id"] == links["src"])
+                ranks.hint("shuffle_hash")
+                .join(links, ranks["id"] == links["src"])
                 .groupBy("dst")
                 .agg(sum_fn(F.col("rank") * F.col("w")).alias("contrib"))
             )
 
         return (
-            vertices.join(contribs, vertices["id"] == contribs["dst"], "left")
+            vertices.join(contribs.hint("shuffle_hash"),
+                          vertices["id"] == contribs["dst"], "left")
             .crossJoin(F.broadcast(mass_df))
             .select(
                 vertices["id"],
@@ -203,9 +212,13 @@ def pagerank(
         max_iters=max_iters,
         tol=tol if not fixed_iters else -1.0,
         checkpoint_dir=checkpoint_dir,
-        # fixed-iteration mode has no per-round action at all — fuse 3
-        # supersteps per materialization (plan depth stays bounded)
-        materialize_every=3 if fixed_iters else 1,
+        # ``fuse`` k>1: in fixed-iteration mode, fuse k supersteps into one
+        # plan (no per-round action). CAVEAT: each round's dangling-mass
+        # broadcast subquery re-evaluates the unmaterialized previous round,
+        # so fusion duplicates subtree work ~2^k — a win only when the graph
+        # is small enough that per-job overhead dominates compute (e.g. the
+        # sf0.01 gate), never at scale. Default 1 = materialize each round.
+        materialize_every=fuse if fixed_iters else 1,
         config={
             "algo": "pagerank",
             "damping": damping,
