@@ -600,13 +600,10 @@ FROM documents GROUP BY text_sha HAVING count(*) > 1 ORDER BY text_sha
 """.strip(),
 )
 def q_dedup_exact_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup_groups
+
     d = load(spark, sf_dir, "documents")
-    return (
-        d.groupBy(F.sha2(F.col("text"), 256).alias("text_sha"))
-        .agg(F.count(F.lit(1)).alias("n_copies"))
-        .where(F.col("n_copies") > 1)
-        .orderBy("text_sha")
-    )
+    return exact_dedup_groups(d, "text").orderBy("text_sha")
 
 
 @register(
@@ -750,24 +747,6 @@ inter AS (
 """
 
 
-def _spark_grams(d: DataFrame) -> DataFrame:
-    """(doc_id, g) distinct word-3-gram shingles per document."""
-    ts = tokens(F.col("text"))
-    grams = F.when(
-        F.size(ts) >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(ts) - 2),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(ts, i), F.element_at(ts, i + 1),
-                    F.element_at(ts, i + 2)
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return d.select("doc_id", F.explode(grams).alias("g"))
-
-
 @register(
     "dedup_ngram_jaccard",  # exact 3-gram Jaccard ≥ 0.5 near-dup pairs
     f"""
@@ -779,24 +758,12 @@ ORDER BY a, b
 """.strip(),
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs
+
     d = load(spark, sf_dir, "documents")
-    ex = _spark_grams(d).persist()
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = ex.select(F.col("doc_id").alias("ai"), "g")
-    b = ex.select(F.col("doc_id").alias("bi"), "g")
-    inter = (
-        a.join(b, "g").where(F.col("ai") < F.col("bi"))
-        .groupBy("ai", "bi").agg(F.count(F.lit(1)).alias("i"))
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, j_num=1, j_den=2).orderBy(
+        "a", "b"
     )
-    sa = sizes.select(F.col("doc_id").alias("ai"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("bi"), F.col("n").alias("nb"))
-    out = (
-        inter.join(sa, "ai").join(sb, "bi")
-        .where(3 * F.col("i") >= F.col("na") + F.col("nb"))
-        .select(F.col("ai").alias("a"), F.col("bi").alias("b"))
-        .orderBy("a", "b")
-    )
-    return out
 
 
 MINHASH_K = 8
@@ -817,13 +784,14 @@ SELECT doc_id, {mins} FROM ex GROUP BY doc_id ORDER BY doc_id
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K=8 portable MinHash over word-3-gram shingles — exact oracle parity
     because the hash family is md5-derived on both engines."""
+    from .operators.dedup import minhash_signatures
+
     d = load(spark, sf_dir, "documents")
-    ex = _spark_grams(d)
-    aggs = [
-        F.min(hash60(F.concat(F.lit(f"{i}:"), F.col("g")))).alias(f"h{i}")
-        for i in range(MINHASH_K)
-    ]
-    return ex.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    return (
+        minhash_signatures(d, "doc_id", "text", k=MINHASH_K, n=3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
 
 
 def _lsh_pairs_sql() -> str:
@@ -855,21 +823,11 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding (2 bands × 4 rows) over the MinHash signatures →
     candidate near-duplicate pairs. The scale path: candidates come from a
     band-key equi-join (shuffle on band hash), never an all-pairs product."""
-    # persist: the band self-join references the signature pipeline twice
-    sig = q_minhash_signatures(spark, sf_dir).persist()
-    bands = []
-    for band, cols in enumerate([["h0", "h1", "h2", "h3"], ["h4", "h5", "h6", "h7"]]):
-        key = F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
-        bands.append(
-            sig.select("doc_id", F.lit(band).alias("band"), key.alias("bkey"))
-        )
-    b = bands[0].unionByName(bands[1])
-    a1 = b.select(F.col("doc_id").alias("a"), "band", "bkey")
-    b1 = b.select(F.col("doc_id").alias("b"), "band", "bkey")
-    return (
-        a1.join(b1, ["band", "bkey"]).where(F.col("a") < F.col("b"))
-        .select("a", "b").distinct().orderBy("a", "b")
-    )
+    from .operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    d = load(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, "doc_id", "text", k=MINHASH_K, n=3)
+    return lsh_candidate_pairs(sig, bands=2, rows_per_band=4).orderBy("a", "b")
 
 
 def _simhash_sql() -> str:
@@ -894,23 +852,11 @@ FROM bits GROUP BY doc_id ORDER BY doc_id
 @register("simhash", _simhash_sql())
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash over distinct tokens — portable hash, exact oracle."""
+    from .operators.dedup import simhash
+
     d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
-    )
-    h = toks.select("doc_id", hash60(F.col("tok")).alias("hv"))
-    bits = h.select(
-        "doc_id", "hv", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit")
-    ).groupBy("doc_id", "bit").agg(
-        F.sum(
-            F.when(F.expr("(hv >> bit) & 1") == 1, 1).otherwise(-1)
-        ).alias("s")
-    )
-    return bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-            .otherwise(F.lit(0).cast("long"))
-        ).cast("long").alias("simhash")
+    return simhash(d, "doc_id", "text", bits=60).withColumnRenamed(
+        "id", "doc_id"
     ).orderBy("doc_id")
 
 
@@ -943,35 +889,131 @@ def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     via zip_with/aggregate (JVM-side, no UDF); similarity quantized to 1e-6
     before ranking so cross-engine fp summation can't flip ranks; ties break
     by neighbor id."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
-    )
-    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
-    e = e.withColumn("nrm", norm)
-    q = e.where(F.col("vec_id") < N_QUERIES_EMB).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-    )
-    c = e.select(F.col("vec_id").alias("neighbor"), F.col("v").alias("cv"),
-                 F.col("nrm").alias("cn"))
-    dot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
-        F.lit(0.0), lambda a, x: a + x,
-    )
-    sims = (
-        q.join(c, F.col("neighbor") != F.col("query_id"))
-        .select(
-            "query_id", "neighbor",
-            F.round(dot / (F.col("qn") * F.col("cn")), 6).alias("sim"),
+    from .operators.similarity import cosine_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id") < N_QUERIES_EMB)
+    return cosine_topk(e, queries=qs, k=TOPK_EMB).orderBy("query_id", "rnk")
+
+
+ANN_BITS = 6
+ANN_DIMS = 64
+
+
+def _hash60_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _ann_oracle() -> str:
+    # hyperplane signs are data-independent → inline them as SQL literals
+    # (identical values to functions/text.hash60 used on the Spark side)
+    projs = []
+    for j in range(ANN_BITS):
+        signs = [
+            1.0 if _hash60_py(f"{j}:{i}") % 2 == 0 else -1.0
+            for i in range(ANN_DIMS)
+        ]
+        arr = "[" + ",".join(str(s) for s in signs) + "]"
+        projs.append(
+            f"CASE WHEN list_inner_product(v, {arr}::DOUBLE[]) > 0"
+            f" THEN {1 << j} ELSE 0 END"
         )
+    bucket = " + ".join(projs)
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+bucketed AS MATERIALIZED (
+  SELECT id, v, nrm, CAST({bucket} AS BIGINT) AS bucket FROM base
+),
+sims AS (
+  SELECT a.id AS query_id, b.id AS neighbor,
+         round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.id <> b.id
+),
+ranked AS (
+  SELECT query_id, neighbor,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor) AS rnk
+  FROM sims
+)
+SELECT query_id, neighbor, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {TOPK_EMB} ORDER BY query_id, rnk
+""".strip()
+
+
+@register("ann_lsh_topk", _ann_oracle())
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN: random-hyperplane LSH buckets + exact in-bucket
+    rerank (operators/similarity.hyperplane_lsh_topk). The bucket sketch is
+    hash-derived, so the DuckDB oracle reproduces it from inlined sign
+    literals — an exact oracle for an *approximate* index."""
+    from .operators.similarity import hyperplane_lsh_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_topk(e, k=TOPK_EMB, bits=ANN_BITS, dims=ANN_DIMS).orderBy(
+        "query_id", "rnk"
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor"))
+
+
+@register(
+    "simhash_close_pairs",
+    f"""
+WITH sims AS MATERIALIZED ({{simhash_sql}})
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+ORDER BY a, b
+""".strip(),
+)
+def q_simhash_close_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ 6 (the fingerprint-join
+    dedup tier: at scale the join is blocked on fingerprint bands, here the
+    corpus is small enough for the direct pair join)."""
+    from .operators.dedup import hamming64, simhash
+
+    d = load(spark, sf_dir, "documents")
+    s = simhash(d, "doc_id", "text", bits=60).persist()
+    a = s.select(F.col("id").alias("a"), F.col("simhash").alias("ha"))
+    b = s.select(F.col("id").alias("b"), F.col("simhash").alias("hb"))
     return (
-        sims.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= TOPK_EMB)
-        .select("query_id", "neighbor", F.col("rnk").cast("long").alias("rnk"))
-        .orderBy("query_id", "rnk")
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("hamming", hamming64(F.col("ha"), F.col("hb")).cast("long"))
+        .where(F.col("hamming") <= 6)
+        .select("a", "b", "hamming")
+        .orderBy("a", "b")
+    )
+
+
+ORACLES["simhash_close_pairs"] = ORACLES["simhash_close_pairs"].replace(
+    "{simhash_sql}", _simhash_sql().rsplit("ORDER BY", 1)[0].strip()
+)
+
+
+@register(
+    "events_hourly_windows",
+    """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+""".strip(),
+)
+def q_events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.windowed_event_counts (same tumbling-window
+    aggregation shape; the streaming test drains the stream and asserts it
+    matches this batch result)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("window_start", "event_type")
     )
 
 

@@ -1,0 +1,108 @@
+"""Structured-streaming ingestion — beyond-reference capability.
+
+The reference has NO streaming (its Kafka module is a write-only producer,
+``store/kafka/.../LspaceKafkaProducer.scala:5-28``; ``TimeLimit`` is a
+wall-clock query budget, not event time — SURVEY §2.8). On Spark the same
+engine gets incremental ingestion for free: the repos table lands as files
+(or Kafka), edges are extracted with the SAME batch expressions
+(extract.py — streaming and batch share one code path), and graph state is
+refreshed by re-running supersteps on the updated edge table.
+
+Provided building blocks:
+- ``stream_repos_from_files`` — file-source stream of the ``input_hint``
+  table (schema enforced; ``maxFilesPerTrigger`` bounds batch size).
+- ``stream_extract_edges`` — the batch edge extraction applied to a stream
+  (stateless: regexp + explode + projection, fully incremental).
+- ``windowed_event_counts`` — event-time tumbling-window aggregation with a
+  watermark for late data (the canonical stateful op).
+- ``run_available_now`` — drain a stream to a sink with the availableNow
+  trigger (used by tests; also the batch-backfill mode in production).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..extract import EDGE_LABEL_IMPORTS, IMPORT_PATTERN
+
+REPOS_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def stream_repos_from_files(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    return (
+        spark.readStream.schema(REPOS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def stream_extract_edges(repos_stream: DataFrame,
+                         pattern: str = IMPORT_PATTERN) -> DataFrame:
+    """Stateless incremental edge extraction — same expressions as batch
+    (extract.extract_edge_names), minus the global distinct (dedup is a
+    stateful op; downstream graph jobs run distinct on the accumulated
+    edge table instead, keeping the stream unbounded-state-free)."""
+    hits = repos_stream.select(
+        F.col("repo").alias("src_repo"),
+        F.explode(
+            F.regexp_extract_all(F.col("content"), F.lit(pattern), 1)
+        ).alias("dst_repo"),
+    )
+    return (
+        hits.where(F.col("src_repo") != F.col("dst_repo"))
+        .withColumn("label", F.lit(EDGE_LABEL_IMPORTS))
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling event-time window counts with late-data watermark."""
+    return (
+        events.withColumn("__ts", F.col(ts_col).cast("timestamp"))
+        .withWatermark("__ts", watermark)
+        .groupBy(F.window("__ts", window).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col(key_col),
+            F.col("n"),
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
+                      out_dir: str, fmt: str = "parquet") -> None:
+    """Drain everything currently available, then stop (backfill mode)."""
+    q = (
+        stream_df.writeStream.format(fmt)
+        .option("checkpointLocation", checkpoint_dir)
+        .option("path", out_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_available_now_to_memory(stream_df: DataFrame, name: str,
+                                checkpoint_dir: str,
+                                output_mode: str = "append"):
+    """Drain to an in-memory table (tests); returns the stopped query."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,127 @@
+"""Unit tests for the training-data pipeline operator modules
+(operators/dedup.py, operators/similarity.py, operators/multimodal.py) on
+small hand-checkable inputs — complementing the oracle gate which runs them
+against DuckDB on the driver testdata."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from l_space_spark.operators import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "completely different content about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, "tiny"),  # < 3 tokens → no shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").persist()
+
+
+def test_exact_dedup(docs):
+    groups = dedup.exact_dedup_groups(docs, "text").collect()
+    assert len(groups) == 1 and groups[0]["n_copies"] == 2
+    kept = dedup.keep_first_exact(docs, "doc_id", "text")
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2, 3, 5}
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {(r["a"], r["b"]) for r in
+             dedup.ngram_jaccard_pairs(docs, "doc_id").collect()}
+    # exact dup pair always passes; near-dup 1-2 shares 6 of 8 shingles
+    # (J = 6/8 ≥ 1/2); doc 3 matches nothing; doc 5 has no shingles
+    assert (1, 4) in pairs and (1, 2) in pairs and (2, 4) in pairs
+    assert not any(3 in p or 5 in p for p in pairs)
+
+
+def test_minhash_lsh_recall_on_exact_dups(docs):
+    sig = dedup.minhash_signatures(docs, "doc_id")
+    rows = {r["id"]: tuple(r[f"h{i}"] for i in range(8)) for r in sig.collect()}
+    assert rows[1] == rows[4]  # identical shingle sets ⇒ identical signature
+    assert 5 not in rows  # no shingles ⇒ no signature
+    cands = {(r["a"], r["b"]) for r in
+             dedup.lsh_candidate_pairs(sig).collect()}
+    assert (1, 4) in cands  # exact dups always collide in every band
+
+
+def test_simhash_and_hamming(docs, spark):
+    s = dedup.simhash(docs, "doc_id")
+    vals = {r["id"]: r["simhash"] for r in s.collect()}
+    assert vals[1] == vals[4]  # same token set
+    a = spark.createDataFrame([(vals[1], vals[2])], "x long, y long")
+    ham_near = a.select(dedup.hamming64(F.col("x"), F.col("y")).alias("h")).first()["h"]
+    b = spark.createDataFrame([(vals[1], vals[3])], "x long, y long")
+    ham_far = b.select(dedup.hamming64(F.col("x"), F.col("y")).alias("h")).first()["h"]
+    assert ham_near < ham_far  # near-dup closer than unrelated doc
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # 3 clusters on axes + one deliberate near-duplicate of id 0
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.98, 0.02, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [0.0, 0.0, 0.97, 0.03]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").persist()
+
+
+def test_cosine_topk_exact(vectors):
+    top1 = {
+        r["query_id"]: r["neighbor"]
+        for r in similarity.cosine_topk(vectors, k=1).collect()
+    }
+    assert top1 == {0: 1, 1: 0, 2: 3, 3: 2, 4: 5, 5: 4}
+
+
+def test_hyperplane_lsh_buckets_group_clusters(vectors):
+    got = similarity.hyperplane_lsh_topk(vectors, k=1, bits=4, dims=4).collect()
+    top1 = {r["query_id"]: r["neighbor"] for r in got}
+    # every query whose true NN shares its bucket must retrieve it
+    for q, nn in top1.items():
+        assert nn == {0: 1, 1: 0, 2: 3, 3: 2, 4: 5, 5: 4}[q]
+
+
+def test_multimodal_features(spark):
+    media = multimodal.synth_media(spark, n=12)
+    feats = multimodal.extract_features(media, feat_dim=8)
+    rows = feats.collect()
+    assert len(rows) == 12
+    assert all(r["ok"] for r in rows)
+    assert all(len(r["feat"]) == 8 for r in rows)
+    # deterministic: same item → same features across runs
+    again = {r["item_id"]: r["feat"] for r in
+             multimodal.extract_features(media, feat_dim=8).collect()}
+    assert all(again[r["item_id"]] == r["feat"] for r in rows)
+
+
+def test_multimodal_error_rows_not_failures(spark):
+    import pandas as pd
+
+    bad = spark.createDataFrame(
+        pd.DataFrame(
+            [{"item_id": 1, "modality": "image", "codec": "png", "width": 1,
+              "height": 1, "duration_ms": 0, "data": b""}]
+        )
+    )
+    rows = multimodal.extract_features(bad).collect()
+    assert len(rows) == 1 and rows[0]["ok"] is False
+    assert "empty payload" in rows[0]["error"]
+
+
+def test_frame_sample(spark):
+    media = multimodal.synth_media(spark, n=9)
+    frames = multimodal.frame_sample(media, every_ms=200)
+    got = frames.groupBy("item_id").count().collect()
+    # only video items (item_id % 3 == 2), frames = duration/200 + 1
+    assert all(r["item_id"] % 3 == 2 for r in got)
+    for r in got:
+        assert r["count"] == r["item_id"] * 100 // 200 + 1

@@ -1,0 +1,75 @@
+"""Structured-streaming tests: file-source ingestion of the repos table →
+incremental edge extraction, and event-time windowed aggregation — each
+drained with availableNow and checked against the batch twin."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from l_space_spark import streaming
+from l_space_spark.extract import extract_edge_names
+from l_space_spark.synth import generate_repos
+
+
+def test_stream_edge_extraction_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "repos_in")
+    ckpt = str(tmp_path / "ckpt1")
+    out = str(tmp_path / "edges_out")
+    repos = generate_repos(spark, 60, 2, seed=42)
+    # land the input as multiple files → multiple micro-batches
+    repos.repartition(4).write.parquet(src)
+
+    stream = streaming.stream_repos_from_files(spark, src, max_files_per_trigger=2)
+    edges_stream = streaming.stream_extract_edges(stream)
+    streaming.run_available_now(edges_stream, ckpt, out)
+
+    got = spark.read.parquet(out).select("src_repo", "dst_repo").distinct()
+    want = extract_edge_names(spark.read.parquet(src)).select(
+        "src_repo", "dst_repo"
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+    # incremental restart: new files only → appends, no reprocessing
+    more = generate_repos(spark, 60, 2, seed=43)
+    more.repartition(2).write.mode("append").parquet(src)
+    stream2 = streaming.stream_repos_from_files(spark, src)
+    streaming.run_available_now(streaming.stream_extract_edges(stream2), ckpt, out)
+    got2 = spark.read.parquet(out).select("src_repo", "dst_repo").distinct()
+    want2 = extract_edge_names(spark.read.parquet(src)).select(
+        "src_repo", "dst_repo"
+    )
+    assert got2.count() == want2.count()
+
+
+def test_windowed_event_counts_match_batch(spark, tmp_path):
+    src = "/root/testdata/sf0.001/events.parquet"
+    if not os.path.exists(src):
+        pytest.skip("driver testdata missing")
+    ckpt = str(tmp_path / "ckpt2")
+
+    events = spark.read.parquet(src)
+    # file-source streams read DIRECTORIES; stage the table as one
+    events_dir = str(tmp_path / "events_in")
+    events.write.parquet(events_dir)
+    stream = spark.readStream.schema(events.schema).parquet(events_dir)
+    windowed = streaming.windowed_event_counts(stream, window="1 hour",
+                                               watermark="2 hours")
+    streaming.run_available_now_to_memory(windowed, "win_counts", ckpt,
+                                          output_mode="append")
+    # append mode emits only windows sealed by the watermark; every emitted
+    # row must match the batch computation exactly
+    got = spark.table("win_counts")
+    batch = (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("window_start"),
+            "event_type",
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert got.count() > 0
+    assert got.join(
+        batch, ["window_start", "event_type", "n"], "left_anti"
+    ).count() == 0
