@@ -15,8 +15,15 @@ Two tiers, mirroring how a 100 TB pipeline actually runs ANN:
   then exact cosine rerank within buckets. Shuffle is O(N) on bucket keys —
   no cartesian product anywhere.
 
-An IVF (k-means coarse quantizer) variant is the next rung; it needs an
-iterative training job (same superstep runner) — noted for round 2.
+- **IVF coarse-quantized ANN** (`ivf_topk`) — the inverted-file tier:
+  a deterministic training-free codebook (the ``n_centroids`` lowest-id
+  vectors; a k-means refinement would reuse the superstep runner), every
+  vector assigned to its nearest centroid cell (one pass against a
+  broadcast-sized codebook), queries probe their ``nprobe`` nearest cells
+  and rerank exactly inside them. Candidate generation is an equi-join on
+  ``cell`` — shuffle O(N·nprobe/n_centroids) per query batch, no cartesian
+  product, and the cell assignment is reusable across query batches
+  (persist it once, probe many times).
 """
 
 from __future__ import annotations
@@ -111,6 +118,77 @@ def hyperplane_lsh_topk(
     b = base.select(F.col("id").alias("neighbor"), F.col("v").alias("cv"),
                     F.col("nrm").alias("cn"), "bucket")
     sims = a.join(b, "bucket").where(F.col("neighbor") != F.col("query_id")).select(
+        "query_id", "neighbor",
+        F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                quantize).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def _vec_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
+
+
+def _ivf_assign(base: DataFrame, cents: DataFrame, nprobe: int,
+                quantize: int) -> DataFrame:
+    """(id, v, nrm, cell, probe_rnk) — each vector's ``nprobe`` nearest
+    codebook cells by quantized cosine (ties break by centroid id). The
+    codebook is broadcast (tiny by construction), so assignment is a
+    map-side cross product — no shuffle of the corpus."""
+    sim = F.round(dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")),
+                  quantize)
+    w = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cid"))
+    return (
+        base.join(F.broadcast(cents))
+        .withColumn("csim", sim)
+        .withColumn("probe_rnk", F.row_number().over(w))
+        .where(F.col("probe_rnk") <= nprobe)
+        .select("id", "v", "nrm", F.col("cid").alias("cell"), "probe_rnk")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int = 6,
+) -> DataFrame:
+    """(query_id, neighbor, rnk) IVF approximate top-k.
+
+    Codebook = the ``n_centroids`` lowest-id corpus vectors: deterministic
+    and training-free, so the assignment is reproducible in plain SQL (the
+    oracle requirement); swap in k-means centroids without changing the
+    assign/probe/rerank plan. Corpus vectors live in their single nearest
+    cell; each query probes its ``nprobe`` nearest cells and reranks
+    exactly within them.
+    """
+    base = _vec_base(embeddings, id_col, vec_col)
+    cents = base.orderBy("id").limit(n_centroids).select(
+        F.col("id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+    )
+    corpus = _ivf_assign(base, cents, nprobe=1, quantize=quantize).select(
+        F.col("id").alias("neighbor"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"), "cell"
+    )
+    qbase = base if queries is None else _vec_base(queries, id_col, vec_col)
+    probes = _ivf_assign(qbase, cents, nprobe=nprobe, quantize=quantize).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), "cell"
+    )
+    sims = probes.join(corpus, "cell").where(
+        F.col("neighbor") != F.col("query_id")
+    ).select(
         "query_id", "neighbor",
         F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
                 quantize).alias("sim"),

@@ -1017,6 +1017,338 @@ def q_events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# 4. Remaining step families — argmax/argmin barriers, clipping, branch,
+#    set ops, Repeat+Path, OutMap, IVF ANN, multimodal binary metadata
+# =====================================================================
+
+
+@register(
+    "argminmax_per_group",  # Max/Min steps are ARGmax/ARGmin (SURVEY §2.4)
+    """
+SELECT c_nationkey,
+       (array_agg(c_custkey ORDER BY c_acctbal DESC, c_custkey DESC))[1]
+         AS top_cust,
+       (array_agg(c_custkey ORDER BY c_acctbal ASC, c_custkey ASC))[1]
+         AS bottom_cust,
+       CAST(floor(avg(c_acctbal) + 0.5) AS BIGINT) AS avg_bal_dollars
+FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+""".strip(),
+)
+def q_argminmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Max/Min barriers return the TRAVERSER whose by-value
+    is extreme (``SyncGuide.scala:382-458``) — argmax/argmin, not max/min.
+    Spark's ``max_by``/``min_by`` with a struct ordinal pins the tie-break
+    (max acctbal then max custkey / min acctbal then min custkey); plus the
+    Mean barrier (``SyncGuide.scala:735-755``) as a dollars fixed-point."""
+    c = load(spark, sf_dir, "customer")
+    ordinal = F.struct("c_acctbal", "c_custkey")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.max_by("c_custkey", ordinal).alias("top_cust"),
+            F.min_by("c_custkey", ordinal).alias("bottom_cust"),
+            fixed_point(F.avg("c_acctbal"), 1.0).alias("avg_bal_dollars"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "clip_range_tail",  # Range/Skip/Limit/Tail clipping family (§2.5)
+    """
+SELECT 'range' AS part, c_custkey
+FROM (SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 5 OFFSET 10)
+UNION ALL
+SELECT 'tail', c_custkey
+FROM (SELECT c_custkey FROM customer ORDER BY c_custkey DESC LIMIT 3)
+ORDER BY part, c_custkey
+""".strip(),
+)
+def q_clip_range_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range(11,15) ≡ ORDER+OFFSET+LIMIT; Tail(3) ≡ reverse-order limit —
+    the reference's 1-based inclusive slice (``SyncGuide.scala:471-476``)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    rng = (
+        c.orderBy("c_custkey").offset(10).limit(5)
+        .select(F.lit("range").alias("part"), "c_custkey")
+    )
+    tail = (
+        c.orderBy(F.col("c_custkey").desc()).limit(3)
+        .select(F.lit("tail").alias("part"), "c_custkey")
+    )
+    return rng.unionByName(tail).orderBy("part", "c_custkey")
+
+
+@register(
+    "coalesce_choose",  # Coalesce (first non-empty) + Choose (if/else) §2.6
+    """
+SELECT c_custkey,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_or_other,
+       CASE WHEN c_acctbal < 0 THEN 'debtor'
+            WHEN c_acctbal < 5000 THEN 'mid'
+            ELSE 'rich' END AS wealth_class
+FROM customer ORDER BY c_custkey
+""".strip(),
+)
+def q_coalesce_choose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row first-non-empty branch (``SyncGuide.scala:486-496``) as
+    ``coalesce``/``nullif``; Choose (``SyncGuide.scala:497-509``) as the
+    ``when().otherwise()`` chain — both scalar branches, no join."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
+        ).alias("segment_or_other"),
+        F.when(F.col("c_acctbal") < 0, "debtor")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("rich")
+        .alias("wealth_class"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "intersect_except",  # set ops absent as reference steps (§2.6) — free here
+    """
+SELECT 'intersect' AS op, c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+)
+UNION ALL
+SELECT 'except', c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+)
+ORDER BY op, c_custkey
+""".strip(),
+)
+def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    return (
+        a.intersect(b).select(F.lit("intersect").alias("op"), "c_custkey")
+        .unionByName(a.subtract(b).select(F.lit("except").alias("op"), "c_custkey"))
+        .orderBy("op", "c_custkey")
+    )
+
+
+BFS_SEEDS = 10
+BFS_DEPTH = 4
+
+
+@register(
+    "bfs_repeat_path",
+    f"""
+WITH RECURSIVE e0 AS ({CHAIN_EDGES_SQL}),
+links AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+seeds AS (SELECT src FROM (SELECT DISTINCT src FROM links)
+          ORDER BY src LIMIT {BFS_SEEDS}),
+walk(id, depth, path) AS (
+  SELECT src, 0, lpad(src::VARCHAR, 8, '0') FROM seeds
+  UNION ALL
+  SELECT l.dst, w.depth + 1, w.path || '>' || lpad(l.dst::VARCHAR, 8, '0')
+  FROM walk w JOIN links l ON l.src = w.id
+  WHERE w.depth < {BFS_DEPTH}
+)
+SELECT id, CAST(min(depth) AS BIGINT) AS depth,
+       (array_agg(path ORDER BY depth, path))[1] AS path
+FROM walk GROUP BY id ORDER BY id
+""".strip(),
+)
+def q_bfs_repeat_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat + Path: bounded BFS from the {BFS_SEEDS} smallest sources,
+    emitting per reached vertex its minimal (depth, path) — the reference's
+    ``Repeat`` driver loop (``SyncGuide.scala:516-654``) with the
+    per-traverser path accumulator (``Librarian.path``,
+    ``SyncGuide.scala:952-975``) carried as a string column (zero-padded so
+    lexicographic order is numeric order). Each round localCheckpoints to
+    cut iterative lineage (SURVEY §4.2.1)."""
+    links = (
+        chain_edges(spark, sf_dir)
+        .where(F.col("src") != F.col("dst")).distinct()
+    )
+    pad = lambda c: F.lpad(c.cast("string"), 8, "0")  # noqa: E731
+    frontier = (
+        links.select("src").distinct().orderBy("src").limit(BFS_SEEDS)
+        .select(
+            F.col("src").alias("id"),
+            F.lit(0).alias("depth"),
+            pad(F.col("src")).alias("path"),
+        )
+    )
+    reached = frontier
+    for _ in range(BFS_DEPTH):
+        f, e = frontier.alias("f"), links.alias("e")
+        frontier = (
+            f.join(e, F.col("f.id") == F.col("e.src"))
+            .select(
+                F.col("e.dst").alias("id"),
+                (F.col("f.depth") + 1).alias("depth"),
+                F.concat(F.col("f.path"), F.lit(">"),
+                         pad(F.col("e.dst"))).alias("path"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        reached = reached.unionByName(frontier)
+    best = reached.groupBy("id").agg(F.min(F.struct("depth", "path")).alias("m"))
+    return best.select(
+        "id", F.col("m.depth").cast("long").alias("depth"), F.col("m.path").alias("path")
+    ).orderBy("id")
+
+
+@register(
+    "outmap_neighbors",  # OutMap: neighbors grouped by edge label (§2.7)
+    """
+SELECT o_custkey,
+       array_to_string(list_sort(list(o_orderstatus || '=' || n)), '|')
+         AS status_map
+FROM (SELECT o_custkey, o_orderstatus, count(*) AS n
+      FROM orders GROUP BY 1, 2)
+GROUP BY o_custkey ORDER BY o_custkey
+""".strip(),
+)
+def q_outmap_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OutMap (``SyncGuide.scala:896-948``): per resource, out-neighbors
+    grouped by edge label into a map. Encoded portably as the sorted
+    'label=count' join — ``map_from_entries`` would be the native carrier,
+    but a canonical string hashes identically across engines."""
+    o = load(spark, sf_dir, "orders")
+    per_label = o.groupBy("o_custkey", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_label.groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(
+                        F.concat(F.col("o_orderstatus"), F.lit("="),
+                                 F.col("n").cast("string"))
+                    )
+                ),
+                "|",
+            ).alias("status_map")
+        )
+        .orderBy("o_custkey")
+    )
+
+
+IVF_CENTROIDS = 8
+IVF_NPROBE = 2
+
+
+def _ivf_oracle() -> str:
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+cents AS MATERIALIZED (
+  SELECT id AS cid, v AS cv, nrm AS cnrm FROM base ORDER BY id LIMIT {IVF_CENTROIDS}
+),
+scored AS MATERIALIZED (
+  SELECT b.id, b.v, b.nrm, c.cid,
+         row_number() OVER (
+           PARTITION BY b.id
+           ORDER BY round(list_inner_product(b.v, c.cv) / (b.nrm * c.cnrm), 6)
+                      DESC,
+                    c.cid) AS rn
+  FROM base b, cents c
+),
+corpus AS MATERIALIZED (
+  SELECT id AS neighbor, v AS cv, nrm AS cn, cid AS cell
+  FROM scored WHERE rn = 1
+),
+probes AS MATERIALIZED (
+  SELECT id AS query_id, v AS qv, nrm AS qn, cid AS cell
+  FROM scored WHERE rn <= {IVF_NPROBE} AND id < {N_QUERIES_EMB}
+),
+sims AS (
+  SELECT p.query_id, c.neighbor,
+         round(list_inner_product(p.qv, c.cv) / (p.qn * c.cn), 6) AS sim
+  FROM probes p JOIN corpus c ON c.cell = p.cell AND c.neighbor <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor) AS rnk
+  FROM sims
+)
+SELECT query_id, neighbor, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {TOPK_EMB} ORDER BY query_id, rnk
+""".strip()
+
+
+@register("ann_ivf_topk", _ivf_oracle())
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (operators/similarity.ivf_topk): deterministic lowest-id
+    codebook, nearest-cell assignment, nprobe=2 probe + exact in-cell
+    rerank — the inverted-file scale tier next to the LSH one, with an
+    exact SQL oracle because the codebook is training-free."""
+    from .operators.similarity import ivf_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id") < N_QUERIES_EMB)
+    return ivf_topk(
+        e, queries=qs, k=TOPK_EMB, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE
+    ).orderBy("query_id", "rnk")
+
+
+@register(
+    "multimodal_binary_meta",
+    f"""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       substr(hex(encode(text)), 1, 8) AS magic,
+       {_hash60_sql("hex(encode(text))")} AS payload_fp
+FROM documents ORDER BY doc_id
+""".strip(),
+)
+def q_multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, SQL-checkable half: media ride as opaque
+    ``binary`` columns; typed metadata (byte length, magic prefix,
+    fingerprint) is extracted WITHOUT decoding so filters prune before any
+    codec runs (operators/multimodal.py holds the Arrow-batched decode
+    path; its codec is stubbed — no media libs in this sandbox)."""
+    d = load(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.substring(F.hex(payload), 1, 8).alias("magic"),
+        hash60(F.hex(payload)).alias("payload_fp"),
+    ).orderBy("doc_id")
+
+
+@register("multimodal_features", None)  # rows-only: mapInPandas, not SQL
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode→resize→featurize over the synthetic media table via
+    mapInPandas (operators/multimodal.extract_features) — genuinely
+    non-SQL-expressible (stubbed codec inside a Python Arrow stage), so
+    this entry takes the driver's rows-only check. Floats are collapsed to
+    a fixed-point sum so the output is hash-stable."""
+    from .operators.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, n=64, parts=4)
+    feats = extract_features(media, target=(16, 16), feat_dim=8)
+    return feats.select(
+        "item_id", "ok", "out_width", "out_height",
+        F.when(
+            F.col("feat").isNotNull(),
+            F.floor(
+                F.aggregate(F.col("feat"),
+                            F.lit(0.0),
+                            lambda a, x: a + x.cast("double")) * 10000 + 0.5
+            ).cast("long"),
+        ).alias("feat_sum_e4"),
+    ).orderBy("item_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -125,3 +125,20 @@ def test_frame_sample(spark):
     assert all(r["item_id"] % 3 == 2 for r in got)
     for r in got:
         assert r["count"] == r["item_id"] * 100 // 200 + 1
+
+
+def test_ivf_topk_matches_bruteforce_top1(vectors):
+    # codebook = ids 0..3 (one per axis cluster + the near-dup of 0);
+    # nprobe=2 is enough for every query's true NN cell to be probed
+    got = similarity.ivf_topk(vectors, k=1, n_centroids=4, nprobe=2).collect()
+    top1 = {r["query_id"]: r["neighbor"] for r in got}
+    assert top1 == {0: 1, 1: 0, 2: 3, 3: 2, 4: 5, 5: 4}
+
+
+def test_ivf_separate_query_batch(vectors):
+    qs = vectors.where(F.col("vec_id") < 2)
+    got = similarity.ivf_topk(vectors, queries=qs, k=1,
+                              n_centroids=4, nprobe=2).collect()
+    assert {r["query_id"] for r in got} == {0, 1}
+    top1 = {r["query_id"]: r["neighbor"] for r in got}
+    assert top1 == {0: 1, 1: 0}
