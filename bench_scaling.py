@@ -47,7 +47,8 @@ def synth_powerlaw_edges(spark: SparkSession, n_edges: int, n_vertices: int,
     )
 
 
-def run_once(cores: int, n_edges: int, n_vertices: int, iters: int) -> dict:
+def run_once(cores: int, n_edges: int, n_vertices: int, iters: int,
+             impl: str = "dataframe") -> dict:
     shuffle_parts = max(cores * 2, 16)
     spark = get_spark(
         app_name=f"scaling-local-{cores}",
@@ -60,13 +61,14 @@ def run_once(cores: int, n_edges: int, n_vertices: int, iters: int) -> dict:
         real_edges = edges.count()  # materialize input outside the clock
         t0 = time.time()
         res = pagerank(spark, edges, tol=-1.0, max_iters=iters, resume=False,
-                       num_partitions=shuffle_parts)
+                       num_partitions=shuffle_parts, impl=impl)
         res.state.count()
         wall = time.time() - t0
         # distinct-edge count is what each superstep actually processes
         processed = res.state.sparkSession.createDataFrame([], "x int")  # noqa
         return {
             "cores": cores,
+            "impl": impl,
             "input_edges": real_edges,
             "supersteps": res.iterations,
             "wall_s": round(wall, 3),
@@ -83,11 +85,13 @@ def main() -> None:
     ap.add_argument("--vertices", type=int, default=1_000_000)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--cores", default="8,32")
+    ap.add_argument("--impl", default="dataframe", choices=["dataframe", "csr"])
     ap.add_argument("--out", default="BENCH/scaling.json")
     args = ap.parse_args()
 
     levels = [int(c) for c in args.cores.split(",")]
-    runs = [run_once(c, args.edges, args.vertices, args.iters) for c in levels]
+    runs = [run_once(c, args.edges, args.vertices, args.iters, args.impl)
+            for c in levels]
 
     lo, hi = runs[0], runs[-1]
     ratio = hi["edges_per_s"] / lo["edges_per_s"]
@@ -96,7 +100,7 @@ def main() -> None:
     out = {
         "workload": {
             "edges": args.edges, "vertices": args.vertices,
-            "iters": args.iters, "algo": "pagerank-fixed",
+            "iters": args.iters, "algo": "pagerank-fixed", "impl": args.impl,
         },
         "runs": runs,
         "speedup": round(ratio, 3),

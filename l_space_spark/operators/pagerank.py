@@ -23,12 +23,31 @@ Two physical strategies:
   reuses the partitioning and each superstep shuffles only the rank table
   (|V| rows), never the edge table (|E| rows). AQE handles residual skew.
 
-- ``impl="csr"``: the vectorized-kernel path from the north star — ranks and
-  links are cogrouped on ``block = pmod(src, P)`` and a numpy kernel
-  (sort + ``np.add.reduceat``) computes per-block partial sums per ``dst``
-  (map-side combine in user space), so the downstream shuffle carries at most
-  P × |distinct dst| pre-aggregated rows instead of |E| contribution rows.
-  At high average degree this is the scale path; Arrow moves the batches.
+- ``impl="csr"``: the vectorized-kernel path from the north star. The edge
+  set is packed ONCE into per-block CSR numpy buffers (``pack_csr_blocks``:
+  sorted source ids, per-source weights, an edge→source-position index in
+  dst-sorted order, unique dsts + segment starts) persisted as one row per
+  block — the cache-friendly replacement for the reference's pointer
+  adjacency (``structure/Resource.scala:121-212``). Each superstep cogroups
+  the |V|-row rank table (shuffled by ``block = pmod(xxhash64(id), P)``)
+  with the persisted blocks (already hash-partitioned on ``block`` — no
+  re-shuffle, verified in the plan) and the kernel computes per-block
+  partial sums per ``dst`` as two O(E/P) numpy gathers + one
+  ``np.add.reduceat`` — no per-round sort, no per-edge join probe. The
+  downstream shuffle carries at most P × |distinct dst| pre-aggregated rows
+  instead of |E| contribution rows. Block count = ``num_partitions``; at
+  cluster scale size it so one block's buffers (~24 B/edge) fit executor
+  memory alongside its rank slice.
+
+  Measured crossover (local[8], 16 partitions, 8 supersteps, steady-state
+  s/round): avg degree 10 (1M V / 10M E) — dataframe 1.50, csr 1.70;
+  avg degree 80 (250k V / 20M E) — dataframe 1.68, csr 1.27. The kernel
+  amortizes the per-edge cost, so csr wins once average degree is high
+  (≫ the |V|-row Arrow round-trip per block); the dataframe path wins on
+  sparse graphs and at very high threads-per-node (32 threads share one
+  Python-worker pool and memory bus: csr 2.53 vs dataframe 1.44 at deg 10).
+  Default stays ``dataframe``; pick ``csr`` for dense link graphs on
+  normal 4-8-core executors.
 
 Skew: very high in-degree vertices make ``groupBy(dst)`` hot. The CSR kernel
 pre-aggregates per block which bounds any single reducer's input to P rows
@@ -86,32 +105,103 @@ def prepare_links(
     return links, vertices, dangling
 
 
-def _csr_contribs(
-    ranks: DataFrame, links: DataFrame, num_partitions: int
-) -> DataFrame:
-    """Per-block vectorized partial contributions via cogroup + numpy kernel."""
+CSR_BLOCK_SCHEMA = (
+    "block int, srcs binary, wsrc binary, eidx binary, dstu binary, segs binary"
+)
+
+_EMPTY_CONTRIBS = pd.DataFrame(
+    {"dst": pd.Series(dtype="int64"), "contrib": pd.Series(dtype="float64")}
+)
+
+
+def pack_csr_blocks(links: DataFrame, num_partitions: int) -> DataFrame:
+    """links(src, dst, w) → one row per block of CSR numpy buffers.
+
+    Buffers (all little-endian, rebuilt zero-copy with ``np.frombuffer``):
+
+    - ``srcs``  int64[S]: sorted unique source ids of the block
+    - ``wsrc``  float64[S]: 1/outdeg aligned to ``srcs`` (a source's edges
+      are all in its block, so the local weight is the global one)
+    - ``eidx``  int64[E]: for edges in (dst, src)-sorted order, the index of
+      the edge's source in ``srcs`` — the gather map
+    - ``dstu``  int64[D]: sorted unique dsts; ``segs`` int64[D]: start of
+      each dst's edge segment in ``eidx``
+
+    Deterministic: lexsorted inputs, stable sorts — pack is reproducible and
+    so is the kernel's fp summation order (FIXTURES F5).
+    """
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        src = pdf["src"].to_numpy(np.int64)
+        dst = pdf["dst"].to_numpy(np.int64)
+        w = pdf["w"].to_numpy(np.float64)
+        order = np.lexsort((dst, src))
+        src, dst, w = src[order], dst[order], w[order]
+        srcs, sstart = np.unique(src, return_index=True)
+        counts = np.diff(np.append(sstart, len(src)))
+        e_srcpos = np.repeat(np.arange(len(srcs), dtype=np.int64), counts)
+        dorder = np.argsort(dst, kind="stable")
+        dstu, segs = np.unique(dst[dorder], return_index=True)
+        return pd.DataFrame(
+            [
+                {
+                    "block": int(pdf["block"].iloc[0]),
+                    "srcs": srcs.tobytes(),
+                    "wsrc": w[sstart].tobytes(),
+                    "eidx": e_srcpos[dorder].tobytes(),
+                    "dstu": dstu.tobytes(),
+                    "segs": segs.astype(np.int64).tobytes(),
+                }
+            ]
+        )
+
     p = F.lit(num_partitions)
-    r = ranks.withColumn("block", F.pmod(F.col("id"), p))
-    l = links.withColumn("block", F.pmod(F.col("src"), p))
-
-    def kernel(rpdf: pd.DataFrame, lpdf: pd.DataFrame) -> pd.DataFrame:
-        if len(lpdf) == 0 or len(rpdf) == 0:
-            return pd.DataFrame({"dst": pd.Series(dtype="int64"),
-                                 "contrib": pd.Series(dtype="float64")})
-        # rank lookup for this block's sources (CSR-style gather)
-        rank_of = pd.Series(rpdf["rank"].to_numpy(), index=rpdf["id"].to_numpy())
-        vals = rank_of.reindex(lpdf["src"].to_numpy()).to_numpy() * lpdf["w"].to_numpy()
-        dst = lpdf["dst"].to_numpy()
-        order = np.argsort(dst, kind="stable")
-        dst_s, vals_s = dst[order], vals[order]
-        uniq, starts = np.unique(dst_s, return_index=True)
-        sums = np.add.reduceat(vals_s, starts)
-        return pd.DataFrame({"dst": uniq, "contrib": sums})
-
-    partial = r.groupBy("block").cogroup(l.groupBy("block")).applyInPandas(
-        kernel, schema="dst long, contrib double"
+    l = links.withColumn("block", F.pmod(F.xxhash64("src"), p).cast("int"))
+    return (
+        l.groupBy("block")
+        .applyInPandas(pack, schema=CSR_BLOCK_SCHEMA)
+        # re-hash on the OUTPUT block attribute so the cached scan reports
+        # hashpartitioning(block, P) and the per-superstep cogroup needs no
+        # exchange on this (heavy) side
+        .repartition(num_partitions, "block")
     )
-    return partial.groupBy("dst").agg(F.sum("contrib").alias("contrib"))
+
+
+def _csr_kernel(rpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+    if len(bpdf) == 0 or len(rpdf) == 0:
+        return _EMPTY_CONTRIBS
+    row = bpdf.iloc[0]
+    srcs = np.frombuffer(row["srcs"], np.int64)
+    if len(srcs) == 0:
+        return _EMPTY_CONTRIBS
+    wsrc = np.frombuffer(row["wsrc"], np.float64)
+    eidx = np.frombuffer(row["eidx"], np.int64)
+    dstu = np.frombuffer(row["dstu"], np.int64)
+    segs = np.frombuffer(row["segs"], np.int64)
+    ids = rpdf["id"].to_numpy(np.int64)
+    rv = rpdf["rank"].to_numpy(np.float64)
+    # align this block's ranks to srcs (ranks cover every id in the block,
+    # including dst-only vertices — drop those)
+    pos = np.searchsorted(srcs, ids)
+    pos_c = np.minimum(pos, len(srcs) - 1)
+    mask = srcs[pos_c] == ids
+    r = np.zeros(len(srcs), dtype=np.float64)
+    r[pos_c[mask]] = rv[mask]
+    vals = (r * wsrc)[eidx]
+    return pd.DataFrame({"dst": dstu, "contrib": np.add.reduceat(vals, segs)})
+
+
+def _csr_contribs(
+    ranks: DataFrame, blocks: DataFrame, num_partitions: int, sum_fn
+) -> DataFrame:
+    """Per-block vectorized partial contributions: cogroup the rank table
+    with the pre-packed persisted CSR blocks + numpy kernel."""
+    p = F.lit(num_partitions)
+    r = ranks.withColumn("block", F.pmod(F.xxhash64("id"), p).cast("int"))
+    partial = r.groupBy("block").cogroup(blocks.groupBy("block")).applyInPandas(
+        _csr_kernel, schema="dst long, contrib double"
+    )
+    return partial.groupBy("dst").agg(sum_fn(F.col("contrib")).alias("contrib"))
 
 
 def pagerank(
@@ -153,6 +243,11 @@ def pagerank(
 
     sum_fn = _dsum if deterministic else F.sum
 
+    csr_blocks: DataFrame | None = None
+    if impl == "csr":
+        csr_blocks = pack_csr_blocks(links, num_partitions).persist()
+        csr_blocks.count()  # pack once, before the superstep clock starts
+
     def step(ranks: DataFrame, i: int) -> DataFrame:
         # dangling mass as a broadcast ONE-ROW DataFrame, not a collected
         # scalar: the whole superstep stays lazy (no driver action), which
@@ -162,7 +257,7 @@ def pagerank(
         )
 
         if impl == "csr":
-            contribs = _csr_contribs(ranks, links, num_partitions)
+            contribs = _csr_contribs(ranks, csr_blocks, num_partitions, sum_fn)
         elif salt:
             joined = ranks.join(links, ranks["id"] == links["src"]).select(
                 "dst",
@@ -233,4 +328,6 @@ def pagerank(
     links.unpersist()
     dangling.unpersist()
     vertices.unpersist()
+    if csr_blocks is not None:
+        csr_blocks.unpersist()
     return result
