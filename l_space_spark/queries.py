@@ -1349,6 +1349,56 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("item_id")
 
 
+SESSION_GAP_US = 43_200_000_000  # 12 h
+
+
+@register(
+    "sessionize_events",
+    f"""
+WITH x AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(CASE WHEN prev IS NULL
+                  OR epoch_us(ts) - epoch_us(prev) > {SESSION_GAP_US}
+             THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+)
+SELECT user_id, CAST(sid AS BIGINT) AS sid, min(ts) AS session_start,
+       max(ts) AS session_end, CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid ORDER BY user_id, sid
+""".strip(),
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.sessionize_stateful (12 h gap): session ids
+    via lag + running sum of session-break flags — the relational encoding
+    of the stateful operator, so stream and batch are cross-checked
+    (tests/test_streaming.py) and the batch side gets a SQL oracle."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    brk = (
+        F.lag(us).over(w).isNull()
+        | ((us - F.lag(us).over(w)) > SESSION_GAP_US)
+    ).cast("long")
+    sid = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        e.withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "sid")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

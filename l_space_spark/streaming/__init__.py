@@ -106,3 +106,86 @@ def run_available_now_to_memory(stream_df: DataFrame, name: str,
     )
     q.awaitTermination()
     return q
+
+
+# ---- custom stateful operator: sessionization ---------------------------
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long"
+)
+SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    gap_seconds: int = 43200,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Per-user sessionization as a CUSTOM STATEFUL streaming operator
+    (``applyInPandasWithState`` — the extension point Spark gives for
+    operators its built-in stateful set lacks; the reference has no
+    streaming at all, SURVEY §2.8).
+
+    A session closes when the next event arrives more than ``gap_seconds``
+    after the previous one; closed sessions are emitted, the open tail
+    session rides in group state across micro-batches (start/last/count —
+    three longs per user, bounded state). Batch twin: the
+    ``sessionize_events`` catalog query computes identical sessions with a
+    lag + running-sum window, and the streaming test asserts the drained
+    closed sessions equal the batch result minus each user's open tail.
+
+    Ordering: events are sorted per micro-batch; across batches the file
+    source preserves file order. In production feed this from an
+    event-time-ordered source or add a watermark-based reorder stage.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        closed: list[tuple[int, int, int, int]] = []
+        (uid,) = key
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = None, None, 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values([ts_col, order_col])
+            ts_us = pdf[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+            for t in ts_us:
+                t = int(t)
+                if last_us is None:
+                    start_us, last_us, n = t, t, 1
+                elif t - last_us > gap_us:
+                    closed.append((uid, start_us, last_us, n))
+                    start_us, last_us, n = t, t, 1
+                else:
+                    last_us, n = t, n + 1
+        if last_us is not None:
+            state.update((start_us, last_us, n))
+        if closed:
+            out = pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end", "n_events"],
+            )
+            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+            out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+            yield out
+
+    return (
+        events.select(user_col, ts_col, order_col)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

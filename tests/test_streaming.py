@@ -73,3 +73,38 @@ def test_windowed_event_counts_match_batch(spark, tmp_path):
     assert got.join(
         batch, ["window_start", "event_type", "n"], "left_anti"
     ).count() == 0
+
+
+def test_sessionize_stateful_matches_batch_twin(spark, tmp_path):
+    src = "/root/testdata/sf0.001/events.parquet"
+    if not os.path.exists(src):
+        pytest.skip("driver testdata missing")
+    ckpt = str(tmp_path / "ckpt3")
+
+    events = spark.read.parquet(src)
+    # single file → single deterministic micro-batch (ordering caveat in
+    # the operator docstring)
+    events_dir = str(tmp_path / "sess_in")
+    events.coalesce(1).write.parquet(events_dir)
+    stream = spark.readStream.schema(events.schema).parquet(events_dir)
+    sess = streaming.sessionize_stateful(stream, gap_seconds=43200)
+    streaming.run_available_now_to_memory(sess, "sessions", ckpt,
+                                          output_mode="append")
+    got = spark.table("sessions")
+
+    from l_space_spark.queries import q_sessionize_events
+
+    batch = q_sessionize_events(spark, "/root/testdata/sf0.001")
+    # the stream emits CLOSED sessions; each user's open tail (max sid)
+    # stays in state — batch minus tails must equal the drained output
+    from pyspark.sql import Window
+
+    w = F.max("sid").over(Window.partitionBy("user_id"))
+    closed_batch = (
+        batch.withColumn("last_sid", w)
+        .where(F.col("sid") != F.col("last_sid"))
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+    assert got.count() == closed_batch.count()
+    assert got.exceptAll(closed_batch).count() == 0
+    assert got.count() > 0
