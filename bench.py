@@ -38,6 +38,9 @@ HEADLINE = [
     "simhash",
     "dedup_ngram_jaccard",
     "embedding_cosine_topk",
+    "ann_ivf_topk",
+    "bfs_repeat_path",
+    "sessionize_events",
 ]
 
 
@@ -46,6 +49,12 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="l-space-bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    # untimed warmup: JIT the codegen/shuffle/parquet paths once so the
+    # first timed query doesn't absorb ~10 s of JVM compilation
+    from pyspark.sql import functions as F
+    spark.range(0, 5_000_000, 1, 8).groupBy(F.pmod("id", F.lit(97))).count().collect()
+    spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

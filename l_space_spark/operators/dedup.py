@@ -50,9 +50,17 @@ def keep_first_exact(df: DataFrame, id_col: str, text_col: str = "text") -> Data
 
 def shingle_index(df: DataFrame, id_col: str, text_col: str = "text",
                   n: int = 3) -> DataFrame:
-    """(id, g) inverted index of distinct word-n-gram shingles."""
-    return df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("g")
+    """(id, g) inverted index of distinct word-n-gram shingles.
+
+    Tokenization is projected FIRST so the regexp runs once per row, then
+    the gram builder works over the materialized array — see
+    functions/text.shingles_of_tokens for why this split is 10×."""
+    from ..functions.text import shingles_of_tokens, tokens
+
+    ts = df.select(F.col(id_col).alias("id"),
+                   tokens(F.col(text_col)).alias("__ts"))
+    return ts.select(
+        "id", F.explode(shingles_of_tokens(F.col("__ts"), n)).alias("g")
     )
 
 

@@ -96,8 +96,12 @@ PR_ITERS = 10
 )
 def q_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = customer_supplier_edges(spark, sf_dir)
+    # fuse=2: this graph is in the small-graph regime where per-round job
+    # overhead dominates — fusing 2 supersteps per job measured 1.6× faster
+    # at sf0.1 (18.4 s → 11.6 s); the 2^k recompute makes deeper fusion
+    # lose (fuse=5: 30 s), and at cluster scale fuse stays 1 (BENCH notes)
     res = pagerank(spark, edges, damping=0.85, tol=-1.0, max_iters=PR_ITERS,
-                   resume=False)
+                   resume=False, fuse=2)
     out = (
         res.state.select("id", fixed_point(F.col("rank"), 1e6).alias("rank_e6"))
         .orderBy(F.col("rank_e6").desc(), F.col("id"))
