@@ -1,0 +1,153 @@
+"""Physical-plan assertions — the scale properties the engine depends on,
+pinned as regression tests (SURVEY §4: these are exactly the optimizations
+the reference lacks and Spark supplies, so losing one silently would be a
+scale regression long before any correctness test notices).
+
+Each test asserts on ``explain``/``executedPlan`` strings, not timings —
+stable under the sandbox VM's noisy-neighbor load.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_and_projection_reach_parquet_scan(spark):
+    """Predicate pushdown + column pruning: the scan must carry
+    PushedFilters and read ONLY the projected columns."""
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    df = c.where(F.col("c_acctbal") > 1000).select("c_custkey")
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "GreaterThan(c_acctbal" in plan
+    # ReadSchema must not include unprojected columns like c_name/c_mktsegment
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "c_custkey" in read_schema and "c_acctbal" in read_schema
+    assert "c_name" not in read_schema and "c_mktsegment" not in read_schema
+
+
+def test_small_dim_join_broadcasts(spark):
+    """customer ⋈ nation: the 25-row dim side must broadcast, not shuffle."""
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    n = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    df = c.join(n, c["c_nationkey"] == n["n_nationkey"]).select("c_custkey", "n_name")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_aggregation_stays_in_codegen(spark):
+    """The Q1-style scan→filter→agg pipeline must be whole-stage codegen
+    (no Python/interpreted stage in the hot path). AQE only shows the
+    final plan after execution, so run the query first."""
+    from l_space_spark.queries import q_group_agg_q1
+
+    df = q_group_agg_q1(spark, SF_DIR)
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # codegen spans print as "*(n) Operator" in the simple plan string
+    import re
+
+    assert re.search(r"\*\(\d+\) HashAggregate", plan), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_order_limit_collapses_to_topk(spark):
+    """order().limit(k) must plan as TakeOrderedAndProject — a streaming
+    top-k per partition + driver merge, never a global sort."""
+    from l_space_spark.queries import q_order_topk
+
+    plan = _plan(q_order_topk(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_csr_blocks_do_not_reshuffle_per_superstep(spark):
+    """The packed CSR blocks are persisted hash-partitioned on ``block``;
+    a superstep's cogroup must read them from the cache WITHOUT a new
+    exchange — only the rank side may shuffle (SURVEY §4.2.2)."""
+    from l_space_spark.operators.pagerank import (
+        _csr_contribs, pack_csr_blocks, prepare_links,
+    )
+
+    edges = spark.range(0, 2000).select(
+        F.pmod(F.xxhash64("id"), F.lit(300)).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(300)).alias("dst"),
+    )
+    links, verts, _ = prepare_links(edges, 4)
+    blocks = pack_csr_blocks(links, 4).persist()
+    try:
+        blocks.count()
+        ranks = verts.select("id", F.lit(0.5).alias("rank"))
+        plan = _plan(_csr_contribs(ranks, blocks, 4, F.sum))
+        # between the cogroup operator and the blocks cache scan only the
+        # RANK side may exchange: exactly one block-key exchange there, and
+        # none directly above the cache scan (the cachedPlan subtree printed
+        # under InMemoryRelation contains the one-time pack exchanges — cut
+        # the string at the scan so they don't count)
+        cogroup_subtree = plan.split("FlatMapCoGroupsInPandas", 1)[1]
+        above_cache = cogroup_subtree.split("InMemoryTableScan", 1)[0]
+        assert above_cache.count("Exchange hashpartitioning(block") == 1, plan
+    finally:
+        blocks.unpersist()
+
+
+def test_pagerank_links_shuffle_once(spark):
+    """The dataframe impl's per-superstep contribution join must reuse the
+    persisted src-partitioned links: no exchange between the links cache
+    and the join."""
+    from l_space_spark.operators.pagerank import prepare_links
+
+    edges = spark.range(0, 2000).select(
+        F.pmod(F.xxhash64("id"), F.lit(300)).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(300)).alias("dst"),
+    )
+    links, verts, _ = prepare_links(edges, 4)
+    links = links.persist()
+    try:
+        links.count()
+        ranks = verts.select("id", F.lit(0.5).alias("rank"))
+        contribs = (
+            ranks.hint("shuffle_hash")
+            .join(links, ranks["id"] == links["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+        )
+        import re
+
+        plan = _plan(contribs)
+        assert "InMemoryTableScan" in plan
+        # no exchange may sit DIRECTLY above the links cache scan — the
+        # persisted src partitioning must be reused by the join (exchanges
+        # inside the printed cachedPlan subtree are the one-time build)
+        assert not re.search(
+            r"Exchange[^\n]*\n[\s:+|-]*InMemoryTableScan", plan
+        ), plan
+    finally:
+        links.unpersist()
+
+
+def test_no_rowwise_python_udfs_anywhere():
+    """Per-row Python is banned by input_hint: every F.udf( use is a bug.
+    pandas_udf / mapInPandas / applyInPandas(WithState) / mapInArrow are
+    the allowed vectorized surfaces."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "l_space_spark"
+    offenders = []
+    for path in root.rglob("*.py"):
+        text = path.read_text()
+        if "F.udf(" in text or "functions.udf(" in text:
+            offenders.append(str(path))
+    assert not offenders, offenders
