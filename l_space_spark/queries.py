@@ -1403,6 +1403,56 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "coin_hash_sample",  # Coin step, made deterministic (SURVEY §2.3)
+    f"""
+SELECT c_custkey FROM customer
+WHERE {_hash60_sql("'coin:' || c_custkey::VARCHAR")} % 100 < 25
+ORDER BY c_custkey
+""".strip(),
+)
+def q_coin_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Coin step is ``Math.random() < p`` — nondeterministic
+    (``SyncGuide.scala:355-359``, its ``seed`` field unused). At scale a
+    sample must be REPRODUCIBLE (re-runs, resume, A/B): hash-based
+    Bernoulli — keep iff hash(key) mod 100 < p·100 — gives a fixed,
+    engine-independent 25% sample with no RNG state."""
+    c = load(spark, sf_dir, "customer")
+    key = F.concat(F.lit("coin:"), F.col("c_custkey").cast("string"))
+    return (
+        c.where(F.pmod(hash60(key), F.lit(100)) < 25)
+        .select("c_custkey").orderBy("c_custkey")
+    )
+
+
+@register(
+    "conditional_agg_filter",  # per-group conditional counts in ONE pass
+    """
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_all,
+       CAST(count(*) FILTER (WHERE c_acctbal > 5000) AS BIGINT) AS n_rich,
+       CAST(count(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS BIGINT)
+         AS n_building
+FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+""".strip(),
+)
+def q_conditional_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference computes per-branch counts by running separate
+    sub-traversals per bucket (Group + mapValues); one conditional-agg scan
+    replaces them all — a single shuffle instead of one per condition."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.count(F.when(F.col("c_acctbal") > 5000, 1)).alias("n_rich"),
+            F.count(F.when(F.col("c_mktsegment") == "BUILDING", 1))
+            .alias("n_building"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -92,3 +92,28 @@ SELECT c_custkey, (c_custkey * 101) % 1500 + 1 FROM customer
 UNION ALL
 SELECT c_custkey, (c_custkey % 1500) + 1 FROM customer
 """.strip()
+
+
+def write_bucketed_edges(
+    edges: DataFrame,
+    table: str,
+    buckets: int = 16,
+    path: str | None = None,
+    sort: bool = True,
+) -> str:
+    """Persist an edge table BUCKETED by ``src`` — the layout the
+    reference's own storage layer gropes toward with its pre-sharded
+    Cassandra edge tables (``CassandraGraphTables.scala:7-21``), done
+    properly: downstream joins and aggregations keyed on ``src`` read the
+    bucketing from the catalog and skip their shuffle entirely
+    (tests/test_plans.py pins this). At cluster scale this is the Iceberg
+    ``bucket(N, src)`` partition transform; bucket count should match the
+    superstep shuffle partitioning so graph jobs co-locate for free.
+    """
+    w = edges.write.mode("overwrite").format("parquet").bucketBy(buckets, "src")
+    if sort:
+        w = w.sortBy("src")
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+    return table

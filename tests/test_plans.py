@@ -151,3 +151,34 @@ def test_no_rowwise_python_udfs_anywhere():
         if "F.udf(" in text or "functions.udf(" in text:
             offenders.append(str(path))
     assert not offenders, offenders
+
+
+def test_bucketed_edge_table_aggregates_without_shuffle(spark, tmp_path):
+    """A src-bucketed edge table must feed groupBy(src) and src-keyed
+    self-joins with NO exchange — the co-located-join layout for the
+    superstep inner loop."""
+    from l_space_spark.sources import write_bucketed_edges
+
+    edges = spark.range(0, 1000).select(
+        F.pmod(F.xxhash64("id"), F.lit(100)).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100)).alias("dst"),
+    )
+    write_bucketed_edges(edges, "bucketed_edges_t", buckets=4,
+                         path=str(tmp_path / "be"))
+    try:
+        t = spark.table("bucketed_edges_t")
+        agg_plan = _plan(t.groupBy("src").count())
+        assert "Exchange" not in agg_plan, agg_plan
+        assert "Bucketed: true" in agg_plan
+
+        # merge hint: at real scale this join is sort-merge (the tiny test
+        # table would broadcast) — bucketed+sorted layout must give SMJ
+        # with neither a shuffle nor a per-side sort
+        a, b = t.alias("a").hint("merge"), t.alias("b")
+        join_plan = _plan(
+            a.join(b, F.col("a.src") == F.col("b.src")).select("a.dst")
+        )
+        assert "SortMergeJoin" in join_plan, join_plan
+        assert "Exchange hashpartitioning" not in join_plan, join_plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_edges_t")
