@@ -55,12 +55,18 @@ def connected_components(
     init = vertices.select("id", F.col("id").alias("component"))
 
     def step(state: DataFrame, i: int) -> DataFrame:
+        # shuffle_hash hint (same rationale as pagerank): broadcasting the
+        # |V|-row state every round serializes on the driver, and the SMJ
+        # alternative re-sorts the |E|-row und cache every round; a shuffled
+        # hash join moves only the state and reuses und's persisted src
+        # partitioning
         msgs = (
-            state.join(und, state["id"] == und["src"])
+            state.hint("shuffle_hash").join(und, state["id"] == und["src"])
             .groupBy("dst")
             .agg(F.min("component").alias("nbr_min"))
         )
-        return state.join(msgs, state["id"] == msgs["dst"], "left").select(
+        return state.join(msgs.hint("shuffle_hash"),
+                          state["id"] == msgs["dst"], "left").select(
             state["id"],
             F.least(
                 F.col("component"),

@@ -46,7 +46,11 @@ def label_propagation(
     init = vertices.select("id", F.col("id").alias("label"))
 
     def step(state: DataFrame, i: int) -> DataFrame:
-        nbr_labels = state.join(und, state["id"] == und["src"]).select(
+        # shuffle_hash: move only the |V|-row state; reuse und's persisted
+        # src partitioning (see components.py step for the full rationale)
+        nbr_labels = state.hint("shuffle_hash").join(
+            und, state["id"] == und["src"]
+        ).select(
             F.col("dst").alias("vid"), "label"
         )
         counts = nbr_labels.groupBy("vid", "label").agg(
@@ -55,7 +59,8 @@ def label_propagation(
         best = counts.groupBy("vid").agg(
             F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m")
         ).select("vid", (-F.col("m.neg")).alias("new_label"))
-        return state.join(best, state["id"] == best["vid"], "left").select(
+        return state.join(best.hint("shuffle_hash"),
+                          state["id"] == best["vid"], "left").select(
             state["id"],
             F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
         )
