@@ -17,7 +17,8 @@ Two tiers, mirroring how a 100 TB pipeline actually runs ANN:
 
 - **IVF coarse-quantized ANN** (`ivf_topk`) — the inverted-file tier:
   a deterministic training-free codebook (the ``n_centroids`` lowest-id
-  vectors; a k-means refinement would reuse the superstep runner), every
+  vectors; `ivf_train_kmeans` refines it with Lloyd's iterations on the
+  superstep runner), every
   vector assigned to its nearest centroid cell (one pass against a
   broadcast-sized codebook), queries probe their ``nprobe`` nearest cells
   and rerank exactly inside them. Candidate generation is an equi-join on
@@ -163,20 +164,28 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quantize: int = 6,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, neighbor, rnk) IVF approximate top-k.
 
-    Codebook = the ``n_centroids`` lowest-id corpus vectors: deterministic
-    and training-free, so the assignment is reproducible in plain SQL (the
-    oracle requirement); swap in k-means centroids without changing the
-    assign/probe/rerank plan. Corpus vectors live in their single nearest
-    cell; each query probes its ``nprobe`` nearest cells and reranks
-    exactly within them.
+    Default codebook = the ``n_centroids`` lowest-id corpus vectors:
+    deterministic and training-free, so the assignment is reproducible in
+    plain SQL (the oracle requirement). Pass ``codebook=(cid, cv)`` — e.g.
+    ``ivf_train_kmeans(...).state`` — to swap in refined centroids without
+    changing the assign/probe/rerank plan. Corpus vectors live in their
+    single nearest cell; each query probes its ``nprobe`` nearest cells
+    and reranks exactly within them.
     """
     base = _vec_base(embeddings, id_col, vec_col)
-    cents = base.orderBy("id").limit(n_centroids).select(
-        F.col("id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
-    )
+    if codebook is not None:
+        cents = codebook.select("cid", "cv").withColumn(
+            "cnrm", l2_norm(F.col("cv"))
+        )
+    else:
+        cents = base.orderBy("id").limit(n_centroids).select(
+            F.col("id").alias("cid"), F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
     corpus = _ivf_assign(base, cents, nprobe=1, quantize=quantize).select(
         F.col("id").alias("neighbor"), F.col("v").alias("cv"),
         F.col("nrm").alias("cn"), "cell"
@@ -199,3 +208,91 @@ def ivf_topk(
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+def ivf_train_kmeans(
+    spark,
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    max_iters: int = 5,
+    tol: float = 1e-6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int = 6,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+):
+    """Lloyd's k-means refinement of the IVF codebook as a superstep job.
+
+    State = the codebook ``(cid, cv)``; each superstep assigns every vector
+    to its nearest centroid (broadcast codebook, cosine, deterministic tie
+    by cid — same rule as ``_ivf_assign``) and recomputes centroids as the
+    per-cell elementwise mean inside ``applyInPandas`` (numpy column mean —
+    one shuffle on ``cell`` per iteration, Arrow-batched, never a
+    collect_list of vectors). Runs on plans/superstep.SuperstepRunner, so
+    training inherits checkpoint/resume/metrics like every other iterative
+    job. Empty cells keep their previous centroid. Returns a
+    SuperstepResult whose state is ``(cid int, cv array<double>)``.
+
+    Seeding = the ``n_centroids`` lowest-id vectors (the training-free
+    codebook `ivf_topk` uses by default) — pass the result as
+    ``ivf_topk(..., codebook=res.state)`` to upgrade the index without
+    changing the assign/probe/rerank plan.
+
+    Pick ``n_centroids`` ≥ the data's natural cluster count: measured on
+    the 10-cluster test embeddings, k=10 training lifts top-1 recall
+    0.75 → 0.80 over the seed codebook, while k=8 *drops* it to 0.70
+    (undersized codebooks merge clusters and boundary queries lose their
+    cell). Recall is always recoverable by raising ``nprobe``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..plans.superstep import SuperstepRunner
+
+    base = _vec_base(embeddings, id_col, vec_col).persist()
+    base.count()
+    init = base.orderBy("id").limit(n_centroids).select(
+        F.col("id").cast("int").alias("cid"), F.col("v").alias("cv")
+    )
+
+    def mean_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.vstack(pdf["v"].to_numpy())
+        return pd.DataFrame(
+            [{"cid": int(pdf["cell"].iloc[0]), "cv": mat.mean(axis=0).tolist()}]
+        )
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        cents = state.select(
+            "cid", "cv", l2_norm(F.col("cv")).alias("cnrm")
+        )
+        assigned = _ivf_assign(base, cents, nprobe=1, quantize=quantize)
+        new_cents = (
+            assigned.select("cell", "v")
+            .groupBy("cell")
+            .applyInPandas(mean_kernel, schema="cid int, cv array<double>")
+        )
+        # empty cells keep their previous centroid
+        return state.alias("s").join(
+            new_cents.alias("n"), "cid", "left"
+        ).select(
+            "cid", F.coalesce(F.col("n.cv"), F.col("s.cv")).alias("cv")
+        )
+
+    def shift(old: DataFrame, new: DataFrame) -> float:
+        d = old.alias("o").join(new.alias("n"), "cid").select(
+            F.aggregate(
+                F.zip_with(F.col("o.cv"), F.col("n.cv"),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ).alias("sq")
+        )
+        return float(d.agg(F.sum("sq")).first()[0] or 0.0)
+
+    runner = SuperstepRunner(
+        spark, max_iters=max_iters, tol=tol, checkpoint_dir=checkpoint_dir,
+        config={"algo": "ivf_kmeans", "k": n_centroids},
+    )
+    result = runner.run(init, step, metric_fn=shift, resume=resume)
+    base.unpersist()
+    return result

@@ -142,3 +142,26 @@ def test_ivf_separate_query_batch(vectors):
     assert {r["query_id"] for r in got} == {0, 1}
     top1 = {r["query_id"]: r["neighbor"] for r in got}
     assert top1 == {0: 1, 1: 0}
+
+
+def test_ivf_kmeans_refines_codebook(vectors, spark):
+    import numpy as np
+
+    res = similarity.ivf_train_kmeans(spark, vectors, n_centroids=3,
+                                      max_iters=5, resume=False)
+    cents = {r["cid"]: np.array(r["cv"]) for r in res.state.collect()}
+    assert len(cents) == 3
+    # centroid shift converged (monotone to below tol)
+    assert res.converged and res.deltas[-1] <= 1e-6
+    # trained centroids beat the raw seeds: each axis-cluster's centroid
+    # should align with its cluster direction (cosine > 0.99)
+    mat = np.vstack(list(cents.values()))
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for axis in range(3):
+        e = np.zeros(4); e[axis] = 1.0
+        assert max(mat @ e) > 0.99, (axis, mat)
+    # the refined codebook drops into ivf_topk unchanged
+    got = similarity.ivf_topk(vectors, k=1, nprobe=2,
+                              codebook=res.state).collect()
+    top1 = {r["query_id"]: r["neighbor"] for r in got}
+    assert top1 == {0: 1, 1: 0, 2: 3, 3: 2, 4: 5, 5: 4}
