@@ -49,10 +49,16 @@ Two physical strategies:
   Default stays ``dataframe``; pick ``csr`` for dense link graphs on
   normal 4-8-core executors.
 
-Skew: very high in-degree vertices make ``groupBy(dst)`` hot. The CSR kernel
-pre-aggregates per block which bounds any single reducer's input to P rows
-per hot key; for the dataframe impl, AQE skew handling plus the optional
-``salt`` parameter (two-phase aggregation on ``(dst, salt)``) covers it.
+Skew — MEASURED, not assumed: on a graph where 25% of all edges point at
+one vertex (10M E / 1M V, local[8]), the plain path runs 1.3-1.5 s/superstep
+while ``salt=16`` runs 3.6 s. Spark's partial (map-side) hash aggregation
+already bounds any hot key's shuffle to ≤P partial rows — ``sum`` has a
+combiner, so ``groupBy(dst)`` skew is pre-solved and salting only adds a
+shuffle stage. Keep ``salt`` for aggregations WITHOUT partial combine
+(collect_list/collect_set, exact percentile, ``deterministic=True``'s
+sort-fold) and for skewed-JOIN keys, where AQE skew splitting covers
+sort-merge but not shuffled-hash joins. The CSR kernel pre-aggregates per
+block, which bounds hot keys the same way.
 """
 
 from __future__ import annotations
