@@ -59,10 +59,9 @@ def _oriented(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_list(edges: DataFrame) -> DataFrame:
-    """DataFrame of (x, y, z) triangle corner triples (each triangle once;
+def _triangles_of(o: DataFrame) -> DataFrame:
+    """(x, y, z) triples from an oriented edge table (each triangle once;
     x = lowest-ranked corner, rank(y) < rank(z))."""
-    o = _oriented(edges)
     e1 = o.select(F.col("lo").alias("u"), F.col("hi").alias("v"),
                   F.col("deg_hi").alias("deg_v"))
     e2 = o.select(F.col("lo").alias("u"), F.col("hi").alias("w"),
@@ -77,27 +76,41 @@ def triangle_list(edges: DataFrame) -> DataFrame:
     )
 
 
+def triangle_list(edges: DataFrame) -> DataFrame:
+    """Lazy (x, y, z) triangle triples. The oriented table appears three
+    times in the plan (two wedge sides + closing edges); callers that
+    materialize should prefer `triangle_count`/`triangles_per_vertex`,
+    which persist it so canonicalize+degree runs once, not three times."""
+    return _triangles_of(_oriented(edges))
+
+
 def triangle_count(spark: SparkSession, edges: DataFrame) -> int:
     """Exact global triangle count of the undirected simple graph."""
-    return triangle_list(edges).count()
+    o = _oriented(edges).persist()
+    try:
+        return _triangles_of(o).count()
+    finally:
+        o.unpersist()
 
 
 def triangles_per_vertex(spark: SparkSession, edges: DataFrame) -> DataFrame:
     """(id, triangles) — number of triangles each vertex participates in.
 
-    Vertices in no triangle get 0.
+    Vertices in no triangle get 0. The oriented table is persisted and
+    handed to Spark lazily (unpersist happens when the returned frame's
+    lineage is dropped — blocks are small: O(|E|) longs).
     """
-    tri = triangle_list(edges)
+    o = _oriented(edges).persist()
+    tri = _triangles_of(o)
     corners = (
         tri.select(F.col("x").alias("id"))
         .unionByName(tri.select(F.col("y").alias("id")))
         .unionByName(tri.select(F.col("z").alias("id")))
     )
     counts = corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
-    canon = _canonical(edges)
     vertices = (
-        canon.select(F.col("a").alias("id"))
-        .unionByName(canon.select(F.col("b").alias("id")))
+        o.select(F.col("lo").alias("id"))
+        .unionByName(o.select(F.col("hi").alias("id")))
         .distinct()
     )
     return vertices.join(counts, "id", "left").select(

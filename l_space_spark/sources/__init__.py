@@ -65,32 +65,45 @@ FROM customer WHERE c_custkey % 3 = 0
 """.strip()
 
 
+MOD_N = 100
+
+
 def mod_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic pseudo-random graph with triangles (multiplicative
-    mod-N neighbors), keyed off customer ids."""
+    """Deterministic RANDOM graph on MOD_N vertices, two edges per customer
+    row, endpoints drawn with the portable md5 hash (reproducible in SQL).
+
+    Linear congruential endpoints (the first cut) are structurally
+    triangle-FREE — a triangle needs a multiplicative identity mod N that
+    never holds — so the triangle queries were passing on 0 == 0. A hashed
+    G(n, m) graph has expected triangle count ~(4/3)(m/n)³ at sf0.001 and
+    is near-complete at sf0.1 (~160 k triangles): the wedge join actually
+    gets exercised.
+    """
     c = load(spark, sf_dir, "customer").select("c_custkey")
-    n = F.lit(1500)
-    parts = [
-        c.select(F.col("c_custkey").alias("src"),
-                 ((F.col("c_custkey") * m) % n + 1).alias("dst"))
-        for m in (37, 101)
-    ]
-    parts.append(
-        c.select(F.col("c_custkey").alias("src"),
-                 (F.col("c_custkey") % n + 1).alias("dst"))
+    n = F.lit(MOD_N)
+
+    def h(tag: str) -> F.Column:
+        key = F.concat(F.lit(f"{tag}:"), F.col("c_custkey").cast("string"))
+        return F.pmod(
+            F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long"), n
+        )
+
+    return c.select(h("a").alias("src"), h("b").alias("dst")).unionByName(
+        c.select(h("c").alias("src"), h("d").alias("dst"))
     )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
 
 
-MOD_EDGES_SQL = """
-SELECT c_custkey AS src, (c_custkey * 37) % 1500 + 1 AS dst FROM customer
+def _h_sql(tag: str) -> str:
+    return (
+        f"(('0x' || substr(md5('{tag}:' || c_custkey::VARCHAR), 1, 15))::BIGINT"
+        f" % {MOD_N})"
+    )
+
+
+MOD_EDGES_SQL = f"""
+SELECT {_h_sql("a")} AS src, {_h_sql("b")} AS dst FROM customer
 UNION ALL
-SELECT c_custkey, (c_custkey * 101) % 1500 + 1 FROM customer
-UNION ALL
-SELECT c_custkey, (c_custkey % 1500) + 1 FROM customer
+SELECT {_h_sql("c")}, {_h_sql("d")} FROM customer
 """.strip()
 
 
