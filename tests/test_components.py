@@ -44,3 +44,38 @@ def test_disjoint_chains(spark):
     want = components_oracle(pairs)
     assert got == want
     assert set(got.values()) == {0, 100}
+
+
+def test_star_contraction_matches_hashmin(spark):
+    from l_space_spark.operators.components import (
+        connected_components, connected_components_star,
+    )
+    from pyspark.sql import functions as F
+
+    edges = spark.range(0, 400).select(
+        F.pmod(F.xxhash64("id"), F.lit(300)).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(300)).alias("dst"),
+    )
+    a = connected_components(spark, edges, resume=False).state
+    b = connected_components_star(spark, edges, resume=False).state
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_star_contraction_logarithmic_on_path_graph(spark):
+    """A path graph is hash-min's worst case (O(n) rounds to propagate the
+    minimum); star contraction must converge in O(log n) supersteps."""
+    from l_space_spark.operators.components import connected_components_star
+    from pyspark.sql import functions as F
+
+    n = 4096
+    edges = spark.range(0, n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    res = connected_components_star(spark, edges, max_iters=30, resume=False)
+    assert res.converged and res.iterations <= 15, res.iterations
+    rows = res.state.agg(
+        F.countDistinct("component").alias("c"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("component").alias("m"),
+    ).first()
+    assert rows["c"] == 1 and rows["n"] == n and rows["m"] == 0
