@@ -169,6 +169,20 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("id", "component").orderBy("id")
 
 
+@register("connected_components_star", None)  # same oracle as hash-min
+def q_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-contraction CC (O(log n) rounds) — semantics identical to
+    `connected_components`, so it shares the recursive-CTE oracle."""
+    from .operators.components import connected_components_star
+
+    edges = chain_edges(spark, sf_dir)
+    res = connected_components_star(spark, edges, max_iters=50, resume=False)
+    return res.state.select("id", "component").orderBy("id")
+
+
+ORACLES["connected_components_star"] = ORACLES["connected_components"]
+
+
 LP_ITERS = 4
 
 
