@@ -1467,6 +1467,36 @@ def q_conditional_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "percentile_stats",  # exact interpolated percentiles per group
+    """
+SELECT c_mktsegment,
+       CAST(floor(quantile_cont(c_acctbal, 0.5) * 100 + 0.5) AS BIGINT)
+         AS median_cents,
+       CAST(floor(quantile_cont(c_acctbal, 0.9) * 100 + 0.5) AS BIGINT)
+         AS p90_cents
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+""".strip(),
+)
+def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``), cents fixed point. At 100 TB swap for
+    ``approx_percentile`` (t-digest, one pass, mergeable) — exact
+    percentile is a per-group sort and this entry is the correctness
+    anchor the sketch is judged against."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            fixed_point(F.percentile("c_acctbal", F.lit(0.5)), 100.0)
+            .alias("median_cents"),
+            fixed_point(F.percentile("c_acctbal", F.lit(0.9)), 100.0)
+            .alias("p90_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
