@@ -1,0 +1,85 @@
+"""Property-based tests (hypothesis) — random graphs against the
+pure-Python oracles. A testing tier the reference lacks entirely
+(SURVEY §5.1 "Not present: property-based/randomized testing").
+
+Each example runs real Spark jobs, so example counts are small and the
+deadline is disabled; shrinking still gives a minimal failing edge list
+if an invariant ever breaks.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from l_space_spark.operators.components import (
+    connected_components,
+    connected_components_star,
+)
+from l_space_spark.operators.pagerank import pagerank
+from l_space_spark.operators.triangles import triangle_count, triangles_per_vertex
+
+from conftest import edges_df
+from oracles import components_oracle, pagerank_oracle, triangles_oracle
+
+# small random directed multigraphs (self-loops and duplicates included on
+# purpose — the operators must canonicalize them)
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 24), st.integers(0, 24)),
+    min_size=1,
+    max_size=60,
+)
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _has_real_edge(pairs) -> bool:
+    return any(s != d for s, d in pairs)
+
+
+@given(pairs=edge_lists)
+@settings(**SETTINGS)
+def test_pagerank_invariants_and_oracle(spark, pairs):
+    if not _has_real_edge(pairs):
+        pairs = pairs + [(0, 1)]
+    res = pagerank(spark, edges_df(spark, pairs), tol=0.0, max_iters=5,
+                   resume=False)
+    got = {r["id"]: r["rank"] for r in res.state.collect()}
+    want, _ = pagerank_oracle(pairs, tol=0.0, max_iters=5)
+    assert set(got) == set(want)
+    # rank mass is conserved every run (dangling redistribution correct)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for k in want:
+        assert abs(got[k] - want[k]) <= 1e-9, k
+
+
+@given(pairs=edge_lists)
+@settings(**SETTINGS)
+def test_components_both_algorithms_match_union_find(spark, pairs):
+    if not _has_real_edge(pairs):
+        pairs = pairs + [(0, 1)]
+    e = edges_df(spark, pairs)
+    want = components_oracle(pairs)
+    a = {r["id"]: r["component"]
+         for r in connected_components(spark, e, resume=False).state.collect()}
+    b = {r["id"]: r["component"]
+         for r in connected_components_star(spark, e, resume=False).state.collect()}
+    assert a == want
+    assert b == want
+
+
+@given(pairs=edge_lists)
+@settings(**SETTINGS)
+def test_triangles_match_bruteforce(spark, pairs):
+    if not _has_real_edge(pairs):
+        pairs = pairs + [(0, 1)]
+    e = edges_df(spark, pairs)
+    n_want, per_want = triangles_oracle(pairs)
+    assert triangle_count(spark, e) == n_want
+    got = {r["id"]: r["triangles"]
+           for r in triangles_per_vertex(spark, e).collect()}
+    assert got == per_want
