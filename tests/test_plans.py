@@ -182,3 +182,22 @@ def test_bucketed_edge_table_aggregates_without_shuffle(spark, tmp_path):
         assert "Exchange hashpartitioning" not in join_plan, join_plan
     finally:
         spark.sql("DROP TABLE IF EXISTS bucketed_edges_t")
+
+
+def test_partition_pruning_on_partitioned_parquet(spark, tmp_path):
+    """A table partitioned by a column must prune partitions at the scan
+    when filtered on it — the Iceberg-partition-transform analog for the
+    parquet fallback (SURVEY §4.1 'index space' replacement)."""
+    path = str(tmp_path / "events_part")
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        (F.pmod(F.col("id"), F.lit(7))).alias("day"),
+    )
+    df.write.partitionBy("day").parquet(path)
+    t = spark.read.parquet(path)
+    q = t.where(F.col("day") == 3).select("id")
+    plan = _plan(q)
+    assert "PartitionFilters: [" in plan
+    assert "(day" in plan.split("PartitionFilters:", 1)[1].splitlines()[0]
+    # only 1 of 7 partition directories is read
+    assert q.count() == df.where(F.col("day") == 3).count()
