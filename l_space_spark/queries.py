@@ -1497,6 +1497,31 @@ def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "json_props_extract",  # semi-structured column → typed extraction + agg
+    """
+SELECT event_type,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+""".strip(),
+)
+def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured pipeline capability: the events table carries a JSON
+    ``props`` string; extract a typed field JVM-side (``get_json_object``,
+    codegen — at scale prefer parsing ONCE into a struct column with
+    ``from_json`` and pruning thereafter) and aggregate it."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(F.sum(k).alias("sum_k"), F.max(k).alias("max_k"))
+        .orderBy("event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

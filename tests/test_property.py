@@ -83,3 +83,17 @@ def test_triangles_match_bruteforce(spark, pairs):
     got = {r["id"]: r["triangles"]
            for r in triangles_per_vertex(spark, e).collect()}
     assert got == per_want
+
+
+@given(pairs=edge_lists, iters=st.integers(1, 4))
+@settings(**SETTINGS)
+def test_labelprop_fixed_rounds_match_oracle(spark, pairs, iters):
+    from l_space_spark.operators.labelprop import label_propagation
+    from oracles import labelprop_oracle
+
+    if not _has_real_edge(pairs):
+        pairs = pairs + [(0, 1)]
+    res = label_propagation(spark, edges_df(spark, pairs), max_iters=iters,
+                            fixed_iters=True, resume=False)
+    got = {r["id"]: r["label"] for r in res.state.collect()}
+    assert got == labelprop_oracle(pairs, iters=iters)
