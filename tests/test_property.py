@@ -97,3 +97,20 @@ def test_labelprop_fixed_rounds_match_oracle(spark, pairs, iters):
                             fixed_iters=True, resume=False)
     got = {r["id"]: r["label"] for r in res.state.collect()}
     assert got == labelprop_oracle(pairs, iters=iters)
+
+
+@given(pairs=edge_lists)
+@settings(**SETTINGS)
+def test_pagerank_csr_blocks_match_oracle(spark, pairs):
+    """The packed-CSR kernel on random multigraphs — exercises block
+    packing corner cases (empty blocks, single-source blocks, dst-only
+    vertices in a block's rank slice)."""
+    if not _has_real_edge(pairs):
+        pairs = pairs + [(0, 1)]
+    res = pagerank(spark, edges_df(spark, pairs), tol=0.0, max_iters=4,
+                   impl="csr", num_partitions=4, resume=False)
+    got = {r["id"]: r["rank"] for r in res.state.collect()}
+    want, _ = pagerank_oracle(pairs, tol=0.0, max_iters=4)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) <= 1e-9, k
