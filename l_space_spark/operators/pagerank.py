@@ -223,6 +223,7 @@ def pagerank(
     deterministic: bool = False,
     resume: bool = True,
     fuse: int = 1,
+    seeds: DataFrame | None = None,
 ) -> SuperstepResult:
     """Run PageRank to convergence (or exactly ``max_iters`` when ``tol <= 0``).
 
@@ -230,6 +231,13 @@ def pagerank(
     ``tol <= 0`` selects fixed-iteration mode and skips the per-superstep
     delta job (one job per superstep instead of two) — this is the
     oracle-comparable deterministic mode.
+
+    ``seeds`` (a DataFrame with an ``id`` column) switches to PERSONALIZED
+    PageRank: the teleport distribution (and the dangling-mass sink)
+    concentrates uniformly on the seed set instead of all vertices —
+    random walk with restart to the seeds, the standard relevance /
+    TrustRank-style primitive for link graphs. Seeds outside the graph
+    are ignored; at least one seed must be a graph vertex.
     """
     num_partitions = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
@@ -244,7 +252,24 @@ def pagerank(
             vertices.withColumn("rank", F.lit(0.0)), 0, True, [], []
         )
 
-    init = vertices.select("id", F.lit(1.0 / n).alias("rank"))
+    verts_tp: DataFrame | None = None
+    if seeds is not None:
+        seed_ids = seeds.select("id").distinct().join(
+            vertices, "id", "left_semi"
+        )
+        n_seeds = seed_ids.count()
+        if n_seeds == 0:
+            raise ValueError("personalized pagerank: no seed is a graph vertex")
+        verts_tp = vertices.join(
+            seed_ids.withColumn("__s", F.lit(1)), "id", "left"
+        ).select(
+            "id",
+            F.when(F.col("__s") == 1, F.lit(1.0 / n_seeds))
+            .otherwise(F.lit(0.0)).alias("tp"),
+        ).persist()
+        init = verts_tp.select("id", F.col("tp").alias("rank"))
+    else:
+        init = vertices.select("id", F.lit(1.0 / n).alias("rank"))
     fixed_iters = tol <= 0
 
     sum_fn = _dsum if deterministic else F.sum
@@ -286,6 +311,22 @@ def pagerank(
                 .agg(sum_fn(F.col("rank") * F.col("w")).alias("contrib"))
             )
 
+        if verts_tp is not None:
+            # personalized: teleport + dangling mass land on the seed
+            # distribution tp, not uniformly
+            return (
+                verts_tp.join(contribs.hint("shuffle_hash"),
+                              verts_tp["id"] == contribs["dst"], "left")
+                .crossJoin(F.broadcast(mass_df))
+                .select(
+                    verts_tp["id"],
+                    (
+                        F.lit(1.0 - damping) * F.col("tp")
+                        + F.lit(damping) * F.col("__mass") * F.col("tp")
+                        + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+            )
         return (
             vertices.join(contribs.hint("shuffle_hash"),
                           vertices["id"] == contribs["dst"], "left")
@@ -326,6 +367,11 @@ def pagerank(
             "impl": impl,
             "deterministic": deterministic,
             "fixed_iters": max_iters if fixed_iters else None,
+            # seed COUNT disambiguates resume checkpoints; different seed
+            # SETS of equal size should use distinct checkpoint dirs
+            "seeds": None if seeds is None else int(
+                verts_tp.where(F.col("tp") > 0).count()
+            ),
         },
     )
     result = runner.run(
@@ -334,6 +380,8 @@ def pagerank(
     links.unpersist()
     dangling.unpersist()
     vertices.unpersist()
+    if verts_tp is not None:
+        verts_tp.unpersist()
     if csr_blocks is not None:
         csr_blocks.unpersist()
     return result

@@ -1497,6 +1497,64 @@ def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PPR_SEEDS = [0, 2, 4, 6, 8]  # customer vertices custkey 0..4 (id = 2·custkey)
+PPR_ITERS = 10
+
+
+def _ppr_oracle(edges_sql: str, iters: int, seeds: list[int],
+                damping: float = 0.85) -> str:
+    tp = (f"CASE WHEN id IN ({', '.join(map(str, seeds))})"
+          f" THEN {1.0 / len(seeds)} ELSE 0.0 END")
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({edges_sql}),",
+        "links AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),",
+        "verts AS MATERIALIZED (SELECT src AS id FROM links UNION SELECT dst FROM links),",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS d FROM links GROUP BY src),",
+        f"r0 AS MATERIALIZED (SELECT id, {tp} AS rank FROM verts),",
+    ]
+    for k in range(iters):
+        parts += [
+            f"m{k} AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0.0) AS mass FROM r{k} r"
+            f" LEFT JOIN deg d ON d.src = r.id WHERE d.src IS NULL),",
+            f"c{k} AS MATERIALIZED (SELECT l.dst AS id, sum(r.rank / d.d) AS contrib"
+            f" FROM r{k} r JOIN deg d ON d.src = r.id JOIN links l ON l.src = r.id"
+            f" GROUP BY l.dst),",
+            f"r{k+1} AS MATERIALIZED (SELECT v.id,"
+            f" (1 - {damping}) * ({tp.replace('id', 'v.id')})"
+            f" + {damping} * (SELECT mass FROM m{k}) * ({tp.replace('id', 'v.id')})"
+            f" + {damping} * coalesce(c.contrib, 0.0) AS rank"
+            f" FROM verts v LEFT JOIN c{k} c ON c.id = v.id),",
+        ]
+    parts.append(
+        f"fin AS (SELECT id, CAST(floor(rank * 1e6 + 0.5) AS BIGINT) AS rank_e6"
+        f" FROM r{iters})"
+    )
+    parts.append("SELECT id, rank_e6 FROM fin ORDER BY rank_e6 DESC, id LIMIT 20")
+    return "\n".join(parts)
+
+
+@register("personalized_pagerank", None)  # oracle attached below
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random walk with restart to a 5-vertex seed set (operators/pagerank
+    ``seeds=``): teleport AND dangling mass concentrate on the seeds — the
+    relevance-to-a-set primitive (TrustRank/recommendation) next to global
+    PageRank."""
+    edges = customer_supplier_edges(spark, sf_dir)
+    seed_df = spark.createDataFrame([(s,) for s in PPR_SEEDS], "id long")
+    res = pagerank(spark, edges, damping=0.85, tol=-1.0, max_iters=PPR_ITERS,
+                   resume=False, seeds=seed_df)
+    return (
+        res.state.select("id", fixed_point(F.col("rank"), 1e6).alias("rank_e6"))
+        .orderBy(F.col("rank_e6").desc(), F.col("id"))
+        .limit(20)
+    )
+
+
+ORACLES["personalized_pagerank"] = _ppr_oracle(
+    CUSTOMER_SUPPLIER_EDGES_SQL, PPR_ITERS, PPR_SEEDS
+)
+
+
 @register(
     "json_props_extract",  # semi-structured column → typed extraction + agg
     """

@@ -83,3 +83,43 @@ def test_rank_mass_conserved_each_superstep(spark):
     pairs = zipf_edges(n_repos=100)
     got, _ = _run(spark, pairs, tol=0.0, max_iters=3)
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_personalized_pagerank_semantics(spark):
+    pairs = zipf_edges(n_repos=120)
+    seeds = spark.createDataFrame([(0,), (1,)], "id long")
+    from l_space_spark.operators.pagerank import pagerank as pr
+
+    res = pr(spark, edges_df(spark, pairs), tol=0.0, max_iters=8,
+             seeds=seeds, resume=False)
+    got = {r["id"]: r["rank"] for r in res.state.collect()}
+    # rank mass conserved
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # restart probability concentrates rank on/near the seeds: each seed
+    # must out-rank the global median vertex
+    ranks = sorted(got.values())
+    median = ranks[len(ranks) // 2]
+    assert got[0] > median and got[1] > median
+
+
+def test_personalized_with_all_vertices_equals_uniform(spark):
+    from l_space_spark.operators.pagerank import pagerank as pr
+    from pyspark.sql import functions as F
+
+    pairs = zipf_edges(n_repos=80)
+    e = edges_df(spark, pairs)
+    base = pr(spark, e, tol=0.0, max_iters=6, resume=False)
+    all_ids = base.state.select("id")
+    ppr = pr(spark, e, tol=0.0, max_iters=6, seeds=all_ids, resume=False)
+    j = base.state.alias("a").join(ppr.state.alias("b"), "id")
+    mx = j.agg(F.max(F.abs(F.col("a.rank") - F.col("b.rank")))).first()[0]
+    assert mx < 1e-12, mx
+
+
+def test_personalized_rejects_foreign_seeds(spark):
+    from l_space_spark.operators.pagerank import pagerank as pr
+
+    seeds = spark.createDataFrame([(999999,)], "id long")
+    with pytest.raises(ValueError):
+        pr(spark, edges_df(spark, cycle(6)), tol=0.0, max_iters=2,
+           seeds=seeds, resume=False)
