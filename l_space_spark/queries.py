@@ -1497,6 +1497,63 @@ def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HITS_ITERS = 10
+
+
+def _hits_oracle(edges_sql: str, iters: int) -> str:
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({edges_sql}),",
+        "links AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),",
+        "verts AS MATERIALIZED (SELECT src AS id FROM links UNION SELECT dst FROM links),",
+        "h0 AS MATERIALIZED (SELECT id,"
+        " 1.0 / (SELECT count(*) FROM verts) AS hub FROM verts),",
+    ]
+    for k in range(iters):
+        parts += [
+            f"ar{k} AS MATERIALIZED (SELECT l.dst AS id, sum(h.hub) AS a"
+            f" FROM h{k} h JOIN links l ON l.src = h.id GROUP BY l.dst),",
+            f"a{k+1} AS MATERIALIZED (SELECT v.id,"
+            f" coalesce(ar.a, 0.0) / (SELECT sum(a) FROM ar{k}) AS auth"
+            f" FROM verts v LEFT JOIN ar{k} ar ON ar.id = v.id),",
+            f"hr{k} AS MATERIALIZED (SELECT l.src AS id, sum(a.auth) AS h"
+            f" FROM a{k+1} a JOIN links l ON l.dst = a.id GROUP BY l.src),",
+            f"h{k+1} AS MATERIALIZED (SELECT v.id,"
+            f" coalesce(hr.h, 0.0) / (SELECT sum(h) FROM hr{k}) AS hub"
+            f" FROM verts v LEFT JOIN hr{k} hr ON hr.id = v.id),",
+        ]
+    parts.append(
+        f"fin AS (SELECT h.id, CAST(floor(h.hub * 1e6 + 0.5) AS BIGINT) AS hub_e6,"
+        f" CAST(floor(a.auth * 1e6 + 0.5) AS BIGINT) AS auth_e6"
+        f" FROM h{iters} h JOIN a{iters} a ON a.id = h.id)"
+    )
+    parts.append(
+        "SELECT id, hub_e6, auth_e6 FROM fin ORDER BY auth_e6 DESC, id LIMIT 20"
+    )
+    return "\n".join(parts)
+
+
+@register("hits_top20", None)  # oracle attached below
+def q_hits_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS (operators/hits.py), 10 L1-normalized supersteps on
+    the customer→supplier graph; top 20 authorities with hub scores."""
+    from .operators.hits import hits
+
+    edges = customer_supplier_edges(spark, sf_dir)
+    res = hits(spark, edges, tol=-1.0, max_iters=HITS_ITERS, resume=False)
+    return (
+        res.state.select(
+            "id",
+            fixed_point(F.col("hub"), 1e6).alias("hub_e6"),
+            fixed_point(F.col("auth"), 1e6).alias("auth_e6"),
+        )
+        .orderBy(F.col("auth_e6").desc(), F.col("id"))
+        .limit(20)
+    )
+
+
+ORACLES["hits_top20"] = _hits_oracle(CUSTOMER_SUPPLIER_EDGES_SQL, HITS_ITERS)
+
+
 PPR_SEEDS = [0, 2, 4, 6, 8]  # customer vertices custkey 0..4 (id = 2·custkey)
 PPR_ITERS = 10
 

@@ -123,3 +123,31 @@ def test_personalized_rejects_foreign_seeds(spark):
     with pytest.raises(ValueError):
         pr(spark, edges_df(spark, cycle(6)), tol=0.0, max_iters=2,
            seeds=seeds, resume=False)
+
+
+def test_hits_closed_form_star(spark):
+    """k spokes → hub 0: the hub is the unique authority (auth=1), spokes
+    are the only hubs (hub = 1/k each); hub's own hub score is 0."""
+    from l_space_spark.operators.hits import hits
+
+    k = 6
+    res = hits(spark, edges_df(spark, star(k)), tol=-1.0, max_iters=5,
+               resume=False)
+    got = {r["id"]: (r["hub"], r["auth"]) for r in res.state.collect()}
+    assert abs(got[0][1] - 1.0) < 1e-12 and abs(got[0][0]) < 1e-12
+    for i in range(1, k + 1):
+        assert abs(got[i][0] - 1.0 / k) < 1e-12 and abs(got[i][1]) < 1e-12
+
+
+def test_hits_converges_and_normalizes(spark):
+    from l_space_spark.operators.hits import hits
+
+    pairs = zipf_edges(n_repos=100)
+    res = hits(spark, edges_df(spark, pairs), tol=1e-9, max_iters=50,
+               resume=False)
+    assert res.converged
+    from pyspark.sql import functions as F
+
+    sums = res.state.agg(F.sum("hub").alias("hub"),
+                         F.sum("auth").alias("auth")).first()
+    assert abs(sums["hub"] - 1.0) < 1e-9 and abs(sums["auth"] - 1.0) < 1e-9
