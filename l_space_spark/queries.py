@@ -1497,6 +1497,50 @@ def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KCORE_K = 4
+KCORE_ROUNDS = 12
+
+
+def _kcore_oracle(edges_sql: str, k: int, rounds: int) -> str:
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({edges_sql}),",
+        "canon AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,"
+        " greatest(src, dst) AS b FROM e0 WHERE src <> dst),",
+        "nb AS MATERIALIZED (SELECT a AS id, b AS nbr FROM canon"
+        " UNION ALL SELECT b, a FROM canon),",
+        f"v0 AS MATERIALIZED (SELECT id, count(*) AS dg FROM nb GROUP BY id"
+        f" HAVING count(*) >= {k}),",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"v{i+1} AS MATERIALIZED (SELECT n.id, count(*) AS dg FROM nb n"
+            f" JOIN v{i} s ON s.id = n.id JOIN v{i} t ON t.id = n.nbr"
+            f" GROUP BY n.id HAVING count(*) >= {k}),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT id, CAST(dg AS BIGINT) AS core_deg FROM v{rounds} ORDER BY id"
+    )
+    return "\n".join(parts)
+
+
+@register("kcore_members", None)  # oracle attached below
+def q_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{K}-core of the hashed random graph (operators/kcore.py): fixed
+    {R}-round synchronous peeling so the unrolled-CTE oracle matches
+    exactly (rounds past convergence are no-ops)."""
+    from .operators.kcore import kcore
+
+    res = kcore(spark, mod_edges(spark, sf_dir), k=KCORE_K,
+                max_iters=KCORE_ROUNDS, fixed_iters=True, resume=False)
+    return res.state.select(
+        "id", F.col("core_deg").cast("long").alias("core_deg")
+    ).orderBy("id")
+
+
+ORACLES["kcore_members"] = _kcore_oracle(MOD_EDGES_SQL, KCORE_K, KCORE_ROUNDS)
+
+
 HITS_ITERS = 10
 
 

@@ -79,3 +79,26 @@ def test_star_contraction_logarithmic_on_path_graph(spark):
         F.max("component").alias("m"),
     ).first()
     assert rows["c"] == 1 and rows["n"] == n and rows["m"] == 0
+
+
+def test_kcore_two_cliques_plus_tail(spark):
+    """Two 5-cliques joined by a path: the 4-core is exactly the cliques;
+    the path peels away. Oracle: python peeling."""
+    from l_space_spark.operators.kcore import kcore
+    from oracles import two_cliques
+
+    k = 5
+    pairs = two_cliques(k)  # vertices 0..4 and 5..9, each a 5-clique
+    pairs += [(4, 100), (100, 101), (101, 5)]  # low-degree bridge
+    res = kcore(spark, edges_df(spark, pairs), k=4, resume=False)
+    got = {r["id"]: r["core_deg"] for r in res.state.collect()}
+    assert set(got) == set(range(10))
+    assert all(d == 4 for d in got.values())
+
+
+def test_kcore_empty_when_k_exceeds_max_degree(spark):
+    from l_space_spark.operators.kcore import kcore
+    from oracles import cycle
+
+    res = kcore(spark, edges_df(spark, cycle(8)), k=3, resume=False)
+    assert res.state.count() == 0
