@@ -130,3 +130,31 @@ def write_bucketed_edges(
         w = w.option("path", path)
     w.saveAsTable(table)
     return table
+
+
+def delete_where(spark: SparkSession, path: str, condition) -> int:
+    """Drop-step sink (reference ``step/Drop.scala:7`` — unimplemented even
+    there, ``AsyncGuideSpec.scala:685-692``): delete the rows matching
+    ``condition`` from a parquet table by rewrite.
+
+    Parquet has no row-level deletes, so this is the copy-on-write path —
+    read, anti-filter, write to a staging dir, atomic directory swap. On
+    Iceberg this whole function collapses to ``MERGE INTO … WHEN MATCHED
+    THEN DELETE`` (position/equality deletes, no full rewrite); the
+    rewrite here is the layout-preserving fallback and is how parquet
+    lakes did it before deletion vectors. Returns rows deleted.
+    """
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(path)
+    total = df.count()
+    kept = df.where(~condition)
+    staging = f"{path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
+    kept.write.mode("overwrite").parquet(staging)
+    n_kept = spark.read.parquet(staging).count()
+    backup = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    shutil.move(path, backup)
+    shutil.move(staging, path)
+    shutil.rmtree(backup)
+    return total - n_kept

@@ -68,3 +68,19 @@ def test_vertex_encoding_no_collisions_and_join_consistent(spark):
         edges.join(vertices.select(F.col("id").alias("dst")), "dst", "left_semi").count()
         == n_edges
     )
+
+
+def test_delete_where_sink(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from l_space_spark.sources import delete_where
+
+    path = str(tmp_path / "tbl")
+    spark.range(0, 100).withColumn("flag", F.pmod("id", F.lit(4))).write.parquet(path)
+    n = delete_where(spark, path, F.col("flag") == 0)
+    assert n == 25
+    back = spark.read.parquet(path)
+    assert back.count() == 75
+    assert back.where(F.col("flag") == 0).count() == 0
+    # second delete is a no-op
+    assert delete_where(spark, path, F.col("flag") == 0) == 0
