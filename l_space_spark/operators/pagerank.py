@@ -86,13 +86,41 @@ def _dsum(col):
 
 
 def prepare_links(
-    edges: DataFrame, num_partitions: int | None = None
+    edges: DataFrame, num_partitions: int | None = None,
+    weight_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """edges(src, dst, …) → (links(src, dst, w), vertices(id), dangling(id)).
 
-    ``w = 1/outdeg(src)`` over the DISTINCT edge set (parallel edges count
-    once, matching the oracle definition).
+    Unweighted (default): ``w = 1/outdeg(src)`` over the DISTINCT edge set
+    (parallel edges count once, matching the oracle definition).
+
+    Weighted (``weight_col``): parallel edges SUM their weights, then
+    ``w = weight(src,dst) / Σ_dst weight(src,·)`` — the random surfer
+    follows links proportionally (e.g. import counts on a code graph).
+    Weights must be positive.
     """
+    if weight_col is not None:
+        e = (
+            edges.select("src", "dst", F.col(weight_col).alias("__wt"))
+            .where(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst").agg(F.sum("__wt").alias("__wt"))
+        )
+        if num_partitions:
+            e = e.repartition(num_partitions, "src")
+        tot = e.groupBy("src").agg(F.sum("__wt").alias("__t"))
+        links = e.join(tot, "src").select(
+            "src", "dst", (F.col("__wt") / F.col("__t")).alias("w")
+        )
+        vertices = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        dangling = vertices.join(
+            e.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
+        )
+        return links, vertices, dangling
+
     e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
     if num_partitions:
         e = e.repartition(num_partitions, "src")
@@ -112,7 +140,7 @@ def prepare_links(
 
 
 CSR_BLOCK_SCHEMA = (
-    "block int, srcs binary, wsrc binary, eidx binary, dstu binary, segs binary"
+    "block int, srcs binary, ew binary, eidx binary, dstu binary, segs binary"
 )
 
 _EMPTY_CONTRIBS = pd.DataFrame(
@@ -126,10 +154,11 @@ def pack_csr_blocks(links: DataFrame, num_partitions: int) -> DataFrame:
     Buffers (all little-endian, rebuilt zero-copy with ``np.frombuffer``):
 
     - ``srcs``  int64[S]: sorted unique source ids of the block
-    - ``wsrc``  float64[S]: 1/outdeg aligned to ``srcs`` (a source's edges
-      are all in its block, so the local weight is the global one)
     - ``eidx``  int64[E]: for edges in (dst, src)-sorted order, the index of
       the edge's source in ``srcs`` — the gather map
+    - ``ew``    float64[E]: the edge's normalized weight ``w`` in the same
+      dst-sorted order (uniform 1/outdeg or ``weight_col``-proportional —
+      per-edge, so weighted graphs pack identically)
     - ``dstu``  int64[D]: sorted unique dsts; ``segs`` int64[D]: start of
       each dst's edge segment in ``eidx``
 
@@ -153,7 +182,7 @@ def pack_csr_blocks(links: DataFrame, num_partitions: int) -> DataFrame:
                 {
                     "block": int(pdf["block"].iloc[0]),
                     "srcs": srcs.tobytes(),
-                    "wsrc": w[sstart].tobytes(),
+                    "ew": w[dorder].tobytes(),
                     "eidx": e_srcpos[dorder].tobytes(),
                     "dstu": dstu.tobytes(),
                     "segs": segs.astype(np.int64).tobytes(),
@@ -180,7 +209,7 @@ def _csr_kernel(rpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
     srcs = np.frombuffer(row["srcs"], np.int64)
     if len(srcs) == 0:
         return _EMPTY_CONTRIBS
-    wsrc = np.frombuffer(row["wsrc"], np.float64)
+    ew = np.frombuffer(row["ew"], np.float64)
     eidx = np.frombuffer(row["eidx"], np.int64)
     dstu = np.frombuffer(row["dstu"], np.int64)
     segs = np.frombuffer(row["segs"], np.int64)
@@ -193,7 +222,7 @@ def _csr_kernel(rpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
     mask = srcs[pos_c] == ids
     r = np.zeros(len(srcs), dtype=np.float64)
     r[pos_c[mask]] = rv[mask]
-    vals = (r * wsrc)[eidx]
+    vals = r[eidx] * ew
     return pd.DataFrame({"dst": dstu, "contrib": np.add.reduceat(vals, segs)})
 
 
@@ -224,6 +253,7 @@ def pagerank(
     resume: bool = True,
     fuse: int = 1,
     seeds: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> SuperstepResult:
     """Run PageRank to convergence (or exactly ``max_iters`` when ``tol <= 0``).
 
@@ -238,11 +268,16 @@ def pagerank(
     random walk with restart to the seeds, the standard relevance /
     TrustRank-style primitive for link graphs. Seeds outside the graph
     are ignored; at least one seed must be a graph vertex.
+
+    ``weight_col`` switches to WEIGHTED PageRank: the surfer follows each
+    out-link with probability proportional to its (positive) weight —
+    parallel edges sum; same superstep plan, only ``w`` changes.
     """
     num_partitions = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
-    links, vertices, dangling = prepare_links(edges, num_partitions)
+    links, vertices, dangling = prepare_links(edges, num_partitions,
+                                              weight_col=weight_col)
     links = links.persist()
     vertices = vertices.persist()
     dangling = dangling.select("id").persist()
@@ -372,6 +407,7 @@ def pagerank(
             "seeds": None if seeds is None else int(
                 verts_tp.where(F.col("tp") > 0).count()
             ),
+            "weight_col": weight_col,
         },
     )
     result = runner.run(

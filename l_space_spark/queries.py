@@ -1497,6 +1497,74 @@ def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WEIGHTED_CS_EDGES_SQL = """
+SELECT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst, count(*) AS wt
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+""".strip()
+
+
+def _weighted_pagerank_oracle(edges_sql: str, iters: int,
+                              damping: float = 0.85) -> str:
+    parts = [
+        f"WITH links AS MATERIALIZED (SELECT src, dst, wt::DOUBLE AS wt"
+        f" FROM ({edges_sql}) WHERE src <> dst),",
+        "verts AS MATERIALIZED (SELECT src AS id FROM links UNION SELECT dst FROM links),",
+        "tot AS MATERIALIZED (SELECT src, sum(wt) AS t FROM links GROUP BY src),",
+        "nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM verts),",
+        "r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM verts),",
+    ]
+    for k in range(iters):
+        parts += [
+            f"m{k} AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0.0) AS mass FROM r{k} r"
+            f" LEFT JOIN tot d ON d.src = r.id WHERE d.src IS NULL),",
+            f"c{k} AS MATERIALIZED (SELECT l.dst AS id,"
+            f" sum(r.rank * l.wt / d.t) AS contrib"
+            f" FROM r{k} r JOIN tot d ON d.src = r.id JOIN links l ON l.src = r.id"
+            f" GROUP BY l.dst),",
+            f"r{k+1} AS MATERIALIZED (SELECT v.id,"
+            f" (1 - {damping}) / (SELECT n FROM nn)"
+            f" + {damping} * ((SELECT mass FROM m{k}) / (SELECT n FROM nn)"
+            f"                + coalesce(c.contrib, 0.0)) AS rank"
+            f" FROM verts v LEFT JOIN c{k} c ON c.id = v.id),",
+        ]
+    parts.append(
+        f"fin AS (SELECT id, CAST(floor(rank * 1e6 + 0.5) AS BIGINT) AS rank_e6"
+        f" FROM r{iters})"
+    )
+    parts.append("SELECT id, rank_e6 FROM fin ORDER BY rank_e6 DESC, id LIMIT 20")
+    return "\n".join(parts)
+
+
+@register("weighted_pagerank_top20", None)  # oracle attached below
+def q_weighted_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (``pagerank(weight_col=...)``): the surfer follows
+    each customer→supplier link proportionally to its lineitem count —
+    the import-count analog on the code graph."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("wt"))
+    )
+    res = pagerank(spark, edges, damping=0.85, tol=-1.0, max_iters=PR_ITERS,
+                   resume=False, weight_col="wt")
+    return (
+        res.state.select("id", fixed_point(F.col("rank"), 1e6).alias("rank_e6"))
+        .orderBy(F.col("rank_e6").desc(), F.col("id"))
+        .limit(20)
+    )
+
+
+ORACLES["weighted_pagerank_top20"] = _weighted_pagerank_oracle(
+    WEIGHTED_CS_EDGES_SQL, PR_ITERS
+)
+
+
 KCORE_K = 4
 KCORE_ROUNDS = 12
 

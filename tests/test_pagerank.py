@@ -151,3 +151,30 @@ def test_hits_converges_and_normalizes(spark):
     sums = res.state.agg(F.sum("hub").alias("hub"),
                          F.sum("auth").alias("auth")).first()
     assert abs(sums["hub"] - 1.0) < 1e-9 and abs(sums["auth"] - 1.0) < 1e-9
+
+
+def test_weighted_pagerank_csr_parity_and_uniform_reduction(spark):
+    from pyspark.sql import functions as F
+    from l_space_spark.operators.pagerank import pagerank as pr
+
+    pairs = zipf_edges(n_repos=100)
+    e = edges_df(spark, pairs)
+    # unit weights reduce to the uniform random surfer
+    ew = e.withColumn("wt", F.lit(1.0))
+    base = pr(spark, e, tol=0.0, max_iters=5, resume=False)
+    w1 = pr(spark, ew, tol=0.0, max_iters=5, resume=False, weight_col="wt")
+    j = base.state.alias("a").join(w1.state.alias("b"), "id")
+    mx = j.agg(F.max(F.abs(F.col("a.rank") - F.col("b.rank")))).first()[0]
+    assert mx < 1e-12, mx
+    # non-uniform weights: csr and dataframe impls agree
+    ew2 = e.withColumn("wt", (F.pmod(F.col("src") + F.col("dst"), F.lit(3)) + 1)
+                      .cast("double"))
+    wd = pr(spark, ew2, tol=0.0, max_iters=5, resume=False, weight_col="wt")
+    wc = pr(spark, ew2, tol=0.0, max_iters=5, resume=False, weight_col="wt",
+            impl="csr", num_partitions=4)
+    j2 = wd.state.alias("a").join(wc.state.alias("b"), "id")
+    mx2 = j2.agg(F.max(F.abs(F.col("a.rank") - F.col("b.rank")))).first()[0]
+    assert mx2 < 1e-9, mx2
+    # mass conserved
+    s = wd.state.agg(F.sum("rank")).first()[0]
+    assert abs(s - 1.0) < 1e-9
