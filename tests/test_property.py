@@ -114,3 +114,47 @@ def test_pagerank_csr_blocks_match_oracle(spark, pairs):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) <= 1e-9, k
+
+
+def _weighted_pr_oracle(edges_w, iters, d=0.85):
+    agg: dict[tuple[int, int], float] = {}
+    for s, t, w in edges_w:
+        if s != t:
+            agg[(s, t)] = agg.get((s, t), 0.0) + w
+    verts = sorted({v for e in agg for v in e})
+    n = len(verts)
+    out: dict[int, float] = {}
+    for (s, _), w in agg.items():
+        out[s] = out.get(s, 0.0) + w
+    r = {v: 1.0 / n for v in verts}
+    for _ in range(iters):
+        mass = sum(r[v] for v in verts if v not in out)
+        contrib: dict[int, float] = {v: 0.0 for v in verts}
+        for (s, t) in sorted(agg):
+            contrib[t] += r[s] * agg[(s, t)] / out[s]
+        r = {v: (1 - d) / n + d * (mass / n + contrib[v]) for v in verts}
+    return r
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15), st.integers(1, 3)),
+        min_size=1, max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_weighted_pagerank_matches_oracle(spark, pairs):
+    if not any(s != d for s, d, _ in pairs):
+        pairs = pairs + [(0, 1, 2)]
+    e = spark.createDataFrame(
+        [(int(s), int(d), float(w)) for s, d, w in pairs],
+        "src long, dst long, wt double",
+    )
+    res = pagerank(spark, e, tol=0.0, max_iters=4, weight_col="wt",
+                   resume=False)
+    got = {r["id"]: r["rank"] for r in res.state.collect()}
+    want = _weighted_pr_oracle(pairs, iters=4)
+    assert set(got) == set(want)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for k in want:
+        assert abs(got[k] - want[k]) <= 1e-9, k
