@@ -158,3 +158,68 @@ def test_weighted_pagerank_matches_oracle(spark, pairs):
     assert abs(sum(got.values()) - 1.0) < 1e-9
     for k in want:
         assert abs(got[k] - want[k]) <= 1e-9, k
+
+
+def _hits_oracle_py(pairs, iters):
+    links = sorted({(s, d) for s, d in pairs if s != d})
+    verts = sorted({v for e in links for v in e})
+    n = len(verts)
+    hub = {v: 1.0 / n for v in verts}
+    auth = {}
+    for _ in range(iters):
+        auth = {v: 0.0 for v in verts}
+        for s, d in links:
+            auth[d] += hub[s]
+        t = sum(auth.values())
+        auth = {v: a / t for v, a in auth.items()}
+        hub = {v: 0.0 for v in verts}
+        for s, d in links:
+            hub[s] += auth[d]
+        t = sum(hub.values())
+        hub = {v: h / t for v, h in hub.items()}
+    return hub, auth
+
+
+@given(pairs=edge_lists)
+@settings(**SETTINGS)
+def test_hits_matches_oracle(spark, pairs):
+    from l_space_spark.operators.hits import hits
+
+    if not any(s != d for s, d in pairs):
+        pairs = pairs + [(0, 1)]
+    res = hits(spark, edges_df(spark, pairs), tol=-1.0, max_iters=4,
+               resume=False)
+    got = {r["id"]: (r["hub"], r["auth"]) for r in res.state.collect()}
+    hub, auth = _hits_oracle_py(pairs, iters=4)
+    assert set(got) == set(hub)
+    for v in hub:
+        assert abs(got[v][0] - hub[v]) <= 1e-9, ("hub", v)
+        assert abs(got[v][1] - auth[v]) <= 1e-9, ("auth", v)
+
+
+def _kcore_oracle_py(pairs, k):
+    nbrs: dict[int, set[int]] = {}
+    for s, d in pairs:
+        if s != d:
+            nbrs.setdefault(s, set()).add(d)
+            nbrs.setdefault(d, set()).add(s)
+    alive = set(nbrs)
+    while True:
+        drop = {v for v in alive
+                if len(nbrs[v] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    return {v: len(nbrs[v] & alive) for v in alive}
+
+
+@given(pairs=edge_lists, k=st.integers(1, 4))
+@settings(**SETTINGS)
+def test_kcore_matches_oracle(spark, pairs, k):
+    from l_space_spark.operators.kcore import kcore
+
+    if not any(s != d for s, d in pairs):
+        pairs = pairs + [(0, 1)]
+    res = kcore(spark, edges_df(spark, pairs), k=k, resume=False)
+    got = {r["id"]: r["core_deg"] for r in res.state.collect()}
+    assert got == _kcore_oracle_py(pairs, k)
