@@ -178,3 +178,21 @@ def test_weighted_pagerank_csr_parity_and_uniform_reduction(spark):
     # mass conserved
     s = wd.state.agg(F.sum("rank")).first()[0]
     assert abs(s - 1.0) < 1e-9
+
+
+def test_weighted_personalized_compose(spark):
+    """weight_col and seeds compose: weighted surfer with restart to seeds."""
+    from pyspark.sql import functions as F
+    from l_space_spark.operators.pagerank import pagerank as pr
+
+    pairs = zipf_edges(n_repos=80)
+    e = edges_df(spark, pairs).withColumn(
+        "wt", (F.pmod(F.col("src"), F.lit(2)) + 1).cast("double"))
+    seeds = spark.createDataFrame([(0,), (1,)], "id long")
+    res = pr(spark, e, tol=0.0, max_iters=6, weight_col="wt", seeds=seeds,
+             resume=False)
+    got = {r["id"]: r["rank"] for r in res.state.collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    ranks = sorted(got.values())
+    median = ranks[len(ranks) // 2]
+    assert got[0] > median and got[1] > median
