@@ -140,7 +140,8 @@ def prepare_links(
 
 
 CSR_BLOCK_SCHEMA = (
-    "block int, srcs binary, ew binary, eidx binary, dstu binary, segs binary"
+    "block int, per_edge boolean, srcs binary, wts binary, eidx binary, "
+    "dstu binary, segs binary"
 )
 
 _EMPTY_CONTRIBS = pd.DataFrame(
@@ -148,7 +149,8 @@ _EMPTY_CONTRIBS = pd.DataFrame(
 )
 
 
-def pack_csr_blocks(links: DataFrame, num_partitions: int) -> DataFrame:
+def pack_csr_blocks(links: DataFrame, num_partitions: int,
+                    per_edge_weights: bool = False) -> DataFrame:
     """links(src, dst, w) → one row per block of CSR numpy buffers.
 
     Buffers (all little-endian, rebuilt zero-copy with ``np.frombuffer``):
@@ -156,9 +158,10 @@ def pack_csr_blocks(links: DataFrame, num_partitions: int) -> DataFrame:
     - ``srcs``  int64[S]: sorted unique source ids of the block
     - ``eidx``  int64[E]: for edges in (dst, src)-sorted order, the index of
       the edge's source in ``srcs`` — the gather map
-    - ``ew``    float64[E]: the edge's normalized weight ``w`` in the same
-      dst-sorted order (uniform 1/outdeg or ``weight_col``-proportional —
-      per-edge, so weighted graphs pack identically)
+    - ``wts``   float64[S] (uniform graphs: one 1/outdeg per source — the
+      compact layout) or float64[E] (``per_edge_weights``: each edge's
+      normalized weight in dst-sorted order — needed when ``w`` varies
+      within a source, i.e. weighted PageRank)
     - ``dstu``  int64[D]: sorted unique dsts; ``segs`` int64[D]: start of
       each dst's edge segment in ``eidx``
 
@@ -177,12 +180,14 @@ def pack_csr_blocks(links: DataFrame, num_partitions: int) -> DataFrame:
         e_srcpos = np.repeat(np.arange(len(srcs), dtype=np.int64), counts)
         dorder = np.argsort(dst, kind="stable")
         dstu, segs = np.unique(dst[dorder], return_index=True)
+        wts = w[dorder] if per_edge_weights else w[sstart]
         return pd.DataFrame(
             [
                 {
                     "block": int(pdf["block"].iloc[0]),
+                    "per_edge": bool(per_edge_weights),
                     "srcs": srcs.tobytes(),
-                    "ew": w[dorder].tobytes(),
+                    "wts": wts.tobytes(),
                     "eidx": e_srcpos[dorder].tobytes(),
                     "dstu": dstu.tobytes(),
                     "segs": segs.astype(np.int64).tobytes(),
@@ -209,7 +214,7 @@ def _csr_kernel(rpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
     srcs = np.frombuffer(row["srcs"], np.int64)
     if len(srcs) == 0:
         return _EMPTY_CONTRIBS
-    ew = np.frombuffer(row["ew"], np.float64)
+    wts = np.frombuffer(row["wts"], np.float64)
     eidx = np.frombuffer(row["eidx"], np.int64)
     dstu = np.frombuffer(row["dstu"], np.int64)
     segs = np.frombuffer(row["segs"], np.int64)
@@ -222,7 +227,10 @@ def _csr_kernel(rpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
     mask = srcs[pos_c] == ids
     r = np.zeros(len(srcs), dtype=np.float64)
     r[pos_c[mask]] = rv[mask]
-    vals = r[eidx] * ew
+    if row["per_edge"]:
+        vals = r[eidx] * wts          # wts is float64[E], dst-sorted
+    else:
+        vals = (r * wts)[eidx]        # wts is float64[S] — S-sized multiply
     return pd.DataFrame({"dst": dstu, "contrib": np.add.reduceat(vals, segs)})
 
 
@@ -311,7 +319,9 @@ def pagerank(
 
     csr_blocks: DataFrame | None = None
     if impl == "csr":
-        csr_blocks = pack_csr_blocks(links, num_partitions).persist()
+        csr_blocks = pack_csr_blocks(
+            links, num_partitions, per_edge_weights=weight_col is not None
+        ).persist()
         csr_blocks.count()  # pack once, before the superstep clock starts
 
     def step(ranks: DataFrame, i: int) -> DataFrame:
