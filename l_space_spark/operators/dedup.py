@@ -69,7 +69,12 @@ def ngram_jaccard_pairs(
     j_num: int = 1, j_den: int = 2,
 ) -> DataFrame:
     """(a, b) pairs with shingle-set Jaccard ≥ j_num/j_den (exact, integer
-    threshold arithmetic: den·i ≥ num·(na+nb−i))."""
+    threshold arithmetic: den·i ≥ num·(na+nb−i)).
+
+    The shingle index is persisted (it feeds three branches: sizes and both
+    join sides) and handed to Spark lazily — like triangles_per_vertex, the
+    ContextCleaner unpersists it once the returned frame's lineage is
+    dropped; blocks are O(Σ|shingles|) (id, hash) pairs."""
     ex = shingle_index(df, id_col, text_col, n).persist()
     sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = ex.select(F.col("id").alias("a"), "g")
@@ -104,7 +109,11 @@ def minhash_signatures(
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 2,
                         rows_per_band: int = 4) -> DataFrame:
-    """(a, b) candidate pairs sharing at least one LSH band key."""
+    """(a, b) candidate pairs sharing at least one LSH band key.
+
+    Signatures are persisted (scanned once per band) and released by the
+    ContextCleaner when the returned frame's lineage is dropped — the
+    documented lazy-handoff pattern (see triangles_per_vertex)."""
     sig = signatures.persist()
     parts = []
     for band in range(bands):
@@ -151,3 +160,63 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text",
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two ≤64-bit fingerprints (bit_count of xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_close_pairs(
+    sims: DataFrame,
+    id_col: str = "id",
+    sim_col: str = "simhash",
+    bits: int = 60,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """(a, b, hamming) pairs with Hamming(simhash_a, simhash_b) ≤ ``max_hamming``
+    via the pigeonhole banded equi-join — the sub-quadratic fingerprint join.
+
+    Split the ``bits``-bit fingerprint into ``max_hamming + 1`` contiguous
+    bands: two fingerprints within Hamming distance ``max_hamming`` differ in
+    at most ``max_hamming`` bit positions, so at least one band is bit-for-bit
+    IDENTICAL (pigeonhole). Candidate pairs are therefore an **equi-join on
+    (band_index, band_value)** — a shuffled hash join whose cost is
+    O(Σ bucket²) over band-value buckets, not the O(N²) all-pairs theta join
+    (BroadcastNestedLoopJoin) of the naive ``a.id < b.id`` formulation.
+    Candidates are deduped (a pair can share several bands) and verified
+    exactly with ``bit_count(xor) ≤ max_hamming``.
+
+    At 100 TB this is the same plan: one explode (×7 rows), one shuffle on
+    the band key, exact verify on the joined rows. Skewed band-values (e.g.
+    an all-zero band from empty docs) are the one hazard — AQE skew-join
+    splitting handles them; the exact verify keeps correctness regardless.
+    """
+    n_bands = max_hamming + 1
+    base, rem = divmod(bits, n_bands)
+    band_structs, lo = [], 0
+    for i in range(n_bands):
+        w = base + (1 if i < rem else 0)
+        mask = (1 << w) - 1
+        band_structs.append(
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col(sim_col), lo).bitwiseAND(F.lit(mask)).alias("bv"),
+            )
+        )
+        lo += w
+    banded = sims.select(
+        F.col(id_col).alias("id"),
+        F.col(sim_col).alias("h"),
+        F.explode(F.array(*band_structs)).alias("bk"),
+    ).select("id", "h", F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv"))
+    a = banded.select(
+        F.col("id").alias("a"), F.col("h").alias("ha"), "band", "bv"
+    )
+    b = banded.select(
+        F.col("id").alias("b"), F.col("h").alias("hb"), "band", "bv"
+    )
+    return (
+        a.join(b, ["band", "bv"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .distinct()
+        .withColumn("hamming", hamming64(F.col("ha"), F.col("hb")).cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -65,11 +65,15 @@ def synth_media(spark, n: int = 64, parts: int = 4) -> DataFrame:
 def _decode_stub(data: bytes, codec: str) -> np.ndarray:
     """STUB: stands in for a real decoder (PIL.Image.open / torchaudio.load /
     pyav frame sampling). Deterministic: derives a pseudo-signal from the
-    bytes so downstream feature shapes and values are test-stable.
+    bytes so downstream feature shapes and values are test-stable. The
+    payload is hex-encoded before hashing so a pure-SQL oracle (DuckDB has
+    VARCHAR-only hash functions) can recompute the signal independently.
     Raises on empty payloads to exercise the error path."""
     if not data:
         raise ValueError("empty payload")
-    arr = np.frombuffer(hashlib.sha256(data).digest(), dtype=np.uint8)
+    arr = np.frombuffer(
+        hashlib.sha256(data.hex().encode()).digest(), dtype=np.uint8
+    )
     return arr.astype(np.float32) / 255.0
 
 

@@ -990,22 +990,19 @@ ORDER BY a, b
 """.strip(),
 )
 def q_simhash_close_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ 6 (the fingerprint-join
-    dedup tier: at scale the join is blocked on fingerprint bands, here the
-    corpus is small enough for the direct pair join)."""
-    from .operators.dedup import hamming64, simhash
+    """Near-dup pairs by SimHash Hamming distance ≤ 6 via the pigeonhole
+    banded equi-join (operators/dedup.simhash_close_pairs): 7 bands over the
+    60-bit fingerprint, candidates = equi-join on (band, band_bits), exact
+    bit_count verify. Sub-quadratic — no BroadcastNestedLoopJoin in the plan
+    (pinned by tests/test_plans.py); the naive all-pairs theta join this
+    replaces scanned O(N²) pairs."""
+    from .operators.dedup import simhash, simhash_close_pairs
 
     d = load(spark, sf_dir, "documents")
-    s = simhash(d, "doc_id", "text", bits=60).persist()
-    a = s.select(F.col("id").alias("a"), F.col("simhash").alias("ha"))
-    b = s.select(F.col("id").alias("b"), F.col("simhash").alias("hb"))
-    return (
-        a.join(b, F.col("a") < F.col("b"))
-        .withColumn("hamming", hamming64(F.col("ha"), F.col("hb")).cast("long"))
-        .where(F.col("hamming") <= 6)
-        .select("a", "b", "hamming")
-        .orderBy("a", "b")
-    )
+    s = simhash(d, "doc_id", "text", bits=60)
+    return simhash_close_pairs(
+        s, id_col="id", sim_col="simhash", bits=60, max_hamming=6
+    ).orderBy("a", "b")
 
 
 ORACLES["simhash_close_pairs"] = ORACLES["simhash_close_pairs"].replace(
@@ -1343,13 +1340,36 @@ def q_multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register("multimodal_features", None)  # rows-only: mapInPandas, not SQL
+@register(
+    "multimodal_features",
+    """
+WITH m AS (
+  SELECT i AS item_id,
+         sha256(repeat(sha256('media:' || i), 4)) AS h
+  FROM generate_series(0, 63) t(i)
+),
+b AS (
+  SELECT item_id, j,
+         ('0x' || substr(h, 8*j + 1, 2))::INT
+       + ('0x' || substr(h, 8*j + 3, 2))::INT
+       + ('0x' || substr(h, 8*j + 5, 2))::INT
+       + ('0x' || substr(h, 8*j + 7, 2))::INT AS s
+  FROM m, generate_series(0, 7) g(j)
+)
+SELECT item_id, TRUE AS ok, 16 AS out_width, 16 AS out_height,
+       string_agg(s::VARCHAR, ',' ORDER BY j) AS feat_q
+FROM b GROUP BY item_id ORDER BY item_id
+""".strip(),
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode→resize→featurize over the synthetic media table via
-    mapInPandas (operators/multimodal.extract_features) — genuinely
-    non-SQL-expressible (stubbed codec inside a Python Arrow stage), so
-    this entry takes the driver's rows-only check. Floats are collapsed to
-    a fixed-point sum so the output is hash-stable."""
+    mapInPandas (operators/multimodal.extract_features). The codec stub is
+    deterministic sha256 math, so the DuckDB oracle RECOMPUTES the pipeline
+    independently: media bytes = sha256('media:i')×4, signal =
+    sha256(bytes)/255 as float32, features = 8 chunk means. Float32
+    rounding is eliminated by recovering the exact integer byte-chunk sum
+    (feat[j]·4·255 is an integer 0..1020; float32 error ≪ 0.5), making the
+    whole Arrow stage rows+schema+hash checkable."""
     from .operators.multimodal import extract_features, synth_media
 
     media = synth_media(spark, n=64, parts=4)
@@ -1358,12 +1378,14 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "item_id", "ok", "out_width", "out_height",
         F.when(
             F.col("feat").isNotNull(),
-            F.floor(
-                F.aggregate(F.col("feat"),
-                            F.lit(0.0),
-                            lambda a, x: a + x.cast("double")) * 10000 + 0.5
-            ).cast("long"),
-        ).alias("feat_sum_e4"),
+            F.array_join(
+                F.transform(
+                    F.col("feat"),
+                    lambda x: F.round(x.cast("double") * 1020).cast("int"),
+                ),
+                ",",
+            ),
+        ).alias("feat_q"),
     ).orderBy("item_id")
 
 

@@ -149,7 +149,10 @@ def delete_where(spark: SparkSession, path: str, condition) -> int:
 
     df = spark.read.parquet(path)
     total = df.count()
-    kept = df.where(~condition)
+    # keep every row where the predicate is NOT TRUE — three-valued logic:
+    # a NULL predicate (e.g. `col == 0` on a NULL col) must KEEP the row,
+    # not silently delete it (`~NULL` is NULL and would be filtered out)
+    kept = df.where(~F.coalesce(condition, F.lit(False)))
     staging = f"{path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
     kept.write.mode("overwrite").parquet(staging)
     n_kept = spark.read.parquet(staging).count()

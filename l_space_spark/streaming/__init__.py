@@ -153,10 +153,17 @@ def sessionize_stateful(
             start_us, last_us, n = state.get
         else:
             start_us, last_us, n = None, None, 0
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values([ts_col, order_col])
+        # applyInPandasWithState may deliver ONE group's rows as SEVERAL
+        # Arrow chunks; sorting each chunk independently would let an
+        # out-of-order event at a chunk boundary silently extend a session
+        # (or move session_end backwards). Concatenate, then sort ONCE per
+        # group — state stays three longs, only this micro-batch's rows of
+        # the group are ever in memory at once.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                [ts_col, order_col]
+            )
             ts_us = pdf[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
             for t in ts_us:
                 t = int(t)

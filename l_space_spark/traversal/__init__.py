@@ -300,14 +300,32 @@ class Traversal:
     def _tagged(self) -> "Traversal":
         """Assign a deterministic per-row correlation key ``_tid``.
 
-        row_number over a canonical sort — deterministic, but a global
-        window; correlation keys are only materialized for correlated
-        sub-traversal steps, never in the bulk path.
+        ``xxhash64`` over all columns, disambiguated (exact-duplicate rows
+        and hash collisions) by a row_number over a window PARTITIONED BY
+        the hash — partitions are O(duplicates) rows, so the assignment is
+        fully distributed. The round-1 formulation (row_number over an
+        unpartitioned ``Window.orderBy(*all)``) funneled every correlated
+        sub-traversal through a single task — a scalability ceiling, not a
+        correctness issue. _tid is a (h, r) struct: joinable, groupable,
+        orderable (deterministic tie-break), never user-visible.
         """
         if "_tid" in self.df.columns:
             return self
-        w = Window.orderBy(*[F.col(c) for c in self.df.columns])
-        return self._with(self.df.withColumn("_tid", F.row_number().over(w)))
+        cols = list(self.df.columns)
+        h = F.xxhash64(*[F.col(c) for c in cols])
+        w = Window.partitionBy("__tid_h").orderBy(*[F.col(c) for c in cols])
+        df = (
+            self.df.withColumn("__tid_h", h)
+            .withColumn(
+                "_tid",
+                F.struct(
+                    F.col("__tid_h").alias("h"),
+                    F.row_number().over(w).alias("r"),
+                ),
+            )
+            .drop("__tid_h")
+        )
+        return self._with(df)
 
     def _apply_sub(self, fn: Callable[["Traversal"], "Traversal"]) -> DataFrame:
         """Run ``fn`` seeded from this traversal with per-traverser scope."""

@@ -138,6 +138,18 @@ def test_pagerank_links_shuffle_once(spark):
         links.unpersist()
 
 
+def test_simhash_close_pairs_has_no_nested_loop_join(spark):
+    """The SimHash near-dup join must be the pigeonhole banded EQUI-join
+    (shuffle on (band, band_bits)), never the O(N²) all-pairs theta join —
+    BroadcastNestedLoopJoin in this plan is the round-1 scale-killer
+    regressing."""
+    from l_space_spark.queries import q_simhash_close_pairs
+
+    plan = _plan(q_simhash_close_pairs(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_no_rowwise_python_udfs_anywhere():
     """Per-row Python is banned by input_hint: every F.udf( use is a bug.
     pandas_udf / mapInPandas / applyInPandas(WithState) / mapInArrow are

@@ -84,3 +84,27 @@ def test_delete_where_sink(spark, tmp_path):
     assert back.where(F.col("flag") == 0).count() == 0
     # second delete is a no-op
     assert delete_where(spark, path, F.col("flag") == 0) == 0
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """Three-valued logic: rows where the delete predicate evaluates to NULL
+    (here: NULL flag vs `flag == 0`) do NOT match the predicate and must be
+    KEPT — the naive `where(~cond)` silently deleted them."""
+    from pyspark.sql import functions as F
+
+    from l_space_spark.sources import delete_where
+
+    path = str(tmp_path / "tbl_null")
+    df = spark.range(0, 90).withColumn(
+        "flag",
+        F.when(F.pmod("id", F.lit(3)) == 2, F.lit(None)).otherwise(
+            F.pmod("id", F.lit(3))
+        ),
+    )
+    df.write.parquet(path)  # 30 rows flag=0, 30 flag=1, 30 flag=NULL
+    n = delete_where(spark, path, F.col("flag") == 0)
+    assert n == 30
+    back = spark.read.parquet(path)
+    assert back.count() == 60
+    assert back.where(F.col("flag").isNull()).count() == 30  # NULLs survived
+    assert back.where(F.col("flag") == 1).count() == 30
