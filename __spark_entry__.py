@@ -34,3 +34,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return _q.oracle_sql()
+
+
+def main(argv: list[str]) -> None:
+    """CLI: execute a serialized job spec (SURVEY §3.2 — the analog of the
+    reference's wire traversals, ``LibrarianApi.scala:102-121``)::
+
+        spark-submit --py-files pkg.zip __spark_entry__.py --job spec.json
+
+    ``--show N`` prints the first N result rows (default 20) when the spec
+    has no ``output`` sink; ``--json`` prints them as JSON lines instead.
+    """
+    import argparse
+
+    from l_space_spark.jobspec import run_job
+
+    ap = argparse.ArgumentParser(prog="__spark_entry__")
+    ap.add_argument("--job", required=True,
+                    help="path to a JSON job spec (or an inline JSON string)")
+    ap.add_argument("--show", type=int, default=20)
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args(argv)
+
+    spark = SparkSession.builder.appName("l_space_spark.job").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    result = run_job(spark, args.job)
+    if args.json:
+        for row in result.limit(args.show).toJSON().collect():
+            print(row)
+    else:
+        result.show(args.show, truncate=False)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

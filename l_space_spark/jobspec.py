@@ -1,0 +1,260 @@
+"""Serialized job-spec execution — traversals and algorithms over the wire.
+
+The reference executes queries that ARRIVE AS DATA: JSON-LD-serialized
+traversals over REST (``services/core/.../endpoints/LibrarianApi.scala:102-121``,
+rebuilt by ``Traversal.toTraversal``, ``Traversal.scala:30-43``) and GraphQL
+compiled to traversals (``core/shared/src/main/scala/lspace/graphql/
+Query.scala:16-36``). The Spark analog (SURVEY §3.2) is a JSON job spec
+submitted with the package::
+
+    spark-submit --py-files pkg.zip __spark_entry__.py --job spec.json
+
+Three spec kinds:
+
+``{"kind": "algorithm"}`` — an iterative graph job::
+
+    {"kind": "algorithm", "algorithm": "pagerank",
+     "input": {"edges_parquet": "/data/edges", "src": "src", "dst": "dst"},
+     "params": {"damping": 0.85, "tol": 1e-6},
+     "checkpoint_dir": "/ckpt/pr", "resume": true,
+     "output": {"path": "/out/ranks", "format": "parquet"}}
+
+    algorithms: pagerank · connected_components · connected_components_star ·
+    label_propagation · triangle_count · triangles_per_vertex · hits · kcore.
+    ``checkpoint_dir``+``resume`` make the run restartable (north rule); the
+    result DataFrame is written to ``output`` (or shown when absent).
+
+``{"kind": "catalog"}`` — a registered catalog query::
+
+    {"kind": "catalog", "query": "pagerank_top20", "sf_dir": "/data/sf0.1"}
+
+``{"kind": "traversal"}`` — a serialized step list, the literal wire-traversal
+analog. Steps are ``{"step": <method>, "args": [...]}``; a predicate argument
+is ``{"p": <name>, "args": [...]}`` (the 22-predicate registry,
+``P.scala:49-72``); a sub-traversal argument (where/not/and/or/union/local/
+repeat bodies) is ``{"steps": [...]}``::
+
+    {"kind": "traversal",
+     "input": {"edges_parquet": "/data/edges"},
+     "steps": [{"step": "N"},
+               {"step": "where", "args": [{"steps": [{"step": "out"}]}]},
+               {"step": "count"}]}
+
+Every spec runs through ``run_job(spark, spec)`` → result DataFrame; the CLI
+wrapper lives in ``__spark_entry__.py`` (``--job``). Input tables may be
+``*_parquet`` paths or a catalog ``table`` name (``spark.table``) — the
+Iceberg-ready path."""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.predicates import P, Pred
+
+
+def _load_input(spark: SparkSession, inp: dict) -> DataFrame:
+    """One table from {"<name>_parquet": path} or {"table": catalog_name}."""
+    if "table" in inp:
+        return spark.table(inp["table"])
+    for k, v in inp.items():
+        if k.endswith("_parquet"):
+            return spark.read.parquet(v)
+    raise ValueError(f"no loadable input in {sorted(inp)}")
+
+
+def _edges_from_input(spark: SparkSession, inp: dict) -> DataFrame:
+    """Edge table (src, dst) from an edge parquet/table, or EXTRACTED from a
+    repos table of the input_hint shape (repo,path,commit,lang,content)."""
+    if "repos_parquet" in inp or inp.get("extract"):
+        from .extract import build_graph
+
+        repos = (
+            spark.read.parquet(inp["repos_parquet"])
+            if "repos_parquet" in inp
+            else spark.table(inp["table"])
+        )
+        _, edges = build_graph(repos)
+        return edges
+    e = _load_input(spark, inp)
+    src, dst = inp.get("src", "src"), inp.get("dst", "dst")
+    keep = [F.col(src).alias("src"), F.col(dst).alias("dst")]
+    if inp.get("weight") and inp["weight"] in e.columns:
+        keep.append(F.col(inp["weight"]).alias(inp["weight"]))
+    return e.select(*keep)
+
+
+# ---- algorithm registry ------------------------------------------------------
+
+def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
+    from .operators.components import (
+        connected_components, connected_components_star,
+    )
+    from .operators.hits import hits
+    from .operators.kcore import kcore
+    from .operators.labelprop import label_propagation
+    from .operators.pagerank import pagerank
+    from .operators.triangles import triangle_list, triangles_per_vertex
+
+    edges = _edges_from_input(spark, spec.get("input", {}))
+    params = dict(spec.get("params", {}))
+    ckpt = spec.get("checkpoint_dir")
+    resume = bool(spec.get("resume", True))
+    algo = spec["algorithm"]
+
+    supersteps = {
+        "pagerank": pagerank,
+        "connected_components": connected_components,
+        "connected_components_star": connected_components_star,
+        "label_propagation": label_propagation,
+        "hits": hits,
+        "kcore": kcore,
+    }
+    if algo in supersteps:
+        res = supersteps[algo](
+            spark, edges, checkpoint_dir=ckpt, resume=resume, **params
+        )
+        out = res.state
+        if spec.get("top_k"):
+            order_col = {"pagerank": "rank", "hits": "auth"}.get(algo)
+            if order_col:
+                out = out.orderBy(F.desc(order_col), "id").limit(
+                    int(spec["top_k"])
+                )
+        return out
+    if algo == "triangle_count":
+        return triangle_list(edges).agg(
+            F.count(F.lit(1)).cast("long").alias("triangles")
+        )
+    if algo == "triangles_per_vertex":
+        return triangles_per_vertex(spark, edges)
+    raise ValueError(f"unknown algorithm {algo!r}")
+
+
+# ---- catalog -----------------------------------------------------------------
+
+def _run_catalog(spark: SparkSession, spec: dict) -> DataFrame:
+    from . import queries as _q
+
+    name = spec["query"]
+    if name not in _q.QUERIES:
+        raise ValueError(f"unknown catalog query {name!r}")
+    return _q.QUERIES[name](spark, spec["sf_dir"])
+
+
+# ---- traversal decoding ------------------------------------------------------
+
+# JSON step name → Traversal method (reserved-word escapes)
+_ALIASES = {
+    "in": "in_", "not": "not_", "and": "and_", "or": "or_", "is": "is_",
+    "from": "from_", "to": "to_", "id": "id_", "as": "as_", "sum": "sum_",
+    "max": "max_", "min": "min_", "range": "range_", "coalesce": "coalesce_",
+    "outE": "out_e", "inE": "in_e", "outMap": "out_map", "inMap": "in_map",
+    "outEMap": "out_e_map", "inEMap": "in_e_map", "hasNot": "has_not",
+    "hasId": "has_id", "hasIri": "has_iri", "hasLabel": "has_label",
+}
+
+
+def _decode_arg(v: Any) -> Any:
+    if isinstance(v, dict) and "p" in v:
+        return _decode_pred(v)
+    if isinstance(v, dict) and "steps" in v:
+        steps = v["steps"]
+        return lambda t: _apply_steps(t, steps)
+    if isinstance(v, list):
+        return [_decode_arg(x) for x in v]
+    return v
+
+
+def _decode_pred(d: dict) -> Pred:
+    name = d["p"]
+    fn = getattr(P, _ALIASES.get(name, name), None)
+    if fn is None or name.startswith("_"):
+        raise ValueError(f"unknown predicate {name!r}")
+    args = [_decode_arg(a) for a in d.get("args", [])]
+    pred = fn(*args)
+    for other in d.get("and", []):
+        pred = pred & _decode_pred(other)
+    for other in d.get("or", []):
+        pred = pred | _decode_pred(other)
+    return pred
+
+
+def _apply_steps(t, steps: list[dict]):
+    for s in steps:
+        name = _ALIASES.get(s["step"], s["step"])
+        if name.startswith("_"):
+            raise ValueError(f"illegal step {name!r}")
+        method = getattr(t, name, None)
+        if method is None or not callable(method):
+            raise ValueError(f"unknown step {name!r}")
+        args = [_decode_arg(a) for a in s.get("args", [])]
+        kwargs = {k: _decode_arg(v) for k, v in s.get("kwargs", {}).items()}
+        t = method(*args, **kwargs)
+    return t
+
+
+def _run_traversal(spark: SparkSession, spec: dict) -> DataFrame:
+    from .traversal import Graph
+
+    inp = spec.get("input", {})
+    if "repos_parquet" in inp:
+        from .extract import build_graph
+
+        vertices, edges = build_graph(spark.read.parquet(inp["repos_parquet"]))
+        g = Graph.from_edgelist(edges, vertices=vertices,
+                                label=inp.get("label", "imports"))
+    else:
+        edges = _load_input(spark, inp)
+        verts = None
+        if "vertices_parquet" in inp:
+            verts = spark.read.parquet(inp["vertices_parquet"])
+        if set(edges.columns) >= {"src", "dst"}:
+            g = Graph.from_edgelist(edges, vertices=verts,
+                                    label=inp.get("label", "linked"))
+        else:
+            if verts is None:
+                raise ValueError("long-form edge input needs vertices_parquet")
+            g = Graph(verts, edges)
+
+    steps = list(spec["steps"])
+    if not steps or steps[0]["step"] not in ("N", "E", "V"):
+        raise ValueError("traversal must start with a scan step: N | E | V")
+    scan = steps[0]
+    t = getattr(g, scan["step"])(*[_decode_arg(a) for a in scan.get("args", [])])
+    t = _apply_steps(t, steps[1:])
+    return t if isinstance(t, DataFrame) else t.to_df()
+
+
+# ---- entry -------------------------------------------------------------------
+
+KINDS: dict[str, Callable[[SparkSession, dict], DataFrame]] = {
+    "algorithm": _run_algorithm,
+    "catalog": _run_catalog,
+    "traversal": _run_traversal,
+}
+
+
+def run_job(spark: SparkSession, spec: dict | str) -> DataFrame:
+    """Execute a job spec (dict, JSON string, or path to a JSON file)."""
+    if isinstance(spec, str):
+        if spec.lstrip().startswith("{"):
+            spec = json.loads(spec)
+        else:
+            with open(spec) as f:
+                spec = json.load(f)
+    kind = spec.get("kind")
+    if kind not in KINDS:
+        raise ValueError(f"unknown job kind {kind!r}; one of {sorted(KINDS)}")
+    result = KINDS[kind](spark, spec)
+    out = spec.get("output")
+    if out:
+        (
+            result.write.mode(out.get("mode", "overwrite"))
+            .format(out.get("format", "parquet"))
+            .save(out["path"])
+        )
+    return result

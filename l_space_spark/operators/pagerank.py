@@ -262,6 +262,7 @@ def pagerank(
     fuse: int = 1,
     seeds: DataFrame | None = None,
     weight_col: str | None = None,
+    time_limit_s: float | None = None,
 ) -> SuperstepResult:
     """Run PageRank to convergence (or exactly ``max_iters`` when ``tol <= 0``).
 
@@ -419,6 +420,7 @@ def pagerank(
             ),
             "weight_col": weight_col,
         },
+        time_limit_s=time_limit_s,
     )
     result = runner.run(
         init, step, metric_fn=None if fixed_iters else l1_delta, resume=resume

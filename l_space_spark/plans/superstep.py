@@ -51,6 +51,7 @@ class SuperstepResult:
     deltas: list[float] = field(default_factory=list)
     superstep_seconds: list[float] = field(default_factory=list)
     resumed_from: int | None = None
+    timed_out: bool = False
 
     @property
     def wall_seconds(self) -> float:
@@ -78,6 +79,7 @@ class SuperstepRunner:
         config: dict | None = None,
         collect_partition_counts: bool = True,
         materialize_every: int = 1,
+        time_limit_s: float | None = None,
     ) -> None:
         """``materialize_every``: in fixed-iteration mode (no ``metric_fn``,
         no durable checkpoint), localCheckpoint only every k-th superstep and
@@ -86,7 +88,15 @@ class SuperstepRunner:
         paid once per k. Requires the step function to be fully lazy (no
         ``collect``/``first`` inside — e.g. scalar aggregates expressed as
         broadcast one-row joins). Ignored when a metric or durable
-        checkpoint forces per-round evaluation."""
+        checkpoint forces per-round evaluation.
+
+        ``time_limit_s``: wall-clock budget — the reference's ``TimeLimit``
+        step (``step/TimeLimit.scala:45``, exec ``LocalGuide.scala:99-111``
+        via ``takeByTimeSpan``): completed supersteps within the budget are
+        kept; the loop stops (``timed_out=True``, not converged) before
+        starting a superstep once the budget is spent. Excluded from the
+        config hash — per-iteration states are identical under any budget,
+        so a timed-out run resumes seamlessly with a bigger one."""
         self.spark = spark
         self.max_iters = max_iters
         self.tol = tol
@@ -95,6 +105,7 @@ class SuperstepRunner:
         self.config = dict(config or {})
         self.collect_partition_counts = collect_partition_counts
         self.materialize_every = max(1, materialize_every)
+        self.time_limit_s = time_limit_s
         self.config_hash = self._hash_config()
 
     def _hash_config(self) -> str:
@@ -169,8 +180,16 @@ class SuperstepRunner:
         deltas: list[float] = []
         secs: list[float] = []
         converged = False
+        timed_out = False
         iterations = start_iter
+        loop_start = time.time()
         for i in range(start_iter, self.max_iters):
+            if (
+                self.time_limit_s is not None
+                and time.time() - loop_start >= self.time_limit_s
+            ):
+                timed_out = True
+                break
             t0 = time.time()
             new_state = step_fn(state, i)
 
@@ -214,4 +233,6 @@ class SuperstepRunner:
                     converged = True
                     break
 
-        return SuperstepResult(state, iterations, converged, deltas, secs, resumed_from)
+        return SuperstepResult(
+            state, iterations, converged, deltas, secs, resumed_from, timed_out
+        )

@@ -1030,6 +1030,38 @@ class Traversal:
             ).alias("m")
         ).withColumnRenamed("_id", "id")
 
+    def out_e_map(self, *keys: str) -> DataFrame:
+        """``OutEMap`` (``step/OutEMap.scala:33``, exec
+        ``SyncGuide.scala:896-948``): outgoing EDGES grouped by edge label —
+        ``(id, m: map<label, array<edge_id>>)``. The edge-focused sibling of
+        ``out_map`` (which groups the *destinations*)."""
+        e = self.graph._edges_for(keys)
+        cur = self.df.where(F.col("_kind") == "node").select(F.col("_id")).distinct()
+        j = cur.join(e, cur["_id"] == e["src"], "inner")
+        per_label = j.groupBy("_id", "label").agg(
+            F.sort_array(F.collect_list(F.col("edge_id"))).alias("eids")
+        )
+        return per_label.groupBy("_id").agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("label", "eids")))
+            ).alias("m")
+        ).withColumnRenamed("_id", "id")
+
+    def in_e_map(self, *keys: str) -> DataFrame:
+        """``InEMap`` (``step/InEMap.scala:32``) — incoming edges grouped by
+        label per node: ``(id, m: map<label, array<edge_id>>)``."""
+        e = self.graph._edges_for(keys).where(F.col("dst_kind") == "node")
+        cur = self.df.where(F.col("_kind") == "node").select(F.col("_id")).distinct()
+        j = cur.join(e, cur["_id"] == e["dst_id"], "inner")
+        per_label = j.groupBy("_id", "label").agg(
+            F.sort_array(F.collect_list(F.col("edge_id"))).alias("eids")
+        )
+        return per_label.groupBy("_id").agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("label", "eids")))
+            ).alias("m")
+        ).withColumnRenamed("_id", "id")
+
     # -------------------------------------------------------------- terminals
     def to_df(self) -> DataFrame:
         """The traverser stream as a DataFrame (focus + scope columns)."""

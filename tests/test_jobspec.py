@@ -1,0 +1,140 @@
+"""Serialized job-spec entry (SURVEY §3.2): traversals/algorithms arriving
+as JSON documents — the analog of the reference's wire traversals
+(``LibrarianApi.scala:102-121``; rebuild from data ``Traversal.scala:30-43``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from l_space_spark.jobspec import run_job
+
+from conftest import edges_df
+from oracles import zipf_edges
+
+
+def _edges_parquet(spark, tmp_path):
+    path = str(tmp_path / "edges")
+    edges_df(spark, zipf_edges(n_repos=80)).write.parquet(path)
+    return path
+
+
+def test_algorithm_spec_matches_direct_call(spark, tmp_path):
+    from l_space_spark.operators.pagerank import pagerank
+
+    path = _edges_parquet(spark, tmp_path)
+    spec = {
+        "kind": "algorithm",
+        "algorithm": "pagerank",
+        "input": {"edges_parquet": path},
+        "params": {"tol": 0.0, "max_iters": 5},
+        "top_k": 10,
+    }
+    got = {(r["id"], round(r["rank"], 12)) for r in run_job(spark, spec).collect()}
+    direct = pagerank(
+        spark, spark.read.parquet(path), tol=0.0, max_iters=5, resume=False
+    ).state.orderBy(F.desc("rank"), "id").limit(10)
+    want = {(r["id"], round(r["rank"], 12)) for r in direct.collect()}
+    assert got == want
+
+
+def test_algorithm_spec_resumes_from_checkpoint(spark, tmp_path):
+    path = _edges_parquet(spark, tmp_path)
+    ck = str(tmp_path / "ck")
+    spec = {
+        "kind": "algorithm",
+        "algorithm": "connected_components",
+        "input": {"edges_parquet": path},
+        "checkpoint_dir": ck,
+        "resume": True,
+    }
+    first = {tuple(r) for r in run_job(spark, spec).collect()}
+    assert os.path.isdir(ck) and any(
+        n.startswith("state_") for n in os.listdir(ck)
+    )
+    # second run resumes from the converged checkpoint — identical result
+    second = {tuple(r) for r in run_job(spark, spec).collect()}
+    assert first == second
+
+
+def test_output_sink_writes_parquet(spark, tmp_path):
+    path = _edges_parquet(spark, tmp_path)
+    out = str(tmp_path / "out")
+    spec = {
+        "kind": "algorithm",
+        "algorithm": "triangle_count",
+        "input": {"edges_parquet": path},
+        "output": {"path": out, "format": "parquet"},
+    }
+    res = run_job(spark, spec)
+    back = spark.read.parquet(out)
+    assert back.collect() == res.collect()
+
+
+def test_traversal_spec_steps_and_predicates(spark, tmp_path):
+    from l_space_spark.traversal import Graph, P
+
+    path = _edges_parquet(spark, tmp_path)
+    edges = spark.read.parquet(path)
+    g = Graph.from_edgelist(edges)
+
+    spec = {
+        "kind": "traversal",
+        "input": {"edges_parquet": path},
+        "steps": [
+            {"step": "N"},
+            {"step": "id"},
+            {"step": "is", "args": [{"p": "gt", "args": [5]}]},
+            {"step": "count"},
+        ],
+    }
+    got = run_job(spark, spec).collect()[0]["_lng"]  # traverser focus: count → _lng
+    want = g.N().id_().is_(P.gt(5)).count_value()
+    assert got == want
+
+    # sub-traversal argument: vertices with at least one out-neighbor
+    spec2 = {
+        "kind": "traversal",
+        "input": {"edges_parquet": path},
+        "steps": [
+            {"step": "N"},
+            {"step": "where", "args": [{"steps": [{"step": "out"}]}]},
+            {"step": "dedup"},
+            {"step": "count"},
+        ],
+    }
+    got2 = run_job(spark, spec2).collect()[0]["_lng"]
+    want2 = g.N().where(lambda t: t.out()).dedup().count_value()
+    assert got2 == want2
+
+
+def test_catalog_spec_and_json_file(spark, tmp_path):
+    from l_space_spark.queries import QUERIES
+
+    spec_path = str(tmp_path / "spec.json")
+    with open(spec_path, "w") as f:
+        json.dump(
+            {"kind": "catalog", "query": "group_agg_q1",
+             "sf_dir": "/root/testdata/sf0.001"},
+            f,
+        )
+    got = run_job(spark, spec_path).collect()
+    want = QUERIES["group_agg_q1"](spark, "/root/testdata/sf0.001").collect()
+    assert got == want
+
+
+def test_unknown_kind_and_step_rejected(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown job kind"):
+        run_job(spark, {"kind": "nope"})
+    path = _edges_parquet(spark, tmp_path)
+    with pytest.raises(ValueError, match="unknown step"):
+        run_job(spark, {
+            "kind": "traversal",
+            "input": {"edges_parquet": path},
+            "steps": [{"step": "N"}, {"step": "drop_table"}],
+        })

@@ -88,3 +88,41 @@ def test_converged_checkpoint_short_circuits(spark, tmp_path):
     a = {r["id"]: r["rank"] for r in first.state.collect()}
     b = {r["id"]: r["rank"] for r in again.state.collect()}
     assert a == b
+
+
+def test_time_limit_budget(spark):
+    """TimeLimit analog (``step/TimeLimit.scala:45``): completed supersteps
+    within the wall-clock budget are kept; the loop stops before starting
+    one past it, flagged ``timed_out`` (not converged)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from l_space_spark.plans.superstep import SuperstepRunner
+
+    init = spark.range(3).select("id", F.lit(0).alias("x"))
+    bump = lambda s, i: s.withColumn("x", F.col("x") + 1)  # noqa: E731
+
+    # zero budget: no superstep starts
+    res = SuperstepRunner(spark, max_iters=5, tol=-1.0, time_limit_s=0.0).run(
+        init, bump, metric_fn=None
+    )
+    assert res.timed_out and res.iterations == 0 and not res.converged
+
+    # generous budget: unaffected
+    res = SuperstepRunner(spark, max_iters=3, tol=-1.0, time_limit_s=3600).run(
+        init, bump, metric_fn=None
+    )
+    assert not res.timed_out and res.iterations == 3
+    assert res.state.agg(F.max("x")).first()[0] == 3
+
+    # budget spent mid-run: the finished superstep is kept, the next never starts
+    def slow_bump(s, i):
+        time.sleep(0.4)
+        return s.withColumn("x", F.col("x") + 1)
+
+    res = SuperstepRunner(spark, max_iters=5, tol=-1.0, time_limit_s=0.2).run(
+        init, slow_bump, metric_fn=None
+    )
+    assert res.timed_out and res.iterations == 1
+    assert res.state.agg(F.max("x")).first()[0] == 1

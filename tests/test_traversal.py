@@ -470,3 +470,24 @@ def test_repeat_until_collect(g):
         .dedup().out("name").value_set()
     )
     assert names == {"Gray", "Yoshio", "Levi"}
+
+
+def test_out_e_map(g):
+    # OutEMap (step/OutEMap.scala:33): outgoing EDGES grouped by label —
+    # same label shape as out_map, values are edge ids (all distinct)
+    from tests.social_fixture import LEVI
+    rows = g.N().has_id(LEVI).out_e_map().collect()
+    assert len(rows) == 1
+    m = rows[0]["m"]
+    assert set(m.keys()) == {"name", "birthDate", "birthPlace", "balance",
+                             "rate", "address", "knows"}
+    assert len(m["knows"]) == 2
+    eids = [e for v in m.values() for e in v]
+    assert len(set(eids)) == len(eids)
+
+
+def test_in_e_map(g):
+    from tests.social_fixture import CRYSTAL
+    rows = g.N().has_id(CRYSTAL).in_e_map().collect()
+    assert len(rows) == 1
+    assert len(rows[0]["m"]["birthPlace"]) == 2
