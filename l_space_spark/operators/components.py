@@ -14,6 +14,8 @@ Result matches the recursive-CTE min-reachability oracle exactly.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -28,6 +30,37 @@ def undirect(edges: DataFrame) -> DataFrame:
     ).distinct()
 
 
+_EMPTY_MINS = pd.DataFrame(
+    {"dst": pd.Series(dtype="int64"), "nbr_min": pd.Series(dtype="int64")}
+)
+
+
+def _csr_min_kernel(spdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-block partial min of neighbor components: the PageRank gather/
+    reduceat kernel with ``minimum`` instead of ``add`` (same CSR buffers,
+    weights unused)."""
+    from .pagerank import align_to_srcs
+
+    if len(bpdf) == 0 or len(spdf) == 0:
+        return _EMPTY_MINS
+    row = bpdf.iloc[0]
+    srcs = np.frombuffer(row["srcs"], np.int64)
+    if len(srcs) == 0:
+        return _EMPTY_MINS
+    eidx = np.frombuffer(row["eidx"], np.int64)
+    dstu = np.frombuffer(row["dstu"], np.int64)
+    segs = np.frombuffer(row["segs"], np.int64)
+    comp = align_to_srcs(
+        srcs,
+        spdf["id"].to_numpy(np.int64),
+        spdf["component"].to_numpy(np.int64),
+        np.iinfo(np.int64).max,  # src without state → neutral for min
+    )
+    return pd.DataFrame(
+        {"dst": dstu, "nbr_min": np.minimum.reduceat(comp[eidx], segs)}
+    )
+
+
 def connected_components(
     spark: SparkSession,
     edges: DataFrame,
@@ -36,10 +69,19 @@ def connected_components(
     checkpoint_dir: str | None = None,
     num_partitions: int | None = None,
     resume: bool = True,
+    impl: str = "dataframe",
 ) -> SuperstepResult:
     """Returns SuperstepResult with state ``(id long, component long)``.
 
     ``component`` = min vertex id of the (weakly) connected component.
+
+    ``impl="csr"``: the vectorized-kernel path — identical superstep
+    structure, but neighbor minima come from the persisted packed CSR
+    blocks (pagerank.pack_csr_blocks; weights ignored) via a cogroup +
+    ``np.minimum.reduceat`` instead of the join+groupBy. Same crossover
+    economics as PageRank's csr path (wins on dense graphs, see
+    pagerank.py module doc); output is exactly equal either way (min is
+    order-independent — no fp concerns at all here).
     """
     num_partitions = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
@@ -53,17 +95,38 @@ def connected_components(
 
     init = vertices.select("id", F.col("id").alias("component"))
 
+    csr_blocks: DataFrame | None = None
+    if impl == "csr":
+        from .pagerank import pack_csr_blocks
+
+        csr_blocks = pack_csr_blocks(
+            und.withColumn("w", F.lit(1.0)), num_partitions
+        ).persist()
+        csr_blocks.count()  # pack once, before the superstep clock starts
+
     def step(state: DataFrame, i: int) -> DataFrame:
-        # shuffle_hash hint (same rationale as pagerank): broadcasting the
-        # |V|-row state every round serializes on the driver, and the SMJ
-        # alternative re-sorts the |E|-row und cache every round; a shuffled
-        # hash join moves only the state and reuses und's persisted src
-        # partitioning
-        msgs = (
-            state.hint("shuffle_hash").join(und, state["id"] == und["src"])
-            .groupBy("dst")
-            .agg(F.min("component").alias("nbr_min"))
-        )
+        if impl == "csr":
+            p = F.lit(num_partitions)
+            s = state.withColumn(
+                "block", F.pmod(F.xxhash64("id"), p).cast("int")
+            )
+            partial = s.groupBy("block").cogroup(
+                csr_blocks.groupBy("block")
+            ).applyInPandas(_csr_min_kernel, schema="dst long, nbr_min long")
+            msgs = partial.groupBy("dst").agg(
+                F.min("nbr_min").alias("nbr_min")
+            )
+        else:
+            # shuffle_hash hint (same rationale as pagerank): broadcasting
+            # the |V|-row state every round serializes on the driver, and the
+            # SMJ alternative re-sorts the |E|-row und cache every round; a
+            # shuffled hash join moves only the state and reuses und's
+            # persisted src partitioning
+            msgs = (
+                state.hint("shuffle_hash").join(und, state["id"] == und["src"])
+                .groupBy("dst")
+                .agg(F.min("component").alias("nbr_min"))
+            )
         return state.join(msgs.hint("shuffle_hash"),
                           state["id"] == msgs["dst"], "left").select(
             state["id"],
@@ -86,11 +149,13 @@ def connected_components(
         max_iters=max_iters,
         tol=0.0,  # converged when zero vertices changed
         checkpoint_dir=checkpoint_dir,
-        config={"algo": "connected_components"},
+        config={"algo": "connected_components", "impl": impl},
     )
     result = runner.run(init, step, metric_fn=changed_count, resume=resume)
     und.unpersist()
     vertices.unpersist()
+    if csr_blocks is not None:
+        csr_blocks.unpersist()
     return result
 
 

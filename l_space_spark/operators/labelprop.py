@@ -15,11 +15,56 @@ label. Convergence: number of vertices whose label changed == 0, or
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.superstep import SuperstepRunner, SuperstepResult
 from .components import undirect
+
+_EMPTY_COUNTS = pd.DataFrame(
+    {"vid": pd.Series(dtype="int64"), "label": pd.Series(dtype="int64"),
+     "cnt": pd.Series(dtype="int64")}
+)
+
+
+def _csr_count_kernel(spdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-block partial neighbor-label counts ``(vid, label, cnt)`` —
+    the PageRank gather kernel with a run-length count over the lexsorted
+    (dst, label) pairs instead of ``add.reduceat``. The final per-vertex
+    count sum + argmax stays JVM-side, so the map-side pre-aggregation
+    bounds hot vertices exactly like the dataframe path's partial agg."""
+    from .pagerank import align_to_srcs
+
+    if len(bpdf) == 0 or len(spdf) == 0:
+        return _EMPTY_COUNTS
+    row = bpdf.iloc[0]
+    srcs = np.frombuffer(row["srcs"], np.int64)
+    if len(srcs) == 0:
+        return _EMPTY_COUNTS
+    eidx = np.frombuffer(row["eidx"], np.int64)
+    dstu = np.frombuffer(row["dstu"], np.int64)
+    segs = np.frombuffer(row["segs"], np.int64)
+    lab = align_to_srcs(
+        srcs,
+        spdf["id"].to_numpy(np.int64),
+        spdf["label"].to_numpy(np.int64),
+        np.int64(0),  # unreachable: state covers every vertex incl. all srcs
+    )
+    vals = lab[eidx]  # neighbor label per edge, dst-segment order
+    counts_per_dst = np.diff(np.append(segs, len(vals)))
+    dpos = np.repeat(np.arange(len(dstu), dtype=np.int64), counts_per_dst)
+    order = np.lexsort((vals, dpos))
+    dp, lv = dpos[order], vals[order]
+    change = np.empty(len(dp), dtype=bool)
+    change[0] = True
+    change[1:] = (dp[1:] != dp[:-1]) | (lv[1:] != lv[:-1])
+    starts = np.flatnonzero(change)
+    cnt = np.diff(np.append(starts, len(dp)))
+    return pd.DataFrame(
+        {"vid": dstu[dp[starts]], "label": lv[starts], "cnt": cnt}
+    )
 
 
 def label_propagation(
@@ -31,8 +76,14 @@ def label_propagation(
     checkpoint_dir: str | None = None,
     num_partitions: int | None = None,
     resume: bool = True,
+    impl: str = "dataframe",
 ) -> SuperstepResult:
-    """Returns SuperstepResult with state ``(id long, label long)``."""
+    """Returns SuperstepResult with state ``(id long, label long)``.
+
+    ``impl="csr"``: neighbor-label counts come from the persisted packed
+    CSR blocks (_csr_count_kernel) instead of the join+groupBy; the
+    argmax (max count, min label) is identical, so the result is exactly
+    equal — integer counts, no fp involved."""
     num_partitions = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
@@ -45,17 +96,37 @@ def label_propagation(
 
     init = vertices.select("id", F.col("id").alias("label"))
 
+    csr_blocks: DataFrame | None = None
+    if impl == "csr":
+        from .pagerank import pack_csr_blocks
+
+        csr_blocks = pack_csr_blocks(
+            und.withColumn("w", F.lit(1.0)), num_partitions
+        ).persist()
+        csr_blocks.count()
+
     def step(state: DataFrame, i: int) -> DataFrame:
-        # shuffle_hash: move only the |V|-row state; reuse und's persisted
-        # src partitioning (see components.py step for the full rationale)
-        nbr_labels = state.hint("shuffle_hash").join(
-            und, state["id"] == und["src"]
-        ).select(
-            F.col("dst").alias("vid"), "label"
-        )
-        counts = nbr_labels.groupBy("vid", "label").agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
+        if impl == "csr":
+            p = F.lit(num_partitions)
+            s = state.withColumn(
+                "block", F.pmod(F.xxhash64("id"), p).cast("int")
+            )
+            counts = s.groupBy("block").cogroup(
+                csr_blocks.groupBy("block")
+            ).applyInPandas(
+                _csr_count_kernel, schema="vid long, label long, cnt long"
+            ).groupBy("vid", "label").agg(F.sum("cnt").alias("cnt"))
+        else:
+            # shuffle_hash: move only the |V|-row state; reuse und's
+            # persisted src partitioning (see components.py step)
+            nbr_labels = state.hint("shuffle_hash").join(
+                und, state["id"] == und["src"]
+            ).select(
+                F.col("dst").alias("vid"), "label"
+            )
+            counts = nbr_labels.groupBy("vid", "label").agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
         best = counts.groupBy("vid").agg(
             F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m")
         ).select("vid", (-F.col("m.neg")).alias("new_label"))
@@ -78,11 +149,14 @@ def label_propagation(
         max_iters=max_iters,
         tol=-1.0 if fixed_iters else 0.0,
         checkpoint_dir=checkpoint_dir,
-        config={"algo": "label_propagation", "fixed": fixed_iters},
+        config={"algo": "label_propagation", "fixed": fixed_iters,
+                "impl": impl},
     )
     result = runner.run(
         init, step, metric_fn=None if fixed_iters else changed_count, resume=resume
     )
     und.unpersist()
     vertices.unpersist()
+    if csr_blocks is not None:
+        csr_blocks.unpersist()
     return result

@@ -207,6 +207,20 @@ def pack_csr_blocks(links: DataFrame, num_partitions: int,
     )
 
 
+def align_to_srcs(
+    srcs: np.ndarray, ids: np.ndarray, vals: np.ndarray, fill
+) -> np.ndarray:
+    """Scatter per-vertex state values onto the block's sorted ``srcs``
+    (state covers every id in the block, including dst-only vertices —
+    those are dropped; srcs without a state row get ``fill``)."""
+    pos = np.searchsorted(srcs, ids)
+    pos_c = np.minimum(pos, len(srcs) - 1)
+    mask = srcs[pos_c] == ids
+    out = np.full(len(srcs), fill, dtype=vals.dtype)
+    out[pos_c[mask]] = vals[mask]
+    return out
+
+
 def _csr_kernel(rpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
     if len(bpdf) == 0 or len(rpdf) == 0:
         return _EMPTY_CONTRIBS
@@ -220,13 +234,7 @@ def _csr_kernel(rpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
     segs = np.frombuffer(row["segs"], np.int64)
     ids = rpdf["id"].to_numpy(np.int64)
     rv = rpdf["rank"].to_numpy(np.float64)
-    # align this block's ranks to srcs (ranks cover every id in the block,
-    # including dst-only vertices — drop those)
-    pos = np.searchsorted(srcs, ids)
-    pos_c = np.minimum(pos, len(srcs) - 1)
-    mask = srcs[pos_c] == ids
-    r = np.zeros(len(srcs), dtype=np.float64)
-    r[pos_c[mask]] = rv[mask]
+    r = align_to_srcs(srcs, ids, rv, 0.0)
     if row["per_edge"]:
         vals = r[eidx] * wts          # wts is float64[E], dst-sorted
     else:

@@ -223,3 +223,37 @@ def test_kcore_matches_oracle(spark, pairs, k):
     res = kcore(spark, edges_df(spark, pairs), k=k, resume=False)
     got = {r["id"]: r["core_deg"] for r in res.state.collect()}
     assert got == _kcore_oracle_py(pairs, k)
+
+
+@given(pairs=edge_lists)
+@settings(**SETTINGS)
+def test_components_csr_matches_oracle(spark, pairs):
+    """CSR hash-min CC (cogroup + np.minimum.reduceat over packed blocks)
+    must equal the union-find oracle AND the dataframe path exactly —
+    integer min, no fp concerns."""
+    if not _has_real_edge(pairs):
+        pairs = pairs + [(0, 1)]
+    e = edges_df(spark, pairs)
+    want = components_oracle(pairs)
+    got = {r["id"]: r["component"]
+           for r in connected_components(
+               spark, e, impl="csr", num_partitions=4, resume=False
+           ).state.collect()}
+    assert got == want
+
+
+@given(pairs=edge_lists, iters=st.integers(1, 4))
+@settings(**SETTINGS)
+def test_labelprop_csr_matches_oracle(spark, pairs, iters):
+    """CSR LP (per-block run-length label counts + JVM-side argmax) must
+    equal the synchronous min-tie-break oracle exactly."""
+    from l_space_spark.operators.labelprop import label_propagation
+    from oracles import labelprop_oracle
+
+    if not _has_real_edge(pairs):
+        pairs = pairs + [(0, 1)]
+    res = label_propagation(spark, edges_df(spark, pairs), max_iters=iters,
+                            fixed_iters=True, impl="csr", num_partitions=4,
+                            resume=False)
+    got = {r["id"]: r["label"] for r in res.state.collect()}
+    assert got == labelprop_oracle(pairs, iters=iters)
