@@ -99,7 +99,8 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
     from .operators.pagerank import pagerank
     from .operators.triangles import triangle_list, triangles_per_vertex
 
-    edges = _edges_from_input(spark, spec.get("input", {}))
+    inp = spec.get("input", {})
+    edges = _edges_from_input(spark, inp)
     params = dict(spec.get("params", {}))
     ckpt = spec.get("checkpoint_dir")
     resume = bool(spec.get("resume", True))
@@ -114,6 +115,21 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
         "kcore": kcore,
     }
     if algo in supersteps:
+        if ckpt:
+            # pin the input snapshot into the checkpoint config hash: a
+            # resume against a silently changed input (new snapshot /
+            # replaced files) is refused instead of mixing states
+            # (SURVEY §4.1 — the Transaction/`mit` moment-in-time analog)
+            from .sources import table_fingerprint
+
+            ref = inp.get("table") or next(
+                (v for k, v in inp.items() if k.endswith("_parquet")), None
+            )
+            if ref is not None:
+                params["config_extra"] = {
+                    **params.get("config_extra", {}),
+                    "input_snapshot": table_fingerprint(spark, ref),
+                }
         res = supersteps[algo](
             spark, edges, checkpoint_dir=ckpt, resume=resume, **params
         )

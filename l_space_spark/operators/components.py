@@ -70,6 +70,7 @@ def connected_components(
     num_partitions: int | None = None,
     resume: bool = True,
     impl: str = "dataframe",
+    config_extra: dict | None = None,
 ) -> SuperstepResult:
     """Returns SuperstepResult with state ``(id long, component long)``.
 
@@ -149,7 +150,8 @@ def connected_components(
         max_iters=max_iters,
         tol=0.0,  # converged when zero vertices changed
         checkpoint_dir=checkpoint_dir,
-        config={"algo": "connected_components", "impl": impl},
+        config={"algo": "connected_components", "impl": impl,
+                **(config_extra or {})},
     )
     result = runner.run(init, step, metric_fn=changed_count, resume=resume)
     und.unpersist()
@@ -173,6 +175,7 @@ def connected_components_star(
     checkpoint_dir: str | None = None,
     num_partitions: int | None = None,
     resume: bool = True,
+    config_extra: dict | None = None,
 ) -> SuperstepResult:
     """Connected components via alternating large-star/small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -236,7 +239,7 @@ def connected_components_star(
         max_iters=max_iters,
         tol=0.0,
         checkpoint_dir=checkpoint_dir,
-        config={"algo": "connected_components_star"},
+        config={"algo": "connected_components_star", **(config_extra or {})},
     )
     res = runner.run(base, step, metric_fn=sym_diff, resume=resume)
     # final edge set is a star forest: every (u, v) has u = component min

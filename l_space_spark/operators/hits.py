@@ -33,6 +33,7 @@ def hits(
     checkpoint_dir: str | None = None,
     num_partitions: int | None = None,
     resume: bool = True,
+    config_extra: dict | None = None,
 ) -> SuperstepResult:
     """Returns SuperstepResult with state ``(id long, hub double, auth
     double)``. ``tol <= 0`` = fixed-iteration (oracle-comparable) mode."""
@@ -102,7 +103,8 @@ def hits(
         max_iters=max_iters,
         tol=tol if not fixed_iters else -1.0,
         checkpoint_dir=checkpoint_dir,
-        config={"algo": "hits", "fixed_iters": max_iters if fixed_iters else None},
+        config={"algo": "hits", "fixed_iters": max_iters if fixed_iters else None,
+                **(config_extra or {})},
     )
     result = runner.run(
         init, step, metric_fn=None if fixed_iters else l1_delta, resume=resume

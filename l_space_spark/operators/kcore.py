@@ -31,6 +31,7 @@ def kcore(
     checkpoint_dir: str | None = None,
     num_partitions: int | None = None,
     resume: bool = True,
+    config_extra: dict | None = None,
 ) -> SuperstepResult:
     """Returns SuperstepResult with state ``(id long, core_deg long)`` —
     the members of the k-core with their degree inside it. ``fixed_iters``
@@ -79,7 +80,7 @@ def kcore(
         max_iters=max_iters,
         tol=0.0,
         checkpoint_dir=checkpoint_dir,
-        config={"algo": "kcore", "k": k,
+        config={"algo": "kcore", "k": k, **(config_extra or {}),
                 "fixed_iters": max_iters if fixed_iters else None},
     )
     result = runner.run(

@@ -77,6 +77,7 @@ def label_propagation(
     num_partitions: int | None = None,
     resume: bool = True,
     impl: str = "dataframe",
+    config_extra: dict | None = None,
 ) -> SuperstepResult:
     """Returns SuperstepResult with state ``(id long, label long)``.
 
@@ -150,7 +151,7 @@ def label_propagation(
         tol=-1.0 if fixed_iters else 0.0,
         checkpoint_dir=checkpoint_dir,
         config={"algo": "label_propagation", "fixed": fixed_iters,
-                "impl": impl},
+                "impl": impl, **(config_extra or {})},
     )
     result = runner.run(
         init, step, metric_fn=None if fixed_iters else changed_count, resume=resume

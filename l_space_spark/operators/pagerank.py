@@ -271,6 +271,7 @@ def pagerank(
     seeds: DataFrame | None = None,
     weight_col: str | None = None,
     time_limit_s: float | None = None,
+    config_extra: dict | None = None,
 ) -> SuperstepResult:
     """Run PageRank to convergence (or exactly ``max_iters`` when ``tol <= 0``).
 
@@ -427,6 +428,7 @@ def pagerank(
                 verts_tp.where(F.col("tp") > 0).count()
             ),
             "weight_col": weight_col,
+            **(config_extra or {}),
         },
         time_limit_s=time_limit_s,
     )

@@ -3,13 +3,24 @@
 The reference's storage layer proves that a graph at scale is a partitioned
 edge table (Cassandra provider's sharded edge tables,
 ``store/cassandra/.../CassandraGraphTables.scala:7-21``); these helpers derive
-deterministic edge tables from relational inputs. An Iceberg catalog would
-swap ``spark.read.parquet`` for ``spark.table`` — same layout, partition
-pruning + snapshots for free (SURVEY §4.1).
+deterministic edge tables from relational inputs.
+
+**Catalog tables** (the ``G`` step's graph select, SURVEY §2.1): every
+loader accepts either a parquet directory OR a ``table:<database>`` ref —
+the latter resolves through ``spark.table(database.name)``, which is the
+Iceberg-ready path: on a real lakehouse the same ref hits
+``catalog.db.table`` and gains partition-transform pruning, snapshots/
+time-travel, and MERGE row-level deletes; in this sandbox
+``register_tables`` registers the parquet files as external catalog tables
+(same scans, same pushdown — plan-pinned in tests/test_plans.py), and
+``table_fingerprint`` stands in for the snapshot id (pinned into superstep
+checkpoint meta by the job-spec runner so a resume refuses silently
+changed inputs).
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -20,9 +31,58 @@ TABLES = (
     "embeddings"
 ).split()
 
+CATALOG_SCHEME = "table:"
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if sf_dir.startswith(CATALOG_SCHEME):
+        db = sf_dir[len(CATALOG_SCHEME):]
+        return spark.table(f"{db}.{name}" if db else name)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    database: str = "lspace",
+    tables: tuple[str, ...] | list[str] = TABLES,
+) -> str:
+    """Register the parquet tables of ``sf_dir`` as EXTERNAL catalog tables
+    and return the ``table:<database>`` ref that ``load`` resolves through
+    ``spark.table``. On Iceberg this is ``CREATE TABLE … USING iceberg``
+    (or just pointing at an existing catalog); the external-parquet form
+    keeps identical scans (pushdown + pruning verified in test_plans.py).
+    """
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    for t in tables:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        spark.sql(f"DROP TABLE IF EXISTS {database}.{t}")
+        spark.catalog.createTable(f"{database}.{t}", path=path,
+                                  source="parquet")
+    return f"{CATALOG_SCHEME}{database}"
+
+
+def table_fingerprint(spark: SparkSession, ref: str) -> str:
+    """Input-snapshot pin for checkpoint meta (SURVEY §4.1 Transaction/
+    time-travel analog). Iceberg tables answer with their current snapshot
+    id (the ``.snapshots`` metadata table); plain parquet — path or
+    catalog table — falls back to a digest of the sorted file listing,
+    which changes whenever files are added/replaced/compacted."""
+    if "/" not in ref and not os.path.exists(ref):
+        try:  # Iceberg: real snapshot id
+            row = spark.sql(
+                f"SELECT snapshot_id FROM {ref}.snapshots "
+                f"ORDER BY committed_at DESC LIMIT 1"
+            ).first()
+            if row is not None:
+                return f"iceberg:{row[0]}"
+        except Exception:
+            pass
+        df = spark.table(ref)
+    else:
+        df = spark.read.parquet(ref)
+    files = "\n".join(sorted(df.inputFiles()))
+    return "files:" + hashlib.sha256(files.encode()).hexdigest()[:16]
 
 
 def customer_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,3 +221,27 @@ def delete_where(spark: SparkSession, path: str, condition) -> int:
     shutil.move(staging, path)
     shutil.rmtree(backup)
     return total - n_kept
+
+
+def delete_where_table(spark: SparkSession, table: str,
+                       condition_sql: str) -> int:
+    """Drop-step sink for CATALOG tables. On a v2/Iceberg catalog this is a
+    native ``DELETE FROM`` (position/equality deletes — no rewrite, the
+    scale path); file-based parquet tables reject row-level SQL, so the
+    fallback resolves the table's location and reuses the copy-on-write
+    path swap (``delete_where``), then refreshes the catalog entry.
+    Returns rows deleted."""
+    total = spark.table(table).count()
+    try:
+        spark.sql(f"DELETE FROM {table} WHERE {condition_sql}")
+        return total - spark.table(table).count()
+    except Exception:
+        pass  # not a v2 table → copy-on-write fallback below
+    loc = next(
+        r for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+        if r["col_name"].strip() == "Location"
+    )["data_type"]
+    path = loc.removeprefix("file:")
+    n = delete_where(spark, path, F.expr(condition_sql))
+    spark.sql(f"REFRESH TABLE {table}")
+    return n
