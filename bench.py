@@ -51,10 +51,24 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # untimed warmup: JIT the codegen/shuffle/parquet paths once so the
-    # first timed query doesn't absorb ~10 s of JVM compilation
+    # first timed query doesn't absorb ~10 s of JVM compilation, and spin
+    # up the per-core Python worker pool + Arrow serializers so the first
+    # mapInPandas/cogroup stage doesn't pay daemon fork + import costs
     from pyspark.sql import functions as F
     spark.range(0, 5_000_000, 1, 8).groupBy(F.pmod("id", F.lit(97))).count().collect()
     spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).count()
+    n_workers = os.cpu_count() or 32
+    spark.range(0, n_workers * 4, 1, n_workers * 4).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+    # … and the superstep path itself (shuffled-hash join codegen,
+    # localCheckpoint, broadcast-scalar subplan) on a throwaway 1k-edge
+    # graph, so the first timed query measures the work, not the JIT
+    tiny = spark.range(0, 1000).select(
+        F.pmod(F.xxhash64("id"), F.lit(200)).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(200)).alias("dst"),
+    )
+    pagerank(spark, tiny, tol=-1.0, max_iters=2, resume=False).state.count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
