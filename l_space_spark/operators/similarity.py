@@ -131,6 +131,46 @@ def hyperplane_lsh_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.995,
+    bits: int = 8,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantize: int = 6,
+) -> DataFrame:
+    """(a, b, sim) — near-duplicate vector pairs with quantized cosine ≥
+    ``threshold``, candidates restricted to the same hyperplane LSH bucket.
+
+    The embedding-space sibling of MinHash-LSH text dedup: candidate
+    generation is a bucket EQUI-join (O(N) shuffle on the sketch — near-dup
+    vectors agree on almost every hyperplane sign, so recall at high
+    thresholds is high), followed by an exact cosine verify. No cartesian
+    product anywhere; same plan at 100 TB. The sketch is hash-derived and
+    data-independent, so the catalog carries an exact SQL oracle for this
+    approximate index (inlined sign literals, queries.py)."""
+    base = embeddings.select(
+        F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v"))).withColumn(
+        "bucket", hyperplane_sketch(F.col("v"), bits, dims)
+    )
+    a = base.select(F.col("id").alias("a"), F.col("v").alias("av"),
+                    F.col("nrm").alias("an"), "bucket")
+    b = base.select(F.col("id").alias("b"), F.col("v").alias("bv"),
+                    F.col("nrm").alias("bn"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.round(dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")),
+                    quantize).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+
+
 def _vec_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return df.select(
         F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")

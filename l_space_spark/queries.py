@@ -658,6 +658,59 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# GPT-2-style pre-tokenizer, RE2-compatible subset (no lookahead, no
+# contraction alternates — both Java regex and DuckDB's RE2 must agree):
+# a token is an optionally space-prefixed letter run, digit run, or
+# punctuation run; residual whitespace runs count as their own tokens.
+_BPE_RE = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+@register(
+    "token_count_styles",
+    rf"""
+WITH t AS (
+  SELECT doc_id,
+         source || ': ' || text || ' (v1.0, #' || n_chars::VARCHAR || ')' AS x
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(list_filter(string_split_regex(x, '\s+'), s -> s <> ''))
+       AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(x, ' ?\p{{L}}+| ?\p{{N}}+| ?[^\s\p{{L}}\p{{N}}]+|\s+'))
+       AS BIGINT) AS bpe_tokens,
+  CAST(len(regexp_extract_all(lower(x), '[a-z0-9]+')) AS BIGINT) AS alnum_tokens
+FROM t ORDER BY doc_id
+""".strip(),
+)
+def q_token_count_styles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways (the training-data budgeting primitive):
+    whitespace splitting, a BPE-ish GPT-2-style pre-tokenizer regex (the
+    cheap proxy for real BPE token counts — linear in text, pure Catalyst,
+    and a good estimator because BPE merges only ever split pre-tokens),
+    and the alnum tokenizer the dedup tier uses. The synthetic corpus is
+    pure space-separated words (all three would agree trivially), so the
+    counted text is a deterministic composite — "source: text (v1.0, #N)"
+    — with punctuation and mixed letter/digit runs where the three
+    tokenizers genuinely diverge. All JVM-side regexes; identical
+    RE2-compatible patterns run in the DuckDB oracle."""
+    d = load(spark, sf_dir, "documents")
+    x = F.concat(
+        F.col("source"), F.lit(": "), F.col("text"), F.lit(" (v1.0, #"),
+        F.col("n_chars").cast("string"), F.lit(")"),
+    )
+    ws = F.filter(F.split(x, r"\s+"), lambda t: t != "")
+    return d.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(x, F.lit(_BPE_RE), 0)
+        ).cast("long").alias("bpe_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower(x), F.lit("[a-z0-9]+"), 0)
+        ).cast("long").alias("alnum_tokens"),
+    ).orderBy("doc_id")
+
+
 _STOPWORDS = ["a", "the", "and", "of", "to", "in", "is", "it"]
 
 
@@ -965,6 +1018,60 @@ ranked AS (
 SELECT query_id, neighbor, CAST(rnk AS BIGINT) AS rnk
 FROM ranked WHERE rnk <= {TOPK_EMB} ORDER BY query_id, rnk
 """.strip()
+
+
+# the driver's synthetic embeddings are near-orthogonal (in-bucket max
+# cosine ≈ 0.43 at sf0.001), so a production-style 0.99 near-dup threshold
+# would select zero pairs and the oracle would pass trivially; 0.35 sits in
+# the distribution's upper tail and yields a small non-empty pair set at
+# every sf (8 / 7 / 95 pairs) — the operator and verify path do real work
+NEAR_DUP_SIM = 0.35
+
+
+def _near_dup_oracle() -> str:
+    projs = []
+    for j in range(ANN_BITS):
+        signs = [
+            1.0 if _hash60_py(f"{j}:{i}") % 2 == 0 else -1.0
+            for i in range(ANN_DIMS)
+        ]
+        arr = "[" + ",".join(str(s) for s in signs) + "]"
+        projs.append(
+            f"CASE WHEN list_inner_product(v, {arr}::DOUBLE[]) > 0"
+            f" THEN {1 << j} ELSE 0 END"
+        )
+    bucket = " + ".join(projs)
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+bucketed AS MATERIALIZED (
+  SELECT id, v, nrm, CAST({bucket} AS BIGINT) AS bucket FROM base
+)
+SELECT a.id AS a, b.id AS b,
+       round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.id < b.id
+WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= {NEAR_DUP_SIM}
+ORDER BY a, b
+""".strip()
+
+
+@register("dedup_embedding_cosine", _near_dup_oracle())
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (the fifth dedup tier beside exact /
+    Jaccard / MinHash-LSH / SimHash): hyperplane-LSH bucket equi-join +
+    exact cosine verify (operators/similarity.embedding_near_dup_pairs) —
+    sub-quadratic, no cartesian product; exact SQL oracle from the inlined
+    data-independent sketch signs. Threshold tuned to the synthetic
+    corpus's similarity range (see NEAR_DUP_SIM note)."""
+    from .operators.similarity import embedding_near_dup_pairs
+
+    e = load(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        e, threshold=NEAR_DUP_SIM, bits=ANN_BITS, dims=ANN_DIMS
+    ).orderBy("a", "b")
 
 
 @register("ann_lsh_topk", _ann_oracle())

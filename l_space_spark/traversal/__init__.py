@@ -262,6 +262,18 @@ class Graph:
         )
         return Traversal(self, df)
 
+    def R(self) -> "Traversal":
+        """Scan ALL resources — nodes ∪ edges ∪ values. Reference ``R``
+        (``step/R.scala:38``) exists in the model but is UNWIRED in its
+        local guides (commented out of the DSL, ``Traversal.scala:105-107``);
+        the relational encoding makes it a trivial union of the three scans
+        (edge-focus columns null for non-edges)."""
+        n, e, v = self.N().df, self.E().df, self.V().df
+        out = n.unionByName(e, allowMissingColumns=True).unionByName(
+            v, allowMissingColumns=True
+        )
+        return Traversal(self, out)
+
     def V(self) -> "Traversal":
         """Scan all distinct literal values — reference ``V``
         (``SyncGuide.scala:120-149``); dedup mirrors value-identity

@@ -491,3 +491,13 @@ def test_in_e_map(g):
     rows = g.N().has_id(CRYSTAL).in_e_map().collect()
     assert len(rows) == 1
     assert len(rows[0]["m"]["birthPlace"]) == 2
+
+
+def test_R_scans_all_resources(g):
+    # R (step/R.scala:38, unwired even in the reference): nodes ∪ edges ∪ values
+    n = g.N().count_value()
+    e = g.E().count_value()
+    v = g.V().count_value()
+    assert g.R().count_value() == n + e + v
+    kinds = {r["_kind"] for r in g.R().to_df().select("_kind").distinct().collect()}
+    assert "node" in kinds and "edge" in kinds and len(kinds) > 2
