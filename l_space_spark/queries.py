@@ -1121,6 +1121,28 @@ ORACLES["simhash_close_pairs"] = ORACLES["simhash_close_pairs"].replace(
 
 
 @register(
+    "kafka_payload_encode",
+    """
+SELECT n_nationkey::VARCHAR AS key,
+       to_json(struct_pack(n_nationkey := n_nationkey, n_name := n_name,
+                           n_regionkey := n_regionkey)) AS value
+FROM nation ORDER BY key
+""".strip(),
+)
+def q_kafka_payload_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-sink payload encoding (streaming.kafka_payload): each nation
+    row JSON-encoded JVM-side into the (key, value) shape the Kafka writer
+    ships — the reference's JSON-LD-into-Kafka producer analog
+    (``LspaceKafkaProducer.scala:5-28``). The broker write itself needs the
+    kafka connector + a broker (absent in this sandbox); the encoding is
+    the engine-side half and is exactly reproducible in SQL."""
+    from .streaming import kafka_payload
+
+    n = load(spark, sf_dir, "nation")
+    return kafka_payload(n, key_col="n_nationkey").orderBy("key")
+
+
+@register(
     "events_hourly_windows",
     """
 SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -108,6 +108,43 @@ def run_available_now_to_memory(stream_df: DataFrame, name: str,
     return q
 
 
+# ---- Kafka sink ----------------------------------------------------------
+
+def kafka_payload(df: DataFrame, key_col: str | None = None,
+                  include_cols: list[str] | None = None) -> DataFrame:
+    """(key, value) frame ready for a Kafka sink — the engine-side analog
+    of the reference's JSON-LD node encoding into its Kafka producer
+    (``store/kafka/.../LspaceKafkaProducer.scala:5-28``): ``value`` is the
+    compact JSON of the row struct (JVM-side ``to_json``, column order =
+    ``include_cols`` or the frame's order), ``key`` the partition key (row
+    identity — Kafka then keeps per-key order, the same per-resource
+    ordering the reference's producer relies on)."""
+    cols = list(include_cols or df.columns)
+    value = F.to_json(F.struct(*[F.col(c) for c in cols]))
+    key = (F.col(key_col).cast("string") if key_col
+           else F.lit(None).cast("string"))
+    return df.select(key.alias("key"), value.alias("value"))
+
+
+def write_stream_kafka(df: DataFrame, topic: str, bootstrap_servers: str,
+                       checkpoint_dir: str, key_col: str | None = None):
+    """Configured (not started) Kafka streaming sink for the JSON payload.
+
+    Requires ``spark-sql-kafka`` on the classpath and a broker — neither
+    exists in this sandbox, so ``kafka_payload`` is the tested half and
+    this wiring is exercised against a real cluster; call ``.start()`` on
+    the returned writer there. Batch twin: ``kafka_payload(df).write
+    .format("kafka")…`` with the same options minus the checkpoint."""
+    payload = kafka_payload(df, key_col)
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
+
 # ---- custom stateful operator: sessionization ---------------------------
 
 SESSION_SCHEMA = (

@@ -108,3 +108,33 @@ def test_sessionize_stateful_matches_batch_twin(spark, tmp_path):
     assert got.count() == closed_batch.count()
     assert got.exceptAll(closed_batch).count() == 0
     assert got.count() > 0
+
+
+def test_kafka_payload_roundtrip_and_writer_config(spark, tmp_path):
+    """Kafka sink: the JSON payload half round-trips through from_json
+    (value is the full row, key the partition identity); the streaming
+    writer configures format/topic/checkpoint without needing a broker."""
+    from pyspark.sql import functions as F
+
+    from l_space_spark.streaming import (
+        kafka_payload, stream_repos_from_files, write_stream_kafka,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    )
+    p = kafka_payload(df, key_col="id")
+    assert p.columns == ["key", "value"]
+    back = p.select(
+        F.col("key"),
+        F.from_json(F.col("value"), "id long, name string").alias("r"),
+    ).select("key", "r.id", "r.name")
+    assert {tuple(r) for r in back.collect()} == {("1", 1, "a"), ("2", 2, "b")}
+
+    # writer wiring (construction only — no kafka jar/broker in sandbox)
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    stream = stream_repos_from_files(spark, src)  # any stream df works
+    w = write_stream_kafka(stream, topic="t", bootstrap_servers="b:9092",
+                           checkpoint_dir=str(tmp_path / "ck"))
+    assert w is not None  # configured DataStreamWriter
