@@ -115,6 +115,12 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
         "kcore": kcore,
     }
     if algo in supersteps:
+        if algo == "pagerank" and isinstance(params.get("seeds"), list):
+            # personalized PageRank over the wire: seeds arrive as a JSON
+            # id list and become the teleport-seed DataFrame
+            params["seeds"] = spark.createDataFrame(
+                [(int(s),) for s in params["seeds"]], "id long"
+            )
         if ckpt:
             # pin the input snapshot into the checkpoint config hash: a
             # resume against a silently changed input (new snapshot /

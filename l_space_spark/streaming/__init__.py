@@ -174,54 +174,25 @@ def sessionize_stateful(
     lag + running-sum window, and the streaming test asserts the drained
     closed sessions equal the batch result minus each user's open tail.
 
-    Ordering: events are sorted per micro-batch; across batches the file
-    source preserves file order. In production feed this from an
-    event-time-ordered source or add a watermark-based reorder stage.
+    Ordering contract: WITHIN a micro-batch the kernel is order-proof —
+    all of a group's Arrow chunks are concatenated and sorted once
+    (driven end-to-end: 3 shuffled files in one batch reproduce the batch
+    twin exactly). ACROSS micro-batches ordering is the source's job: the
+    file source orders batches by modification time with arbitrary
+    tie-breaks, so in production feed an event-time-ordered source (e.g.
+    Kafka keyed by user) or add a watermark-based reorder stage before
+    this operator.
     """
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    import functools
 
-    gap_us = int(gap_seconds) * 1_000_000
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
-    def fn(key, pdfs, state: GroupState):
-        closed: list[tuple[int, int, int, int]] = []
-        (uid,) = key
-        if state.exists:
-            start_us, last_us, n = state.get
-        else:
-            start_us, last_us, n = None, None, 0
-        # applyInPandasWithState may deliver ONE group's rows as SEVERAL
-        # Arrow chunks; sorting each chunk independently would let an
-        # out-of-order event at a chunk boundary silently extend a session
-        # (or move session_end backwards). Concatenate, then sort ONCE per
-        # group — state stays three longs, only this micro-batch's rows of
-        # the group are ever in memory at once.
-        chunks = [pdf for pdf in pdfs if len(pdf)]
-        if chunks:
-            pdf = pd.concat(chunks, ignore_index=True).sort_values(
-                [ts_col, order_col]
-            )
-            ts_us = pdf[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
-            for t in ts_us:
-                t = int(t)
-                if last_us is None:
-                    start_us, last_us, n = t, t, 1
-                elif t - last_us > gap_us:
-                    closed.append((uid, start_us, last_us, n))
-                    start_us, last_us, n = t, t, 1
-                else:
-                    last_us, n = t, n + 1
-        if last_us is not None:
-            state.update((start_us, last_us, n))
-        if closed:
-            out = pd.DataFrame(
-                closed,
-                columns=["user_id", "session_start", "session_end", "n_events"],
-            )
-            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
-            out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
-            yield out
-
+    fn = functools.partial(
+        _sessionize_group,
+        gap_us=int(gap_seconds) * 1_000_000,
+        ts_col=ts_col,
+        order_col=order_col,
+    )
     return (
         events.select(user_col, ts_col, order_col)
         .groupBy(user_col)
@@ -233,3 +204,48 @@ def sessionize_stateful(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def _sessionize_group(key, pdfs, state, *, gap_us: int, ts_col: str,
+                      order_col: str):
+    """Per-group sessionization kernel (module-level so the cross-chunk
+    ordering contract is directly unit-testable with a fake GroupState)."""
+    import pandas as pd
+
+    closed: list[tuple[int, int, int, int]] = []
+    (uid,) = key
+    if state.exists:
+        start_us, last_us, n = state.get
+    else:
+        start_us, last_us, n = None, None, 0
+    # applyInPandasWithState may deliver ONE group's rows as SEVERAL
+    # Arrow chunks; sorting each chunk independently would let an
+    # out-of-order event at a chunk boundary silently extend a session
+    # (or move session_end backwards). Concatenate, then sort ONCE per
+    # group — state stays three longs, only this micro-batch's rows of
+    # the group are ever in memory at once.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            [ts_col, order_col]
+        )
+        ts_us = pdf[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        for t in ts_us:
+            t = int(t)
+            if last_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > gap_us:
+                closed.append((uid, start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = t, n + 1
+    if last_us is not None:
+        state.update((start_us, last_us, n))
+    if closed:
+        out = pd.DataFrame(
+            closed,
+            columns=["user_id", "session_start", "session_end", "n_events"],
+        )
+        out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+        out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+        yield out

@@ -138,3 +138,43 @@ def test_unknown_kind_and_step_rejected(spark, tmp_path):
             "input": {"edges_parquet": path},
             "steps": [{"step": "N"}, {"step": "drop_table"}],
         })
+
+
+def test_personalized_and_weighted_pagerank_specs(spark, tmp_path):
+    from l_space_spark.operators.pagerank import pagerank
+
+    path = str(tmp_path / "we")
+    edges_df(spark, zipf_edges(n_repos=60)).withColumn(
+        "w", (F.pmod(F.xxhash64("src", "dst"), F.lit(5)) + 1).cast("double")
+    ).write.parquet(path)
+    e = spark.read.parquet(path)
+
+    # personalized: seeds arrive as a JSON id list
+    seeds = [int(r["src"]) for r in e.select("src").distinct().limit(3).collect()]
+    spec = {
+        "kind": "algorithm", "algorithm": "pagerank",
+        "input": {"edges_parquet": path},
+        "params": {"tol": 0.0, "max_iters": 4, "seeds": seeds},
+        "top_k": 5,
+    }
+    got = {(r["id"], round(r["rank"], 12)) for r in run_job(spark, spec).collect()}
+    sdf = spark.createDataFrame([(s,) for s in seeds], "id long")
+    want_res = pagerank(spark, e, tol=0.0, max_iters=4, seeds=sdf, resume=False)
+    want = {(r["id"], round(r["rank"], 12)) for r in
+            want_res.state.orderBy(F.desc("rank"), "id").limit(5).collect()}
+    assert got == want
+
+    # weighted: weight column kept through input + named in params
+    spec_w = {
+        "kind": "algorithm", "algorithm": "pagerank",
+        "input": {"edges_parquet": path, "weight": "w"},
+        "params": {"tol": 0.0, "max_iters": 4, "weight_col": "w"},
+        "top_k": 5,
+    }
+    got_w = {(r["id"], round(r["rank"], 12))
+             for r in run_job(spark, spec_w).collect()}
+    want_w_res = pagerank(spark, e, tol=0.0, max_iters=4, weight_col="w",
+                          resume=False)
+    want_w = {(r["id"], round(r["rank"], 12)) for r in
+              want_w_res.state.orderBy(F.desc("rank"), "id").limit(5).collect()}
+    assert got_w == want_w

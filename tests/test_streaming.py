@@ -138,3 +138,56 @@ def test_kafka_payload_roundtrip_and_writer_config(spark, tmp_path):
     w = write_stream_kafka(stream, topic="t", bootstrap_servers="b:9092",
                            checkpoint_dir=str(tmp_path / "ck"))
     assert w is not None  # configured DataStreamWriter
+
+
+def test_sessionize_kernel_orders_across_arrow_chunks():
+    """Regression for the cross-chunk ordering bug: a group's rows arriving
+    as several Arrow chunks with timestamps out of order ACROSS the chunk
+    boundary must produce the same sessions as one sorted chunk — the old
+    per-chunk sort let a late chunk's earlier event silently extend a
+    session past the gap."""
+    import pandas as pd
+
+    from l_space_spark.streaming import _sessionize_group
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists, self._v = True, v
+
+    GAP_US = 10 * 1_000_000  # 10 s
+
+    def run(chunks):
+        st = FakeState()
+        out = list(_sessionize_group(
+            (7,), iter(chunks), st, gap_us=GAP_US, ts_col="ts",
+            order_col="event_id",
+        ))
+        return out, st._v
+
+    def chunk(ts_secs, eid0=0):
+        return pd.DataFrame({
+            "ts": pd.to_datetime([s * 1_000_000 for s in ts_secs], unit="us"),
+            "event_id": range(eid0, eid0 + len(ts_secs)),
+        })
+
+    # events 0s,1s | 30s,31s — but delivered as [30,31] then [0,1]:
+    # sorted globally there are TWO sessions (gap 29 s > 10 s); the buggy
+    # per-chunk handling saw 30,31,0(!),1 and folded everything into one
+    out_split, state_split = run([chunk([30, 31], 2), chunk([0, 1], 0)])
+    out_one, state_one = run([chunk([0, 1, 30, 31])])
+    assert state_split == state_one  # open tail: (30s, 31s, 2)
+    closed_split = pd.concat(out_split) if out_split else pd.DataFrame()
+    closed_one = pd.concat(out_one) if out_one else pd.DataFrame()
+    pd.testing.assert_frame_equal(
+        closed_split.reset_index(drop=True), closed_one.reset_index(drop=True)
+    )
+    assert len(closed_split) == 1  # the 0-1 s session closed
+    assert closed_split.iloc[0]["n_events"] == 2
