@@ -79,6 +79,80 @@ def run_once(cores: int, n_edges: int, n_vertices: int, iters: int,
         spark.stop()
 
 
+_PROC_JOB = r"""
+import json, sys, time
+from pyspark.sql import SparkSession, functions as F
+spark = (SparkSession.builder
+         .config("spark.sql.shuffle.partitions", sys.argv[5])
+         .config("spark.sql.adaptive.enabled", "true").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from bench_scaling import synth_powerlaw_edges
+from l_space_spark.operators.pagerank import pagerank
+workers, n_edges, n_vertices, iters, parts = (
+    int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
+    int(sys.argv[5]))
+impl = sys.argv[6]
+edges = synth_powerlaw_edges(spark, n_edges, n_vertices, parts).persist()
+ne = edges.count()
+t0 = time.time()
+res = pagerank(spark, edges, tol=-1.0, max_iters=iters, resume=False,
+               num_partitions=parts, impl=impl)
+res.state.count()
+wall = time.time() - t0
+print("RESULT " + json.dumps({
+    "cores": workers, "impl": impl, "input_edges": ne,
+    "supersteps": res.iterations, "wall_s": round(wall, 3),
+    "supersteps_per_s": round(res.iterations / wall, 4),
+    "edges_per_s": round(res.iterations * ne / wall, 1),
+    "mode": "process-isolated",
+}))
+spark.stop()
+"""
+
+
+def run_once_processes(workers: int, n_edges: int, n_vertices: int,
+                       iters: int, impl: str = "dataframe") -> dict:
+    """One rung with REAL process isolation: `local-cluster[workers,1,3072]`
+    launches ``workers`` separate single-core executor JVMs (each with its
+    own Python worker), shuffle over loopback — the closest one-box proxy
+    to N executors (vs. `run_once`'s N threads in one JVM). ~4× slower to
+    start (worker JVM boot) and pays IPC shuffle serialization the thread
+    mode doesn't; see BENCH/BASELINE.md for the measured comparison."""
+    import subprocess
+    import tempfile
+    import zipfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    parts = 16
+    with tempfile.TemporaryDirectory() as td:
+        pkg = os.path.join(td, "pkg.zip")
+        with zipfile.ZipFile(pkg, "w") as z:
+            lib = os.path.join(repo, "l_space_spark")
+            for root, _, files in os.walk(lib):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        z.write(full, os.path.relpath(full, repo))
+            z.write(os.path.join(repo, "bench_scaling.py"), "bench_scaling.py")
+        job = os.path.join(td, "job.py")
+        with open(job, "w") as f:
+            f.write(_PROC_JOB)
+        cmd = [
+            "spark-submit", "--master", f"local-cluster[{workers},1,3072]",
+            "--py-files", pkg, job, str(workers), str(n_edges),
+            str(n_vertices), str(iters), str(parts), impl,
+        ]
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=1800)
+        for line in proc.stdout.splitlines():
+            if line.startswith("RESULT "):
+                return json.loads(line[len("RESULT "):])
+        raise RuntimeError(
+            f"no RESULT line from {cmd}:\n{proc.stdout[-2000:]}\n"
+            f"{proc.stderr[-2000:]}"
+        )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges", type=int, default=8_000_000)
@@ -86,11 +160,15 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--cores", default="8,32")
     ap.add_argument("--impl", default="dataframe", choices=["dataframe", "csr"])
+    ap.add_argument("--processes", action="store_true",
+                    help="local-cluster worker JVMs instead of local[N] "
+                         "threads (N = each --cores level)")
     ap.add_argument("--out", default="BENCH/scaling.json")
     args = ap.parse_args()
 
     levels = [int(c) for c in args.cores.split(",")]
-    runs = [run_once(c, args.edges, args.vertices, args.iters, args.impl)
+    runner = run_once_processes if args.processes else run_once
+    runs = [runner(c, args.edges, args.vertices, args.iters, args.impl)
             for c in levels]
 
     lo, hi = runs[0], runs[-1]

@@ -150,6 +150,16 @@ def test_simhash_close_pairs_has_no_nested_loop_join(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_embedding_near_dup_has_no_nested_loop_join(spark):
+    """The embedding near-dup tier must generate candidates via the LSH
+    bucket EQUI-join — no BroadcastNestedLoopJoin/CartesianProduct."""
+    from l_space_spark.queries import q_dedup_embedding_cosine
+
+    plan = _plan(q_dedup_embedding_cosine(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_no_rowwise_python_udfs_anywhere():
     """Per-row Python is banned by input_hint: every F.udf( use is a bug.
     pandas_udf / mapInPandas / applyInPandas(WithState) / mapInArrow are
