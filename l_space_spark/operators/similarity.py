@@ -250,6 +250,70 @@ def ivf_topk(
     )
 
 
+def ivf_recall_at_k(
+    embeddings: DataFrame,
+    nprobe: int,
+    k: int = 5,
+    n_centroids: int = 8,
+    sample_queries: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
+) -> float:
+    """Recall@k of the IVF index vs exact brute force, on a deterministic
+    query sample (the ``sample_queries`` lowest-id vectors — reproducible,
+    no RNG). Cost: sample × corpus for the ground truth (bounded by the
+    sample size, the standard index-evaluation pattern) + one probed
+    search; the corpus is never all-pairs joined."""
+    qs = embeddings.orderBy(id_col).limit(sample_queries)
+    truth = cosine_topk(embeddings, queries=qs, k=k,
+                        id_col=id_col, vec_col=vec_col)
+    approx = ivf_topk(embeddings, queries=qs, k=k, n_centroids=n_centroids,
+                      nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+                      codebook=codebook)
+    t = truth.select("query_id", "neighbor")
+    hit = t.join(approx.select("query_id", "neighbor"),
+                 ["query_id", "neighbor"], "left_semi").count()
+    total = t.count()
+    return hit / total if total else 1.0
+
+
+def ivf_autotune_nprobe(
+    embeddings: DataFrame,
+    recall_target: float = 0.9,
+    k: int = 5,
+    n_centroids: int = 8,
+    sample_queries: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
+) -> dict:
+    """Smallest ``nprobe`` whose sampled recall@k meets ``recall_target``.
+
+    Walks nprobe upward (recall is monotone non-decreasing in nprobe: a
+    larger probe set is a superset of candidates) and stops at the first
+    level meeting the target — at most ``n_centroids`` sampled evaluations,
+    each bounded by the query sample. Returns ``{"nprobe", "recall",
+    "curve"}`` where curve maps each evaluated nprobe to its recall;
+    ``nprobe = n_centroids`` (probe everything) is exhaustive and therefore
+    always meets any target ≤ 1.0."""
+    base = embeddings.persist()
+    try:
+        curve: dict[int, float] = {}
+        chosen = n_centroids
+        for p in range(1, n_centroids + 1):
+            r = ivf_recall_at_k(base, p, k=k, n_centroids=n_centroids,
+                                sample_queries=sample_queries, id_col=id_col,
+                                vec_col=vec_col, codebook=codebook)
+            curve[p] = r
+            if r >= recall_target:
+                chosen = p
+                break
+        return {"nprobe": chosen, "recall": curve[chosen], "curve": curve}
+    finally:
+        base.unpersist()
+
+
 def ivf_train_kmeans(
     spark,
     embeddings: DataFrame,

@@ -165,3 +165,24 @@ def test_ivf_kmeans_refines_codebook(vectors, spark):
                               codebook=res.state).collect()
     top1 = {r["query_id"]: r["neighbor"] for r in got}
     assert top1 == {0: 1, 1: 0, 2: 3, 3: 2, 4: 5, 5: 4}
+
+
+def test_ivf_autotune_nprobe(vectors):
+    """Autotuning walks nprobe upward and returns the smallest level whose
+    sampled recall@k meets the target; probing every cell is exhaustive so
+    a 1.0 target is always reachable; the recall curve is monotone."""
+    out = similarity.ivf_autotune_nprobe(
+        vectors, recall_target=1.0, k=1, n_centroids=4, sample_queries=6
+    )
+    assert out["recall"] == 1.0
+    assert 1 <= out["nprobe"] <= 4
+    # monotone curve (recall never drops as nprobe grows)
+    ps = sorted(out["curve"])
+    assert all(out["curve"][a] <= out["curve"][b]
+               for a, b in zip(ps, ps[1:]))
+    # a looser target never needs more probes
+    loose = similarity.ivf_autotune_nprobe(
+        vectors, recall_target=0.5, k=1, n_centroids=4, sample_queries=6
+    )
+    assert loose["nprobe"] <= out["nprobe"]
+    assert loose["recall"] >= 0.5
