@@ -257,3 +257,31 @@ def test_labelprop_csr_matches_oracle(spark, pairs, iters):
                             resume=False)
     got = {r["id"]: r["label"] for r in res.state.collect()}
     assert got == labelprop_oracle(pairs, iters=iters)
+
+
+@given(
+    fps=st.lists(st.integers(0, (1 << 60) - 1), min_size=2, max_size=40),
+    max_h=st.integers(1, 8),
+)
+@settings(**SETTINGS)
+def test_simhash_banded_pairs_match_bruteforce(spark, fps, max_h):
+    """Pigeonhole banding is lossless: the banded equi-join + exact verify
+    finds EXACTLY the pairs a brute-force O(n²) Hamming scan finds, for any
+    fingerprints and any threshold (bands = max_h+1 ⇒ ≤max_h differing
+    bits leave ≥1 band identical)."""
+    from l_space_spark.operators.dedup import simhash_close_pairs
+
+    sims = spark.createDataFrame(
+        [(i, f) for i, f in enumerate(fps)], "id long, simhash long"
+    )
+    got = {
+        (r["a"], r["b"], r["hamming"])
+        for r in simhash_close_pairs(sims, bits=60, max_hamming=max_h).collect()
+    }
+    want = set()
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            h = bin(fps[i] ^ fps[j]).count("1")
+            if h <= max_h:
+                want.add((i, j, h))
+    assert got == want
