@@ -56,7 +56,11 @@ def main() -> None:
     # mapInPandas/cogroup stage doesn't pay daemon fork + import costs
     from pyspark.sql import functions as F
     spark.range(0, 5_000_000, 1, 8).groupBy(F.pmod("id", F.lit(97))).count().collect()
-    spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).count()
+    # touch every input table once (parquet footers + OS page cache) so
+    # timed queries measure compute, not first-touch I/O
+    from l_space_spark.sources import TABLES
+    for t in TABLES:
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
     n_workers = os.cpu_count() or 32
     spark.range(0, n_workers * 4, 1, n_workers * 4).mapInPandas(
         lambda it: it, "id long"
@@ -69,6 +73,13 @@ def main() -> None:
         F.pmod(F.xxhash64("id", F.lit(1)), F.lit(200)).alias("dst"),
     )
     pagerank(spark, tiny, tol=-1.0, max_iters=2, resume=False).state.count()
+    # … and the shingle/minhash HOF expression shapes (their codegen units
+    # are large; JIT once on a 20-doc sample, untimed)
+    from l_space_spark.operators.dedup import minhash_signatures
+    tiny_docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).limit(20)
+    minhash_signatures(tiny_docs, "doc_id", "text", k=8, n=3).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
