@@ -87,6 +87,20 @@ _TOKENS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 PR_ITERS = 10
 
 
+
+def _small_graph_parts(spark: SparkSession) -> int:
+    """Superstep partition count for the driver-scale derived graphs
+    (≤1 M edges / ≤150 k state rows): the shuffle default (32) leaves
+    <5 k state rows per task and per-round task overhead dominates —
+    measured 8 parts = 7.0-7.3 s vs 32 parts = 8.2-12.1 s for 10 PageRank
+    rounds at sf0.1. Floor 8; cluster-scale graphs pass their shuffle
+    default instead (the ≥64 k state rows/task regime)."""
+    return max(8, min(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        spark.sparkContext.defaultParallelism // 4,
+    ))
+
+
 @register(
     "pagerank_top20",
     # fixed-iteration power method unrolled as chained CTEs; identical update
@@ -103,8 +117,16 @@ def q_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The round-1 1.6× fuse=2 win was measured before the bench warmed the
     # superstep path; with that warmup fuse=1 is the stable choice and
     # matches cluster-scale guidance (BENCH notes: fuse stays 1 at scale).
+    # partition sizing: this derived graph is ~600 k edges / ~150 k state
+    # rows at sf0.1 — at 32 shuffle partitions that is <5 k state rows per
+    # task and per-round task overhead dominates (measured back-to-back:
+    # 8 partitions 7.0-7.3 s vs 32 partitions 8.2-12.1 s for 10 rounds).
+    # Floor 8 keeps all cores of a small executor busy; a cluster-scale
+    # graph sets num_partitions to its shuffle default instead (the
+    # ~64k+ state rows/task regime).
     res = pagerank(spark, edges, damping=0.85, tol=-1.0, max_iters=PR_ITERS,
-                   resume=False, fuse=1)
+                   resume=False, fuse=1,
+                   num_partitions=_small_graph_parts(spark))
     out = (
         res.state.select("id", fixed_point(F.col("rank"), 1e6).alias("rank_e6"))
         .orderBy(F.col("rank_e6").desc(), F.col("id"))
@@ -168,7 +190,8 @@ SELECT id, min(comp) AS component FROM reach GROUP BY id ORDER BY id
 )
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = chain_edges(spark, sf_dir)
-    res = connected_components(spark, edges, max_iters=200, resume=False)
+    res = connected_components(spark, edges, max_iters=200, resume=False,
+                               num_partitions=_small_graph_parts(spark))
     return res.state.select("id", "component").orderBy("id")
 
 
@@ -179,7 +202,8 @@ def q_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.components import connected_components_star
 
     edges = chain_edges(spark, sf_dir)
-    res = connected_components_star(spark, edges, max_iters=50, resume=False)
+    res = connected_components_star(spark, edges, max_iters=50, resume=False,
+                                    num_partitions=_small_graph_parts(spark))
     return res.state.select("id", "component").orderBy("id")
 
 
@@ -193,7 +217,8 @@ LP_ITERS = 4
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = chain_edges(spark, sf_dir)
     res = label_propagation(spark, edges, max_iters=LP_ITERS, fixed_iters=True,
-                            resume=False)
+                            resume=False,
+                            num_partitions=_small_graph_parts(spark))
     return res.state.select("id", "label").orderBy("id")
 
 
@@ -1754,7 +1779,8 @@ def q_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.kcore import kcore
 
     res = kcore(spark, mod_edges(spark, sf_dir), k=KCORE_K,
-                max_iters=KCORE_ROUNDS, fixed_iters=True, resume=False)
+                max_iters=KCORE_ROUNDS, fixed_iters=True, resume=False,
+                num_partitions=_small_graph_parts(spark))
     return res.state.select(
         "id", F.col("core_deg").cast("long").alias("core_deg")
     ).orderBy("id")
@@ -1805,7 +1831,8 @@ def q_hits_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.hits import hits
 
     edges = customer_supplier_edges(spark, sf_dir)
-    res = hits(spark, edges, tol=-1.0, max_iters=HITS_ITERS, resume=False)
+    res = hits(spark, edges, tol=-1.0, max_iters=HITS_ITERS, resume=False,
+               num_partitions=_small_graph_parts(spark))
     return (
         res.state.select(
             "id",
