@@ -191,3 +191,123 @@ def test_sessionize_kernel_orders_across_arrow_chunks():
     )
     assert len(closed_split) == 1  # the 0-1 s session closed
     assert closed_split.iloc[0]["n_events"] == 2
+
+
+def test_reorder_kernel_releases_sorted_watermark_prefix():
+    """Unit: the reorder kernel buffers across batches, releases only the
+    ≤-watermark prefix sorted by (ts, event_id), and retains the rest."""
+    import pandas as pd
+
+    from l_space_spark.streaming import _reorder_group
+
+    class FakeState:
+        def __init__(self, wm_ms):
+            self.exists, self._v, self._wm = False, None, wm_ms
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists, self._v = True, v
+
+        def getCurrentWatermarkMs(self):
+            return self._wm
+
+    def chunk(secs, eids):
+        return pd.DataFrame({
+            "ts": pd.to_datetime([s * 1_000_000 for s in secs], unit="us"),
+            "event_id": eids,
+        })
+
+    # batch 1: events at 50s,10s,30s; watermark 20s → only 10s released
+    st = FakeState(wm_ms=20_000)
+    out = list(_reorder_group((9,), iter([chunk([50, 10, 30], [1, 2, 3])]),
+                              st, ts_col="ts", order_col="event_id",
+                              key_col="user_id"))
+    assert len(out) == 1 and list(out[0]["event_id"]) == [2]
+    assert st._v == ([30_000_000, 50_000_000], [3, 1])  # retained, sorted
+
+    # batch 2: watermark 60s, one more event at 40s → 30,40,50 out in order
+    st._wm = 60_000
+    out2 = list(_reorder_group((9,), iter([chunk([40], [4])]), st,
+                               ts_col="ts", order_col="event_id",
+                               key_col="user_id"))
+    assert list(out2[0]["event_id"]) == [3, 4, 1]
+    assert st._v == ([], [])
+
+
+def test_reorder_stream_feeds_sessionizer_under_disorder(spark, tmp_path):
+    """End-to-end: out-of-order multi-batch delivery → reorder stage →
+    (file handoff) → stateful sessionizer equals the batch twin on every
+    watermark-released event — the full two-stage streaming pipeline the
+    sessionizer's ordering contract describes."""
+    from pyspark.sql import Window
+
+    from l_space_spark import streaming
+    from l_space_spark.queries import SESSION_GAP_US, q_sessionize_events
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "src")
+    # repartition(3): rows scattered arbitrarily → cross-batch disorder
+    ev.repartition(3).write.parquet(src)
+
+    # stage 1: reorder with a delay larger than the total time span so
+    # everything is buffered until the last batch's watermark, then
+    # released in order; a final max-ts flush event is unnecessary because
+    # availableNow advances the watermark past earlier batches' maxima
+    reordered = streaming.reorder_stateful(
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        delay="1 second",
+    )
+    mid = str(tmp_path / "mid")
+    streaming.run_available_now(reordered, str(tmp_path / "ck1"), mid)
+
+    released = spark.read.parquet(mid)
+    n_released = released.count()
+    assert n_released > 0
+
+    # stage 2: sessionize the reordered stream (single batch is fine — the
+    # point is stage 1 restored per-key order)
+    sess_stream = streaming.sessionize_stateful(
+        spark.readStream.schema(released.schema).parquet(mid)
+    )
+    streaming.run_available_now_to_memory(
+        sess_stream, "sess_reordered", str(tmp_path / "ck2"),
+        output_mode="append",
+    )
+    got = spark.table("sess_reordered")
+
+    # batch twin restricted to released events: closed sessions must match
+    batch = q_sessionize_events(spark, "/root/testdata/sf0.001")
+    released_ids = released.select("user_id", "event_id")
+    ev_released = ev.join(released_ids, ["user_id", "event_id"], "left_semi")
+    # recompute sessions over the released subset with the same rule
+    ev_released = ev_released.withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev_released.withColumn("prev", F.lag("ts").over(w))
+    new_sess = (
+        F.col("prev").isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev"))
+           > SESSION_GAP_US)
+    ).cast("int")
+    sid = F.sum(new_sess).over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    twin = (
+        lagged.withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("session_start"), F.max("ts").alias("session_end"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+    tails = twin.groupBy("user_id").agg(F.max("sid").alias("sid"))
+    closed_twin = twin.join(tails, ["user_id", "sid"], "left_anti").select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+    got_sel = got.select("user_id", "session_start", "session_end", "n_events")
+    assert got_sel.count() == closed_twin.count()
+    assert got_sel.exceptAll(closed_twin).count() == 0
