@@ -168,54 +168,140 @@ def simhash_close_pairs(
     sim_col: str = "simhash",
     bits: int = 60,
     max_hamming: int = 6,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """(a, b, hamming) pairs with Hamming(simhash_a, simhash_b) ≤ ``max_hamming``
-    via the pigeonhole banded equi-join — the sub-quadratic fingerprint join.
+    """(a, b, hamming) pairs with Hamming(simhash_a, simhash_b) ≤
+    ``max_hamming`` via the block-combination banded equi-join (Manku,
+    Jain & Sarma, "Detecting Near-Duplicates for Web Crawling", WWW'07).
 
-    Split the ``bits``-bit fingerprint into ``max_hamming + 1`` contiguous
-    bands: two fingerprints within Hamming distance ``max_hamming`` differ in
-    at most ``max_hamming`` bit positions, so at least one band is bit-for-bit
-    IDENTICAL (pigeonhole). Candidate pairs are therefore an **equi-join on
-    (band_index, band_value)** — a shuffled hash join whose cost is
-    O(Σ bucket²) over band-value buckets, not the O(N²) all-pairs theta join
-    (BroadcastNestedLoopJoin) of the naive ``a.id < b.id`` formulation.
-    Candidates are deduped (a pair can share several bands) and verified
-    exactly with ``bit_count(xor) ≤ max_hamming``.
+    Split the ``bits``-bit fingerprint into ``m = n_blocks`` contiguous
+    blocks. Hamming ≤ d dirties at most d blocks, so at least ``m − d``
+    blocks are bit-for-bit identical — hence SOME (m−d)-subset of blocks
+    matches exactly (pigeonhole on subsets). Candidates are an **equi-join
+    on (subset_id, the subset's block values)** — C(m, m−d) replicas per
+    row, each keyed on ~``bits·(m−d)/m`` bits — then the exact
+    ``bit_count(xor) ≤ d`` verify. Never a BroadcastNestedLoopJoin.
 
-    At 100 TB this is the same plan: one explode (×7 rows), one shuffle on
-    the band key, exact verify on the joined rows. Skewed band-values (e.g.
-    an all-zero band from empty docs) are the one hazard — AQE skew-join
-    splitting handles them; the exact verify keeps correctness regardless.
+    Choosing ``m`` (measured, BENCH/simhash_banded_scaling.json):
+
+    - key width ≈ ``bits·(m−d)/m``; expected random-collision candidates ≈
+      ``C(m, m−d)·N²/2^width``. The default ``m = d + 4`` keys on 4-block
+      combos (d=6, 60 bits: C(10,4)=210 replicas, ~24-bit keys) — measured
+      near-LINEAR on random fingerprints
+      (BENCH/simhash_banded_scaling.json): 15 / 14 / 20 / 52 / 125 s at
+      100 k / 200 k / 400 k / 800 k / 1.6 M docs, where single-block keys
+      (m=d+1, ~8-bit) are quadratic (≈N²/2^8.5 candidates; 544 s at 400 k)
+      and the round-1 all-pairs theta join is N² outright.
+    - TWO candidate strategies by key width. Wide keys (r ≥ 2): aggregate
+      ids per key, pair within buckets (only 16-byte (key, id) rows
+      shuffle; fingerprints rejoin on the candidate set) — buckets stay
+      small by construction. Single-block keys (r = 1, sensible for SMALL
+      dup-dense corpora where wide keys would regenerate every true pair
+      C(m,r) times): a streaming self-join on the key, fingerprints
+      carried through — dup clusters flow through the codegen join probe
+      instead of materializing C(cluster,2)-sized arrays (5 k-doc /
+      1.35 M-true-pair corpus: 3.7 s warm vs 15-24 s via buckets).
+
+    The exact verify keeps the output identical for every ``m`` — only
+    candidate counts change. Skewed key values (e.g. all-zero blocks from
+    empty docs) are the one hazard; AQE handles the shuffle side and the
+    in-bucket expansion is bounded by the key width.
     """
-    n_bands = max_hamming + 1
-    base, rem = divmod(bits, n_bands)
-    band_structs, lo = [], 0
-    for i in range(n_bands):
+    from itertools import combinations
+
+    m = n_blocks if n_blocks is not None else max_hamming + 4
+    if m <= max_hamming:
+        raise ValueError(f"n_blocks={m} must exceed max_hamming={max_hamming}")
+    r = m - max_hamming  # blocks per key: some r-subset is guaranteed clean
+    base, rem = divmod(bits, m)
+    block_cols, widths, lo = [], [], 0
+    for i in range(m):
         w = base + (1 if i < rem else 0)
-        mask = (1 << w) - 1
-        band_structs.append(
-            F.struct(
-                F.lit(i).alias("band"),
-                F.shiftright(F.col(sim_col), lo).bitwiseAND(F.lit(mask)).alias("bv"),
-            )
+        widths.append(w)
+        block_cols.append(
+            F.shiftright(F.col(sim_col), lo).bitwiseAND(F.lit((1 << w) - 1))
+            .alias(f"__b{i}")
         )
         lo += w
-    banded = sims.select(
-        F.col(id_col).alias("id"),
-        F.col(sim_col).alias("h"),
-        F.explode(F.array(*band_structs)).alias("bk"),
-    ).select("id", "h", F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv"))
-    a = banded.select(
-        F.col("id").alias("a"), F.col("h").alias("ha"), "band", "bv"
+    # project block values ONCE before fanning out into C(m, r) keys: the
+    # keys reference each block C(m-1, r-1) times, and Catalyst
+    # re-evaluates non-trivial child expressions per reference (the
+    # measured 10× HOF pitfall, functions/text.shingles_of_tokens) — with
+    # inline extraction m=10 ran 118 s at 100 k rows. Each subset key is
+    # PACKED into one long (subset id in the high bits, then its block
+    # values) — a flat 8-byte shuffle/join key measured 4× faster than a
+    # struct key.
+    with_blocks = sims.select(
+        F.col(id_col).alias("id"), F.col(sim_col).alias("h"), *block_cols
     )
-    b = banded.select(
-        F.col("id").alias("b"), F.col("h").alias("hb"), "band", "bv"
+    # pack at a FIXED per-block width (max block width): variable widths
+    # would let two different (subset, values) keys collide into one long
+    wmax = max(widths)
+    packed_keys = []
+    for g, combo in enumerate(combinations(range(m), r)):
+        k = F.lit(g).cast("long")
+        for i in combo:
+            k = F.shiftleft(k, wmax) + F.col(f"__b{i}")
+        packed_keys.append(k)
+    keyed = with_blocks.select(
+        "id", F.explode(F.array(*packed_keys)).alias("bk")
     )
-    return (
-        a.join(b, ["band", "bv"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b", "ha", "hb")
+
+    if r == 1:
+        # single-block keys (small dup-dense corpora): candidates via a
+        # STREAMING self-join on the key, fingerprints carried through —
+        # dup clusters flow through the codegen join probe instead of
+        # materializing C(cluster, 2)-sized pair arrays (measured on the
+        # 5 k-doc / 1.35 M-true-pair corpus: join path seconds vs
+        # bucket-expansion 15-24 s)
+        keyed_h = with_blocks.select(
+            "id", "h", F.explode(F.array(*packed_keys)).alias("bk")
+        )
+        a = keyed_h.select(F.col("id").alias("a"), F.col("h").alias("ha"), "bk")
+        b = keyed_h.select(F.col("id").alias("b"), F.col("h").alias("hb"), "bk")
+        return (
+            a.join(b, "bk")
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b", "ha", "hb")
+            .distinct()
+            .withColumn(
+                "hamming", hamming64(F.col("ha"), F.col("hb")).cast("long")
+            )
+            .where(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming")
+        )
+
+    # wide keys: aggregate ids per key (only the 16-byte (bk, id) rows
+    # shuffle — fingerprints rejoin later on the far smaller candidate
+    # set) and pair up within multi-member buckets JVM-side; wide keys
+    # keep buckets small by construction
+    buckets = (
+        keyed.groupBy("bk").agg(F.collect_list("id").alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2,
+                            F.greatest(F.size(F.col("ids")) - i - 1, F.lit(0))),
+                    lambda y: F.struct(
+                        F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
+                    ),
+                ),
+            )
+        )
+    )
+    cand = (
+        buckets.select(pair.alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .distinct()
+    )
+    ha = sims.select(F.col(id_col).alias("a"), F.col(sim_col).alias("ha"))
+    hb = sims.select(F.col(id_col).alias("b"), F.col(sim_col).alias("hb"))
+    return (
+        cand.join(ha, "a").join(hb, "b")
         .withColumn("hamming", hamming64(F.col("ha"), F.col("hb")).cast("long"))
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")

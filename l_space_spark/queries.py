@@ -1135,8 +1135,15 @@ def q_simhash_close_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     s = simhash(d, "doc_id", "text", bits=60)
+    # n_blocks=7 (single-block keys): this corpus is small and DUP-DENSE
+    # (sf0.1: 1.35 M true close pairs among 5 k docs) — every true pair is
+    # regenerated once per matching subset, so wide-key m=10 multiplies
+    # the candidate stream ~30× here (measured 24.7 s vs 3.7 s). The wide
+    # default is for the opposite regime — huge high-entropy corpora —
+    # per the operator docstring's m guidance.
     return simhash_close_pairs(
-        s, id_col="id", sim_col="simhash", bits=60, max_hamming=6
+        s, id_col="id", sim_col="simhash", bits=60, max_hamming=6,
+        n_blocks=7,
     ).orderBy("a", "b")
 
 

@@ -278,6 +278,14 @@ def test_simhash_banded_pairs_match_bruteforce(spark, fps, max_h):
         (r["a"], r["b"], r["hamming"])
         for r in simhash_close_pairs(sims, bits=60, max_hamming=max_h).collect()
     }
+    # generalized block-combination variant (wider keys) — same theorem,
+    # must give the identical exact result
+    got10 = {
+        (r["a"], r["b"], r["hamming"])
+        for r in simhash_close_pairs(
+            sims, bits=60, max_hamming=max_h, n_blocks=max_h + 4
+        ).collect()
+    }
     want = set()
     for i in range(len(fps)):
         for j in range(i + 1, len(fps)):
@@ -285,3 +293,4 @@ def test_simhash_banded_pairs_match_bruteforce(spark, fps, max_h):
             if h <= max_h:
                 want.add((i, j, h))
     assert got == want
+    assert got10 == want
