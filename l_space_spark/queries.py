@@ -1153,6 +1153,89 @@ ORACLES["simhash_close_pairs"] = ORACLES["simhash_close_pairs"].replace(
 
 
 @register(
+    "asof_join_events",
+    """
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts, max_by(value, event_id) AS view_value
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+SELECT p.event_id, p.user_id, v.view_value,
+       CASE WHEN v.ts IS NOT NULL
+            THEN epoch_us(p.ts) - epoch_us(v.ts) END AS us_since_view
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY p.event_id
+""".strip(),
+)
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (operators/temporal.asof_join): each purchase event gains
+    its user's latest prior (or simultaneous) view — a join shape absent
+    from the reference (SURVEY §2.2: id-equality moves only) and from
+    naive Spark, re-expressed as union-tag + one window pass: one shuffle
+    on the key, no per-row subquery, no BroadcastNestedLoopJoin. Views are
+    pre-deduped to one row per (user, ts) (max event_id) so the as-of pick
+    is deterministic; the DuckDB oracle uses its native ASOF LEFT JOIN."""
+    from .operators.temporal import asof_join
+
+    e = load(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by(F.col("value"), F.col("event_id")).alias("view_value"))
+    )
+    out = asof_join(p, v, key_col="user_id", ts_col="ts",
+                    right_cols=["view_value"])
+    return out.select(
+        "event_id", "user_id", F.col("view_value_r").alias("view_value"),
+        F.when(
+            F.col("ts_r").isNotNull(),
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts_r").cast("timestamp")),
+        ).alias("us_since_view"),
+    ).orderBy("event_id")
+
+
+@register(
+    "range_join_counts",
+    """
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id,
+       CAST(count(c.ts) AS BIGINT) AS n_clicks_prev_hour
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+GROUP BY p.event_id, p.user_id ORDER BY p.event_id
+""".strip(),
+)
+def q_range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded RANGE join (operators/temporal.banded_range_join_count):
+    per purchase, the count of the user's clicks in the preceding hour.
+    Candidates come from an equi-join on (key, time bucket) — every
+    qualifying row lies in one of the ≤2 bucket-width windows a left row
+    probes — so the inequality predicate only FILTERS candidates and the
+    plan has no nested-loop join (pinned in test_plans). The oracle is
+    the naive inequality join, fine at oracle scale."""
+    from .operators.temporal import banded_range_join_count
+
+    e = load(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = e.where(F.col("event_type") == "click").select("user_id", "ts")
+    out = banded_range_join_count(
+        p, c, key_col="user_id", ts_col="ts", lo_s=-3600, hi_s=0,
+        left_id="event_id", count_alias="n_clicks_prev_hour",
+    )
+    return out.select("event_id", "user_id", "n_clicks_prev_hour").orderBy(
+        "event_id"
+    )
+
+
+@register(
     "kafka_payload_encode",
     """
 SELECT n_nationkey::VARCHAR AS key,

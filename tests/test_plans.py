@@ -160,6 +160,23 @@ def test_embedding_near_dup_has_no_nested_loop_join(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_temporal_joins_have_no_nested_loop_join(spark):
+    """As-of = union + one window (no join operator at all in the plan);
+    banded range join = equi-join on (key, bucket) — neither may plan a
+    BroadcastNestedLoopJoin/CartesianProduct from its inequality
+    semantics."""
+    from l_space_spark.queries import q_asof_join_events, q_range_join_counts
+
+    asof_plan = _plan(q_asof_join_events(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in asof_plan, asof_plan
+    assert "Join" not in asof_plan, asof_plan  # pure union + window
+    assert "RunningWindowFunction" in asof_plan or "Window" in asof_plan
+
+    range_plan = _plan(q_range_join_counts(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in range_plan, range_plan
+    assert "CartesianProduct" not in range_plan, range_plan
+
+
 def test_no_rowwise_python_udfs_anywhere():
     """Per-row Python is banned by input_hint: every F.udf( use is a bug.
     pandas_udf / mapInPandas / applyInPandas(WithState) / mapInArrow are
