@@ -20,7 +20,8 @@ Three spec kinds:
      "output": {"path": "/out/ranks", "format": "parquet"}}
 
     algorithms: pagerank · connected_components · connected_components_star ·
-    label_propagation · triangle_count · triangles_per_vertex · hits · kcore.
+    label_propagation · triangle_count · triangles_per_vertex · hits ·
+    kcore · sssp (params: source, weight_col).
     ``checkpoint_dir``+``resume`` make the run restartable (north rule); the
     result DataFrame is written to ``output`` (or shown when absent).
 
@@ -97,6 +98,7 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
     from .operators.kcore import kcore
     from .operators.labelprop import label_propagation
     from .operators.pagerank import pagerank
+    from .operators.sssp import sssp
     from .operators.triangles import triangle_list, triangles_per_vertex
 
     inp = spec.get("input", {})
@@ -113,6 +115,7 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
         "label_propagation": label_propagation,
         "hits": hits,
         "kcore": kcore,
+        "sssp": sssp,
     }
     if algo in supersteps:
         if algo == "pagerank" and isinstance(params.get("seeds"), list):

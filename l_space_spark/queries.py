@@ -1152,6 +1152,63 @@ ORACLES["simhash_close_pairs"] = ORACLES["simhash_close_pairs"].replace(
 )
 
 
+SSSP_ROUNDS = 8
+_SSSP_INF = 10**12
+
+
+def _sssp_oracle() -> str:
+    from .sources import MOD_EDGES_SQL
+
+    inf = _SSSP_INF
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({MOD_EDGES_SQL}),",
+        "e AS MATERIALIZED (SELECT src, dst,"
+        " MIN(1 + (src + dst) % 5) AS w"
+        " FROM e0 WHERE src <> dst GROUP BY src, dst),",
+        "verts AS MATERIALIZED (SELECT src AS id FROM e"
+        " UNION SELECT dst FROM e),",
+        f"d0 AS MATERIALIZED (SELECT id, CASE WHEN id = 0 THEN 0"
+        f" ELSE {inf} END::BIGINT AS dist FROM verts),",
+    ]
+    for k in range(1, SSSP_ROUNDS + 1):
+        parts.append(
+            f"d{k} AS MATERIALIZED ("
+            f" SELECT p.id, LEAST(p.dist, COALESCE(m.md, {inf})) AS dist"
+            f" FROM d{k - 1} p LEFT JOIN ("
+            f"  SELECT e.dst, MIN(p2.dist + e.w) AS md"
+            f"  FROM d{k - 1} p2 JOIN e ON e.src = p2.id"
+            f"  WHERE p2.dist < {inf} GROUP BY e.dst"
+            f" ) m ON m.dst = p.id),"
+        )
+    last = parts[-1].rstrip(",")
+    parts[-1] = last
+    parts.append(
+        f"SELECT id, CASE WHEN dist >= {inf} THEN NULL ELSE dist END AS dist"
+        f" FROM d{SSSP_ROUNDS} ORDER BY id"
+    )
+    return "\n".join(parts)
+
+
+@register("sssp_weighted", _sssp_oracle())
+def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths from vertex 0 over the hashed
+    random graph, edge weight ``1 + (src+dst) % 5`` (operators/sssp.py —
+    Bellmann-Ford relaxation supersteps, {SSSP_ROUNDS} fixed rounds so the
+    unrolled-CTE oracle matches exactly; integer arithmetic, no fp
+    tolerance)."""
+    from .operators.sssp import sssp
+
+    e = mod_edges(spark, sf_dir).withColumn(
+        "wt", (F.lit(1) + F.pmod(F.col("src") + F.col("dst"), F.lit(5)))
+    )
+    res = sssp(
+        spark, e, source=0, weight_col="wt", max_iters=SSSP_ROUNDS,
+        fixed_iters=True, resume=False,
+        num_partitions=_small_graph_parts(spark),
+    )
+    return res.state.orderBy("id")
+
+
 @register(
     "asof_join_events",
     """

@@ -294,3 +294,39 @@ def test_simhash_banded_pairs_match_bruteforce(spark, fps, max_h):
                 want.add((i, j, h))
     assert got == want
     assert got10 == want
+
+
+@given(pairs=edge_lists)
+@settings(**SETTINGS)
+def test_sssp_matches_bellman_ford(spark, pairs):
+    """SSSP (converged mode) vs an inline Bellman-Ford on random
+    multigraphs — parallel edges keep the min weight, self-loops drop,
+    unreachable stays None; integer-exact."""
+    from l_space_spark.operators.sssp import sssp
+
+    if not _has_real_edge(pairs):
+        pairs = pairs + [(0, 1)]
+    wpairs = {}
+    for s, d in pairs:
+        if s != d:
+            w = 1 + (s + d) % 3
+            wpairs[(s, d)] = min(w, wpairs.get((s, d), w))
+    verts = {v for e in wpairs for v in e}
+    src = min(verts)
+    dist = {v: None for v in verts}
+    dist[src] = 0
+    for _ in range(len(verts)):
+        for (s, d), w in wpairs.items():
+            if dist[s] is not None and (
+                dist[d] is None or dist[s] + w < dist[d]
+            ):
+                dist[d] = dist[s] + w
+
+    e = edges_df(spark, pairs)
+    from pyspark.sql import functions as F
+    e = e.withColumn(
+        "wt", F.lit(1) + F.pmod(F.col("src") + F.col("dst"), F.lit(3))
+    )
+    res = sssp(spark, e, source=src, weight_col="wt", resume=False)
+    got = {r["id"]: r["dist"] for r in res.state.collect()}
+    assert got == dist
