@@ -24,6 +24,7 @@ order-insensitive value hash):
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -1207,6 +1208,38 @@ def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_partitions=_small_graph_parts(spark),
     )
     return res.state.orderBy("id")
+
+
+@register(
+    "hypertable_rollup",
+    """
+SELECT date_trunc('hour', ts) AS bucket, event_type,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value_r4
+FROM events GROUP BY 1, 2 ORDER BY bucket, event_type
+""".strip(),
+)
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable + incrementally-maintained rollup (operators/rollup.py):
+    events land partitioned by day chunk, the hourly continuous aggregate
+    is refreshed chunk-by-chunk (file-fingerprint change detection — the
+    steady-state refresh recomputes nothing), and reading the rollup is a
+    partitioned scan. The oracle is the equivalent one-shot GROUP BY; the
+    incremental semantics (only-changed-chunks, late-data single-chunk
+    refresh) are pinned by tests/test_rollup.py."""
+    import tempfile
+
+    from .operators.rollup import read_rollup, refresh_rollup, write_hypertable
+
+    e = load(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="lspace_ht_")
+    ht, ru = os.path.join(base, "ht"), os.path.join(base, "ru")
+    write_hypertable(e, ht)
+    refresh_rollup(spark, ht, ru)
+    r = read_rollup(spark, ru)
+    return r.select(
+        "bucket", "event_type", F.col("n").cast("long").alias("n"),
+        F.round(F.col("sum_value"), 4).alias("sum_value_r4"),
+    ).orderBy("bucket", "event_type")
 
 
 @register(
