@@ -1210,6 +1210,62 @@ def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.orderBy("id")
 
 
+KMV_K = 64
+
+
+@register(
+    "kmv_distinct_sketch",
+    f"""
+WITH h AS (
+  SELECT DISTINCT event_type AS g,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events
+),
+rk AS (
+  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS r FROM h
+),
+sk AS (
+  SELECT g, count(*) AS n_kept, max(h) AS kth
+  FROM rk WHERE r <= {KMV_K} GROUP BY g
+),
+ex AS (
+  SELECT event_type AS g, count(DISTINCT user_id) AS exact FROM events
+  GROUP BY event_type
+)
+SELECT sk.g AS event_type,
+       CASE WHEN sk.n_kept < {KMV_K} THEN sk.n_kept::DOUBLE
+            ELSE {float(KMV_K - 1)} * 1152921504606846976.0 / sk.kth::DOUBLE
+       END AS est,
+       CAST(ex.exact AS BIGINT) AS exact
+FROM sk JOIN ex ON ex.g = sk.g ORDER BY event_type
+""".strip(),
+)
+def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct sketch (operators/sketch.py): estimated vs
+    exact distinct users per event type. Hashes are the portable 60-bit
+    md5 family and the estimate is one IEEE division of integer-derived
+    doubles, so the DuckDB oracle reproduces the APPROXIMATE value
+    bit-for-bit — the same exact-oracle-for-an-approximate-operator
+    pattern as the LSH/IVF entries. The sketch itself is mergeable
+    (bottom-k of concatenation; pinned in tests/test_pipeline_ops.py)."""
+    from .operators.sketch import kmv_estimate, kmv_sketch
+
+    e = load(spark, sf_dir, "events")
+    base = e.select(
+        "event_type", F.col("user_id").cast("string").alias("item")
+    )
+    est = kmv_estimate(kmv_sketch(base, "event_type", "item", k=KMV_K),
+                       k=KMV_K)
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact")
+    )
+    return (
+        est.join(exact, est["g"] == exact["event_type"])
+        .select(F.col("event_type"), "est", "exact")
+        .orderBy("event_type")
+    )
+
+
 @register(
     "hypertable_rollup",
     """

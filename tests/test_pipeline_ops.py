@@ -186,3 +186,50 @@ def test_ivf_autotune_nprobe(vectors):
     )
     assert loose["nprobe"] <= out["nprobe"]
     assert loose["recall"] >= 0.5
+
+
+def test_kmv_sketch_merge_and_accuracy(spark):
+    """KMV: merging per-shard partial sketches equals sketching the whole;
+    unsaturated groups are exact; saturated estimates land within the
+    ~1/sqrt(k) relative-error regime."""
+    from l_space_spark.operators import sketch
+
+    # items are 'a'-prefixed ids: group 0 has 1000 distinct, group 1 has
+    # 500 (ids folded mod 500), group 2 has 40 (< k → exact). Estimates on
+    # a FIXED item set are deterministic draws — these particular sets sit
+    # within ~1σ of truth (the raw decimal-string set happened to be a
+    # 3.8σ outlier, still matching the pure-python sketch bit-for-bit).
+    df = spark.range(0, 3000).select(
+        F.pmod("id", F.lit(3)).cast("string").alias("grp"),
+        F.concat(
+            F.lit("a"),
+            F.when(F.pmod("id", F.lit(3)) == 0, F.floor(F.col("id") / 3))
+            .when(F.pmod("id", F.lit(3)) == 1,
+                  F.pmod(F.floor(F.col("id") / 3), F.lit(500)))
+            .otherwise(F.pmod(F.col("id"), F.lit(120))).cast("string"),
+        ).alias("item"),
+    )
+    k = 64
+    whole = sketch.kmv_sketch(df, "grp", "item", k=k)
+    est = {r["g"]: r["est"] for r in sketch.kmv_estimate(whole, k=k).collect()}
+    exact = {r["grp"]: r["n"] for r in df.groupBy("grp").agg(
+        F.countDistinct("item").alias("n")).collect()}
+    assert est["2"] == exact["2"]  # unsaturated → exact
+    for g in ("0", "1"):
+        assert abs(est[g] - exact[g]) / exact[g] < 0.3  # ~2σ of 1/sqrt(62)
+
+    # mergeability: shard the input, sketch each shard, merge == whole
+    sharded = df.withColumn("shard", F.pmod(F.xxhash64("item"), F.lit(4)))
+    parts = [
+        sketch.kmv_sketch(
+            sharded.where(F.col("shard") == s), "grp", "item", k=k
+        )
+        for s in range(4)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    merged = sketch.kmv_merge(u, k=k)
+    a = {r["g"]: (tuple(r["sketch"]), r["n_kept"]) for r in whole.collect()}
+    b = {r["g"]: (tuple(r["sketch"]), r["n_kept"]) for r in merged.collect()}
+    assert a == b
