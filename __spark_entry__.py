@@ -56,10 +56,18 @@ def main(argv: list[str]) -> None:
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args(argv)
 
+    import json as _json
+
     spark = SparkSession.builder.appName("l_space_spark.job").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     result = run_job(spark, args.job)
-    if args.json:
+    spec = args.job if args.job.lstrip().startswith("{") else open(args.job).read()
+    has_sink = bool(_json.loads(spec).get("output"))
+    if has_sink:
+        # the sink write inside run_job already executed the plan; showing
+        # rows here would re-execute the whole (unpersisted) job
+        print("result written to output sink")
+    elif args.json:
         for row in result.limit(args.show).toJSON().collect():
             print(row)
     else:

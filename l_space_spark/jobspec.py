@@ -67,9 +67,11 @@ def _load_input(spark: SparkSession, inp: dict) -> DataFrame:
     raise ValueError(f"no loadable input in {sorted(inp)}")
 
 
-def _edges_from_input(spark: SparkSession, inp: dict) -> DataFrame:
-    """Edge table (src, dst) from an edge parquet/table, or EXTRACTED from a
-    repos table of the input_hint shape (repo,path,commit,lang,content)."""
+def _edges_from_input(spark: SparkSession, inp: dict,
+                      weight_col: str | None = None) -> DataFrame:
+    """Edge table (src, dst[, weight]) from an edge parquet/table, or
+    EXTRACTED from a repos table of the input_hint shape
+    (repo,path,commit,lang,content)."""
     if "repos_parquet" in inp or inp.get("extract"):
         from .extract import build_graph
 
@@ -83,8 +85,17 @@ def _edges_from_input(spark: SparkSession, inp: dict) -> DataFrame:
     e = _load_input(spark, inp)
     src, dst = inp.get("src", "src"), inp.get("dst", "dst")
     keep = [F.col(src).alias("src"), F.col(dst).alias("dst")]
-    if inp.get("weight") and inp["weight"] in e.columns:
-        keep.append(F.col(inp["weight"]).alias(inp["weight"]))
+    # keep every weight column the spec references — either named on the
+    # input or demanded by params.weight_col (the algorithm would crash on
+    # an unresolved column otherwise); a name missing from the table is an
+    # immediate, clear error instead of a silent drop
+    for w in {inp.get("weight"), weight_col} - {None}:
+        if w not in e.columns:
+            raise ValueError(
+                f"weight column {w!r} not in input columns {e.columns}"
+            )
+        if w not in (src, dst):
+            keep.append(F.col(w).alias(w))
     return e.select(*keep)
 
 
@@ -102,8 +113,9 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
     from .operators.triangles import triangle_list, triangles_per_vertex
 
     inp = spec.get("input", {})
-    edges = _edges_from_input(spark, inp)
     params = dict(spec.get("params", {}))
+    edges = _edges_from_input(spark, inp,
+                              weight_col=params.get("weight_col"))
     ckpt = spec.get("checkpoint_dir")
     resume = bool(spec.get("resume", True))
     algo = spec["algorithm"]
@@ -144,11 +156,20 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
         )
         out = res.state
         if spec.get("top_k"):
-            order_col = {"pagerank": "rank", "hits": "auth"}.get(algo)
-            if order_col:
-                out = out.orderBy(F.desc(order_col), "id").limit(
-                    int(spec["top_k"])
+            # explicit per-algorithm ranking; a top_k the algorithm cannot
+            # rank is an ERROR, never a silently ignored field
+            ranked = {
+                "pagerank": F.desc("rank"),
+                "hits": F.desc("auth"),
+                "sssp": F.asc_nulls_last("dist"),
+                "kcore": F.desc("core_deg"),
+            }
+            if algo not in ranked:
+                raise ValueError(
+                    f"top_k is not meaningful for {algo!r} (supported: "
+                    f"{sorted(ranked)})"
                 )
+            out = out.orderBy(ranked[algo], "id").limit(int(spec["top_k"]))
         return out
     if algo == "triangle_count":
         return triangle_list(edges).agg(

@@ -243,10 +243,6 @@ def simhash_close_pairs(
         for i in combo:
             k = F.shiftleft(k, wmax) + F.col(f"__b{i}")
         packed_keys.append(k)
-    keyed = with_blocks.select(
-        "id", F.explode(F.array(*packed_keys)).alias("bk")
-    )
-
     if r == 1:
         # single-block keys (small dup-dense corpora): candidates via a
         # STREAMING self-join on the key, fingerprints carried through —
@@ -275,6 +271,9 @@ def simhash_close_pairs(
     # shuffle — fingerprints rejoin later on the far smaller candidate
     # set) and pair up within multi-member buckets JVM-side; wide keys
     # keep buckets small by construction
+    keyed = with_blocks.select(
+        "id", F.explode(F.array(*packed_keys)).alias("bk")
+    )
     buckets = (
         keyed.groupBy("bk").agg(F.collect_list("id").alias("ids"))
         .where(F.size("ids") > 1)

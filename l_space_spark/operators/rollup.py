@@ -121,9 +121,21 @@ def refresh_rollup(
     return changed
 
 
-def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
+def read_rollup(spark: SparkSession, rollup_path: str,
+                key_col: str = "event_type") -> DataFrame:
     """The rollup as a DataFrame (partitioned scan; ``__chunk`` column
-    restored from the directory layout)."""
+    restored from the directory layout). A rollup with zero chunks (empty
+    hypertable, or refreshed before any data landed) reads as an EMPTY
+    frame with the standard schema instead of a path error."""
+    has_chunks = os.path.isdir(rollup_path) and any(
+        n.startswith("__chunk=") for n in os.listdir(rollup_path)
+    )
+    if not has_chunks:
+        return spark.createDataFrame(
+            [],
+            f"bucket timestamp, {key_col} string, n bigint, "
+            f"sum_value double, __chunk string",
+        )
     return spark.read.option("basePath", rollup_path).parquet(
         os.path.join(rollup_path, "__chunk=*")
     )

@@ -144,24 +144,38 @@ def embedding_near_dup_pairs(
     ``threshold``, candidates restricted to the same hyperplane LSH bucket.
 
     The embedding-space sibling of MinHash-LSH text dedup: candidate
-    generation is a bucket EQUI-join (O(N) shuffle on the sketch — near-dup
+    generation is a bucket EQUI-join over (id, bucket) PAIRS ONLY — the
+    wide vectors rejoin on the (far smaller) candidate set for the exact
+    cosine verify, so the candidate shuffle is 16-byte rows. Near-dup
     vectors agree on almost every hyperplane sign, so recall at high
-    thresholds is high), followed by an exact cosine verify. No cartesian
-    product anywhere; same plan at 100 TB. The sketch is hash-derived and
-    data-independent, so the catalog carries an exact SQL oracle for this
-    approximate index (inlined sign literals, queries.py)."""
-    base = embeddings.select(
+    thresholds stays high as ``bits`` grows.
+
+    SIZE ``bits`` TO THE CORPUS: expected random-collision candidates ≈
+    N²/2^bits (2^bits buckets), so pick ``bits ≳ 2·log2(N) − log2(budget)``
+    — e.g. 64 bits for 10⁹ docs keeps random collisions ~N; the catalog's
+    ANN_BITS=6 suits only its 10³-doc corpus. The sketch is hash-derived
+    and data-independent, so the catalog carries an exact SQL oracle for
+    this approximate index (inlined sign literals, queries.py)."""
+    plain = embeddings.select(
         F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
-    ).withColumn("nrm", l2_norm(F.col("v"))).withColumn(
-        "bucket", hyperplane_sketch(F.col("v"), bits, dims)
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    # only the candidate-generation side pays the sketch computation; the
+    # verify sides carry vectors without re-deriving buckets
+    ids = plain.select(
+        "id", hyperplane_sketch(F.col("v"), bits, dims).alias("bucket")
     )
-    a = base.select(F.col("id").alias("a"), F.col("v").alias("av"),
-                    F.col("nrm").alias("an"), "bucket")
-    b = base.select(F.col("id").alias("b"), F.col("v").alias("bv"),
-                    F.col("nrm").alias("bn"), "bucket")
-    return (
-        a.join(b, "bucket")
+    cand = (
+        ids.select(F.col("id").alias("a"), "bucket")
+        .join(ids.select(F.col("id").alias("b"), "bucket"), "bucket")
         .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    va = plain.select(F.col("id").alias("a"), F.col("v").alias("av"),
+                      F.col("nrm").alias("an"))
+    vb = plain.select(F.col("id").alias("b"), F.col("v").alias("bv"),
+                      F.col("nrm").alias("bn"))
+    return (
+        cand.join(va, "a").join(vb, "b")
         .select(
             "a", "b",
             F.round(dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")),
@@ -259,15 +273,19 @@ def ivf_recall_at_k(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebook: DataFrame | None = None,
+    truth: DataFrame | None = None,
 ) -> float:
     """Recall@k of the IVF index vs exact brute force, on a deterministic
     query sample (the ``sample_queries`` lowest-id vectors — reproducible,
     no RNG). Cost: sample × corpus for the ground truth (bounded by the
     sample size, the standard index-evaluation pattern) + one probed
-    search; the corpus is never all-pairs joined."""
+    search; the corpus is never all-pairs joined. ``truth`` lets callers
+    evaluating several nprobe levels compute the (nprobe-independent)
+    ground truth once."""
     qs = embeddings.orderBy(id_col).limit(sample_queries)
-    truth = cosine_topk(embeddings, queries=qs, k=k,
-                        id_col=id_col, vec_col=vec_col)
+    if truth is None:
+        truth = cosine_topk(embeddings, queries=qs, k=k,
+                            id_col=id_col, vec_col=vec_col)
     approx = ivf_topk(embeddings, queries=qs, k=k, n_centroids=n_centroids,
                       nprobe=nprobe, id_col=id_col, vec_col=vec_col,
                       codebook=codebook)
@@ -299,16 +317,24 @@ def ivf_autotune_nprobe(
     always meets any target ≤ 1.0."""
     base = embeddings.persist()
     try:
+        # ground truth is nprobe-independent — compute the expensive
+        # sample × corpus exact top-k ONCE, reuse across the walk
+        qs = base.orderBy(id_col).limit(sample_queries)
+        truth = cosine_topk(base, queries=qs, k=k,
+                            id_col=id_col, vec_col=vec_col).persist()
+        truth.count()
         curve: dict[int, float] = {}
         chosen = n_centroids
         for p in range(1, n_centroids + 1):
             r = ivf_recall_at_k(base, p, k=k, n_centroids=n_centroids,
                                 sample_queries=sample_queries, id_col=id_col,
-                                vec_col=vec_col, codebook=codebook)
+                                vec_col=vec_col, codebook=codebook,
+                                truth=truth)
             curve[p] = r
             if r >= recall_target:
                 chosen = p
                 break
+        truth.unpersist()
         return {"nprobe": chosen, "recall": curve[chosen], "curve": curve}
     finally:
         base.unpersist()

@@ -13,10 +13,10 @@ sketch:
   oracle for an approximate operator (the LSH/IVF pattern).
 - **mergeable**: union of sketches = bottom-K of the concatenation —
   re-aggregable across partitions/chunks/days like count+sum.
-- **scale-shaped**: the bottom-K per group comes from a rank window over
-  deduped hashes — one shuffle, no per-group materialization of the full
-  distinct set on any single path (the window sort is the standard
-  distributed top-k).
+- **scale-shaped**: the bottom-K per group comes from a TWO-LEVEL rank
+  window over deduped hashes (shard-partial bottom-k, then bottom-k of
+  the ≤ shards·k survivors) — a hot group's distinct set is never sorted
+  in one task.
 """
 
 from __future__ import annotations
@@ -30,17 +30,30 @@ DOMAIN = float(1 << 60)
 
 
 def kmv_sketch(df: DataFrame, group_col: str, item_col: str,
-               k: int = 64) -> DataFrame:
+               k: int = 64, shards: int = 64) -> DataFrame:
     """Per group: the bottom-``k`` distinct item hashes as a sorted array
     (``sketch``), plus ``n_kept``. Mergeable: union two sketches by
-    re-taking the bottom-k of the concatenation (``kmv_merge``)."""
+    re-taking the bottom-k of the concatenation (``kmv_merge``).
+
+    Two-level bottom-k: level 1 ranks within (group, ``h % shards``) — a
+    hot group's distinct hashes spread over ``shards`` tasks, each keeping
+    ≤ k — then level 2 ranks the ≤ shards·k survivors per group. The
+    global bottom-k is a subset of every shard-level bottom-k, so the
+    result is identical to the single-window form while no task ever sees
+    more than (group's distinct)/shards + shards·k rows."""
     hashed = df.groupBy(
         F.col(group_col).alias("g"), hash60(F.col(item_col)).alias("h")
     ).agg(F.lit(1).alias("__one"))
-    w = Window.partitionBy("g").orderBy("h")
-    return (
-        hashed.withColumn("__r", F.row_number().over(w))
+    w1 = Window.partitionBy("g", "__s").orderBy("h")
+    survivors = (
+        hashed.withColumn("__s", F.pmod(F.col("h"), F.lit(shards)))
+        .withColumn("__r", F.row_number().over(w1))
         .where(F.col("__r") <= k)
+    )
+    w2 = Window.partitionBy("g").orderBy("h")
+    return (
+        survivors.withColumn("__r2", F.row_number().over(w2))
+        .where(F.col("__r2") <= k)
         .groupBy("g")
         .agg(
             F.sort_array(F.collect_list("h")).alias("sketch"),

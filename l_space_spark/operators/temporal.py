@@ -87,6 +87,9 @@ def banded_range_join_count(
     """Per left row, the COUNT of right rows of the same key with
     ``l.ts + lo_s ≤ r.ts ≤ l.ts + hi_s`` (seconds; e.g. ``lo_s=-3600,
     hi_s=0`` = the preceding hour). Zero-count left rows are kept.
+    ``left_id`` must be UNIQUE across left rows (like asof_join's
+    right-side dedup precondition): duplicate ids would merge their
+    windows' counts and fan the sum back onto every duplicate.
 
     Candidates via time-bucket banding (bucket = ``hi_s − lo_s`` wide):
     any qualifying right row falls in one of the two buckets overlapping

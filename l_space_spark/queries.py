@@ -1135,7 +1135,11 @@ def q_simhash_close_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash, simhash_close_pairs
 
     d = load(spark, sf_dir, "documents")
-    s = simhash(d, "doc_id", "text", bits=60)
+    # persist: the banded join scans the fingerprints from multiple sides
+    # (both key sides at r=1; blocks + two rejoins at r≥2) and simhash is
+    # the expensive half (tokenize + per-bit aggregation) — lazy handoff,
+    # ContextCleaner releases it when the result's lineage drops
+    s = simhash(d, "doc_id", "text", bits=60).persist()
     # n_blocks=7 (single-block keys): this corpus is small and DUP-DENSE
     # (sf0.1: 1.35 M true close pairs among 5 k docs) — every true pair is
     # regenerated once per matching subset, so wide-key m=10 multiplies
@@ -1282,12 +1286,17 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned scan. The oracle is the equivalent one-shot GROUP BY; the
     incremental semantics (only-changed-chunks, late-data single-chunk
     refresh) are pinned by tests/test_rollup.py."""
+    import hashlib
     import tempfile
 
     from .operators.rollup import read_rollup, refresh_rollup, write_hypertable
 
     e = load(spark, sf_dir, "events")
-    base = tempfile.mkdtemp(prefix="lspace_ht_")
+    # one FIXED scratch dir per input scale, overwritten on each call —
+    # repeated invocations (bench reps, oracle runs) reuse it instead of
+    # leaking a dataset copy per call
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"lspace_ht_{tag}")
     ht, ru = os.path.join(base, "ht"), os.path.join(base, "ru")
     write_hypertable(e, ht)
     refresh_rollup(spark, ht, ru)

@@ -178,3 +178,37 @@ def test_personalized_and_weighted_pagerank_specs(spark, tmp_path):
     want_w = {(r["id"], round(r["rank"], 12)) for r in
               want_w_res.state.orderBy(F.desc("rank"), "id").limit(5).collect()}
     assert got_w == want_w
+
+
+def test_weighted_spec_with_params_only_weight_col(spark, tmp_path):
+    """The documented contract: naming the weight ONLY in params.weight_col
+    must keep the column through the input loader (it used to be dropped,
+    crashing the algorithm); a weight name missing from the table errors
+    clearly."""
+    import pytest
+
+    path = str(tmp_path / "we2")
+    edges_df(spark, zipf_edges(n_repos=40)).withColumn(
+        "w", (F.pmod(F.xxhash64("src", "dst"), F.lit(4)) + 1).cast("double")
+    ).write.parquet(path)
+    spec = {
+        "kind": "algorithm", "algorithm": "sssp",
+        "input": {"edges_parquet": path},
+        "params": {"source": 3, "weight_col": "w", "max_iters": 5},
+    }
+    rows = run_job(spark, spec).collect()
+    assert any(r["dist"] is not None for r in rows)
+
+    bad = {
+        "kind": "algorithm", "algorithm": "sssp",
+        "input": {"edges_parquet": path},
+        "params": {"source": 3, "weight_col": "nope"},
+    }
+    with pytest.raises(ValueError, match="weight column 'nope'"):
+        run_job(spark, bad)
+
+    with pytest.raises(ValueError, match="top_k is not meaningful"):
+        run_job(spark, {
+            "kind": "algorithm", "algorithm": "connected_components",
+            "input": {"edges_parquet": path}, "top_k": 5,
+        })
