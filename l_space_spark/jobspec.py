@@ -29,6 +29,15 @@ Three spec kinds:
 
     {"kind": "catalog", "query": "pagerank_top20", "sf_dir": "/data/sf0.1"}
 
+``{"kind": "sql"}`` — plain Spark SQL over named inputs (the declarative
+front end over the wire — SURVEY §3.3: Spark SQL plays the reference's
+GraphQL role)::
+
+    {"kind": "sql",
+     "tables": {"orders": {"orders_parquet": "/data/orders"},
+                "nation": {"table": "lakehouse.db.nation"}},
+     "sql": "SELECT n_name, count(*) FROM orders JOIN nation ON ..."}
+
 ``{"kind": "traversal"}`` — a serialized step list, the literal wire-traversal
 analog. Steps are ``{"step": <method>, "args": [...]}``; a predicate argument
 is ``{"p": <name>, "args": [...]}`` (the 22-predicate registry,
@@ -191,6 +200,12 @@ def _run_catalog(spark: SparkSession, spec: dict) -> DataFrame:
     return _q.QUERIES[name](spark, spec["sf_dir"])
 
 
+def _run_sql(spark: SparkSession, spec: dict) -> DataFrame:
+    for name, inp in spec.get("tables", {}).items():
+        _load_input(spark, inp).createOrReplaceTempView(name)
+    return spark.sql(spec["sql"])
+
+
 # ---- traversal decoding ------------------------------------------------------
 
 # JSON step name → Traversal method (reserved-word escapes)
@@ -281,6 +296,7 @@ KINDS: dict[str, Callable[[SparkSession, dict], DataFrame]] = {
     "algorithm": _run_algorithm,
     "catalog": _run_catalog,
     "traversal": _run_traversal,
+    "sql": _run_sql,
 }
 
 

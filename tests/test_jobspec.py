@@ -212,3 +212,22 @@ def test_weighted_spec_with_params_only_weight_col(spark, tmp_path):
             "kind": "algorithm", "algorithm": "connected_components",
             "input": {"edges_parquet": path}, "top_k": 5,
         })
+
+
+def test_sql_spec(spark, tmp_path):
+    """{"kind": "sql"}: plain Spark SQL over named inputs — the declarative
+    front end over the wire (the reference's GraphQL role, SURVEY §3.3)."""
+    path = _edges_parquet(spark, tmp_path)
+    spec = {
+        "kind": "sql",
+        "tables": {"edges": {"edges_parquet": path}},
+        "sql": "SELECT src, count(*) AS n FROM edges GROUP BY src "
+               "ORDER BY n DESC, src LIMIT 5",
+    }
+    rows = run_job(spark, spec).collect()
+    want = (
+        spark.read.parquet(path).groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "src").limit(5).collect()
+    )
+    assert rows == want
