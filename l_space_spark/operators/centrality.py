@@ -1,0 +1,141 @@
+"""Multi-source BFS + sampled harmonic centrality.
+
+Exact centralities need all-pairs distances (O(V·E) — off the table at
+link-graph scale); the standard scalable estimator runs BFS from a SAMPLE
+of sources simultaneously and aggregates per-vertex distances (the idea
+HyperBall industrializes with counters). Here the multi-source BFS is ONE
+superstep job over a ``(src, id, dist)`` state table — every source's
+frontier expands through the same per-round join — so S sources cost one
+pass of S·|frontier| rows, not S sequential BFS runs.
+
+Reference analog: none (like the other algorithms, L-space would express
+a single BFS as ``Repeat``); determinism: integer hop distances, a
+deterministic lowest-id source sample, and harmonic sums quantized before
+output, so the unrolled-CTE oracle matches exactly.
+
+Scale notes: state ≤ S·|V| rows — S is the knob (accuracy ∝ 1/√S); the
+per-round relaxation joins the state to the src-partitioned edge table and
+min-aggregates on (src, dst): same shuffle discipline as SSSP, S-fold row
+multiplicity. Harmonic (Σ 1/d) rather than closeness (1/Σd) so unreachable
+pairs contribute 0 instead of poisoning the sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.superstep import SuperstepRunner, SuperstepResult
+
+
+def multi_source_bfs(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: DataFrame,
+    max_iters: int = 20,
+    fixed_iters: bool = False,
+    checkpoint_dir: str | None = None,
+    num_partitions: int | None = None,
+    resume: bool = True,
+    config_extra: dict | None = None,
+) -> SuperstepResult:
+    """Hop distances from every source at once: state ``(src long, id
+    long, dist long)`` holding the reached (source, vertex) pairs; each
+    superstep relaxes one hop (state ⋈ edges → min per (src, dst)).
+    ``sources`` is a DataFrame with an ``id`` column; rows never reached
+    from a source simply don't appear (sparse representation — the dense
+    NULL form would be S·V rows regardless of reach)."""
+    num_partitions = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    e = (
+        edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+        .distinct().repartition(num_partitions, "src").persist()
+    )
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seed = sources.select("id").distinct().join(verts, "id", "left_semi")
+
+    init = seed.select(
+        F.col("id").alias("bsrc"), F.col("id"), F.lit(0).cast("long").alias("dist")
+    )
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        hop = (
+            state.hint("shuffle_hash").join(e, state["id"] == e["src"])
+            .select(
+                F.col("bsrc").alias("hsrc"), F.col("dst").alias("hid"),
+                F.col("dist"),
+            )
+            .groupBy("hsrc", "hid")
+            .agg((F.min("dist") + 1).alias("nd"))
+        )
+        return state.join(
+            hop.hint("shuffle_hash"),
+            (state["bsrc"] == hop["hsrc"]) & (state["id"] == hop["hid"]),
+            "full",
+        ).select(
+            F.coalesce(state["bsrc"], hop["hsrc"]).alias("bsrc"),
+            F.coalesce(state["id"], hop["hid"]).alias("id"),
+            F.least(
+                F.coalesce(state["dist"], hop["nd"]),
+                F.coalesce(hop["nd"], state["dist"]),
+            ).alias("dist"),
+        )
+
+    def changed(old: DataFrame, new: DataFrame) -> float:
+        return float(new.count() - old.count()) + float(
+            new.alias("n").join(old.alias("o"), ["bsrc", "id"])
+            .where(F.col("n.dist") != F.col("o.dist")).count()
+        )
+
+    runner = SuperstepRunner(
+        spark,
+        max_iters=max_iters,
+        tol=-1.0 if fixed_iters else 0.0,
+        checkpoint_dir=checkpoint_dir,
+        config={"algo": "multi_source_bfs", "fixed": fixed_iters,
+                **(config_extra or {})},
+    )
+    result = runner.run(
+        init, step, metric_fn=None if fixed_iters else changed, resume=resume
+    )
+    e.unpersist()
+    return result
+
+
+def harmonic_centrality_sampled(
+    spark: SparkSession,
+    edges: DataFrame,
+    n_sources: int = 8,
+    max_iters: int = 10,
+    quantize: int = 9,
+    **bfs_kwargs,
+) -> DataFrame:
+    """(id, harmonic) — Σ over sampled sources s≠v of 1/d(s → v), hop
+    distances, deterministic lowest-id source sample. Unreachable pairs
+    contribute 0 (the harmonic fix for disconnected graphs); sums are
+    quantized to ``quantize`` decimals so fp merge order can't leak into
+    exact comparisons. Estimator quality ∝ 1/√n_sources."""
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    sources = verts.orderBy("id").limit(n_sources)
+    res = multi_source_bfs(
+        spark, edges, sources, max_iters=max_iters, fixed_iters=True,
+        **bfs_kwargs,
+    )
+    return (
+        res.state.where(F.col("bsrc") != F.col("id"))
+        .groupBy("id")
+        .agg(
+            F.round(
+                F.sum(F.lit(1.0) / F.col("dist").cast("double")), quantize
+            ).alias("harmonic")
+        )
+    )

@@ -1157,6 +1157,58 @@ ORACLES["simhash_close_pairs"] = ORACLES["simhash_close_pairs"].replace(
 )
 
 
+HARM_SOURCES = 8
+HARM_ROUNDS = 6
+
+
+def _harmonic_oracle() -> str:
+    from .sources import MOD_EDGES_SQL
+
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({MOD_EDGES_SQL}),",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0"
+        " WHERE src <> dst),",
+        "verts AS MATERIALIZED (SELECT src AS id FROM e"
+        " UNION SELECT dst FROM e),",
+        f"seeds AS MATERIALIZED (SELECT id FROM verts ORDER BY id"
+        f" LIMIT {HARM_SOURCES}),",
+        "b0 AS MATERIALIZED (SELECT id AS bsrc, id, 0::BIGINT AS dist"
+        " FROM seeds),",
+    ]
+    for k in range(1, HARM_ROUNDS + 1):
+        parts.append(
+            f"b{k} AS MATERIALIZED ("
+            f" SELECT bsrc, id, MIN(dist) AS dist FROM ("
+            f"  SELECT bsrc, id, dist FROM b{k - 1}"
+            f"  UNION ALL"
+            f"  SELECT p.bsrc, e.dst AS id, p.dist + 1"
+            f"  FROM b{k - 1} p JOIN e ON e.src = p.id"
+            f" ) GROUP BY bsrc, id),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT id, round(SUM(1.0 / dist), 9) AS harmonic"
+        f" FROM b{HARM_ROUNDS} WHERE bsrc <> id GROUP BY id ORDER BY id"
+    )
+    return "\n".join(parts)
+
+
+@register("harmonic_centrality", _harmonic_oracle())
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled harmonic centrality over the hashed random graph
+    (operators/centrality.py): one multi-source BFS superstep job expands
+    the {HARM_SOURCES} lowest-id sources simultaneously for {HARM_ROUNDS}
+    fixed rounds; centrality = Σ 1/hop-distance (unreachable contributes
+    0), quantized so the unrolled-CTE oracle matches exactly."""
+    from .operators.centrality import harmonic_centrality_sampled
+
+    e = mod_edges(spark, sf_dir)
+    return harmonic_centrality_sampled(
+        spark, e, n_sources=HARM_SOURCES, max_iters=HARM_ROUNDS,
+        num_partitions=_small_graph_parts(spark), resume=False,
+    ).orderBy("id")
+
+
 SSSP_ROUNDS = 8
 _SSSP_INF = 10**12
 

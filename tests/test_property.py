@@ -330,3 +330,40 @@ def test_sssp_matches_bellman_ford(spark, pairs):
     res = sssp(spark, e, source=src, weight_col="wt", resume=False)
     got = {r["id"]: r["dist"] for r in res.state.collect()}
     assert got == dist
+
+
+@given(pairs=edge_lists)
+@settings(**SETTINGS)
+def test_multi_source_bfs_matches_python_bfs(spark, pairs):
+    """Multi-source BFS (converged) vs an inline per-source BFS: hop
+    distances for the 3 lowest-id sources; unreached pairs absent."""
+    from collections import deque
+
+    from l_space_spark.operators.centrality import multi_source_bfs
+
+    if not _has_real_edge(pairs):
+        pairs = pairs + [(0, 1)]
+    adj = {}
+    verts = set()
+    for s, d in pairs:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            verts |= {s, d}
+    srcs = sorted(verts)[:3]
+    want = set()
+    for s in srcs:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        want |= {(s, v, d) for v, d in dist.items()}
+
+    e = edges_df(spark, pairs)
+    sdf = spark.createDataFrame([(s,) for s in srcs], "id long")
+    res = multi_source_bfs(spark, e, sdf, resume=False)
+    got = {(r["bsrc"], r["id"], r["dist"]) for r in res.state.collect()}
+    assert got == want
