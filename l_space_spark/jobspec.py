@@ -186,6 +186,12 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
         )
     if algo == "triangles_per_vertex":
         return triangles_per_vertex(spark, edges)
+    if algo == "harmonic_centrality":
+        from .operators.centrality import harmonic_centrality_sampled
+
+        return harmonic_centrality_sampled(
+            spark, edges, checkpoint_dir=ckpt, resume=resume, **params
+        )
     raise ValueError(f"unknown algorithm {algo!r}")
 
 
