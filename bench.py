@@ -75,11 +75,14 @@ def main() -> None:
     pagerank(spark, tiny, tol=-1.0, max_iters=2, resume=False).state.count()
     # … and the shingle/minhash HOF expression shapes (their codegen units
     # are large; JIT once on a 20-doc sample, untimed)
-    from l_space_spark.operators.dedup import minhash_signatures
+    from l_space_spark.operators.dedup import (
+        minhash_signatures, ngram_jaccard_pairs,
+    )
     tiny_docs = spark.read.parquet(
         os.path.join(sf_dir, "documents.parquet")
     ).limit(20)
     minhash_signatures(tiny_docs, "doc_id", "text", k=8, n=3).count()
+    ngram_jaccard_pairs(tiny_docs, "doc_id", "text", 3).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
