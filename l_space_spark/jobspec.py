@@ -9,7 +9,7 @@ submitted with the package::
 
     spark-submit --py-files pkg.zip __spark_entry__.py --job spec.json
 
-Three spec kinds:
+Four spec kinds:
 
 ``{"kind": "algorithm"}`` — an iterative graph job::
 
@@ -21,7 +21,8 @@ Three spec kinds:
 
     algorithms: pagerank · connected_components · connected_components_star ·
     label_propagation · triangle_count · triangles_per_vertex · hits ·
-    kcore · sssp (params: source, weight_col).
+    kcore · sssp (params: source, weight_col) · harmonic_centrality
+    (params: n_sources, max_iters).
     ``checkpoint_dir``+``resume`` make the run restartable (north rule); the
     result DataFrame is written to ``output`` (or shown when absent).
 
@@ -138,6 +139,22 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
         "kcore": kcore,
         "sssp": sssp,
     }
+    if ckpt and (algo in supersteps or algo == "harmonic_centrality"):
+        # pin the input snapshot into the checkpoint config hash: a
+        # resume against a silently changed input (new snapshot /
+        # replaced files) is refused instead of mixing states
+        # (SURVEY §4.1 — the Transaction/`mit` moment-in-time analog)
+        from .sources import table_fingerprint
+
+        ref = inp.get("table") or next(
+            (v for k, v in inp.items() if k.endswith("_parquet")), None
+        )
+        if ref is not None:
+            params["config_extra"] = {
+                **params.get("config_extra", {}),
+                "input_snapshot": table_fingerprint(spark, ref),
+            }
+
     if algo in supersteps:
         if algo == "pagerank" and isinstance(params.get("seeds"), list):
             # personalized PageRank over the wire: seeds arrive as a JSON
@@ -145,21 +162,6 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
             params["seeds"] = spark.createDataFrame(
                 [(int(s),) for s in params["seeds"]], "id long"
             )
-        if ckpt:
-            # pin the input snapshot into the checkpoint config hash: a
-            # resume against a silently changed input (new snapshot /
-            # replaced files) is refused instead of mixing states
-            # (SURVEY §4.1 — the Transaction/`mit` moment-in-time analog)
-            from .sources import table_fingerprint
-
-            ref = inp.get("table") or next(
-                (v for k, v in inp.items() if k.endswith("_parquet")), None
-            )
-            if ref is not None:
-                params["config_extra"] = {
-                    **params.get("config_extra", {}),
-                    "input_snapshot": table_fingerprint(spark, ref),
-                }
         res = supersteps[algo](
             spark, edges, checkpoint_dir=ckpt, resume=resume, **params
         )
@@ -189,9 +191,14 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
     if algo == "harmonic_centrality":
         from .operators.centrality import harmonic_centrality_sampled
 
-        return harmonic_centrality_sampled(
+        out = harmonic_centrality_sampled(
             spark, edges, checkpoint_dir=ckpt, resume=resume, **params
         )
+        if spec.get("top_k"):
+            out = out.orderBy(F.desc("harmonic"), "id").limit(
+                int(spec["top_k"])
+            )
+        return out
     raise ValueError(f"unknown algorithm {algo!r}")
 
 
@@ -207,9 +214,20 @@ def _run_catalog(spark: SparkSession, spec: dict) -> DataFrame:
 
 
 def _run_sql(spark: SparkSession, spec: dict) -> DataFrame:
-    for name, inp in spec.get("tables", {}).items():
-        _load_input(spark, inp).createOrReplaceTempView(name)
-    return spark.sql(spec["sql"])
+    """Registers the spec's tables as temp views, plans the SQL, then drops
+    the views — a spec referencing an unregistered name fails at analysis
+    instead of silently reading a previous job's leftover view (the
+    returned DataFrame's resolved plan survives the view drop)."""
+    names = list(spec.get("tables", {}))
+    for name in names:
+        _load_input(spark, spec["tables"][name]).createOrReplaceTempView(name)
+    try:
+        df = spark.sql(spec["sql"])
+        df.schema  # force analysis while the views exist
+        return df
+    finally:
+        for name in names:
+            spark.catalog.dropTempView(name)
 
 
 # ---- traversal decoding ------------------------------------------------------

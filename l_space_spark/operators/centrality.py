@@ -48,6 +48,8 @@ def multi_source_bfs(
     num_partitions = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
+    import hashlib
+
     e = (
         edges.select("src", "dst").where(F.col("src") != F.col("dst"))
         .distinct().repartition(num_partitions, "src").persist()
@@ -58,14 +60,28 @@ def multi_source_bfs(
         .distinct()
     )
     seed = sources.select("id").distinct().join(verts, "id", "left_semi")
+    # the SOURCE SET is part of the computation's identity: pin its digest
+    # into the checkpoint config hash so a resume against a different
+    # sample is refused instead of silently mixing states (same discipline
+    # as sssp's `source` pin). The sample is bounded by design, so
+    # collecting the sorted ids is cheap.
+    seed_ids = sorted(r["id"] for r in seed.collect())
+    seed_digest = hashlib.sha256(
+        ",".join(map(str, seed_ids)).encode()
+    ).hexdigest()[:16]
 
     init = seed.select(
         F.col("id").alias("bsrc"), F.col("id"), F.lit(0).cast("long").alias("dist")
     )
 
     def step(state: DataFrame, i: int) -> DataFrame:
+        # expand only the FRONTIER (pairs first reached last round): hop
+        # distances are set-once-minimal, so re-relaxing already-settled
+        # pairs every round would redo S·|reached|·deg join work for
+        # nothing — frontier-only is the textbook BFS cost S·|frontier|
+        frontier = state.where(F.col("dist") == i)
         hop = (
-            state.hint("shuffle_hash").join(e, state["id"] == e["src"])
+            frontier.hint("shuffle_hash").join(e, frontier["id"] == e["src"])
             .select(
                 F.col("bsrc").alias("hsrc"), F.col("dst").alias("hid"),
                 F.col("dist"),
@@ -87,10 +103,9 @@ def multi_source_bfs(
         )
 
     def changed(old: DataFrame, new: DataFrame) -> float:
-        return float(new.count() - old.count()) + float(
-            new.alias("n").join(old.alias("o"), ["bsrc", "id"])
-            .where(F.col("n.dist") != F.col("o.dist")).count()
-        )
+        # hop distances never improve after first discovery — pairs are
+        # only ever ADDED, so growth is the complete convergence signal
+        return float(new.count() - old.count())
 
     runner = SuperstepRunner(
         spark,
@@ -98,6 +113,7 @@ def multi_source_bfs(
         tol=-1.0 if fixed_iters else 0.0,
         checkpoint_dir=checkpoint_dir,
         config={"algo": "multi_source_bfs", "fixed": fixed_iters,
+                "sources": seed_digest, "n_sources": len(seed_ids),
                 **(config_extra or {})},
     )
     result = runner.run(
@@ -120,9 +136,14 @@ def harmonic_centrality_sampled(
     contribute 0 (the harmonic fix for disconnected graphs); sums are
     quantized to ``quantize`` decimals so fp merge order can't leak into
     exact comparisons. Estimator quality ∝ 1/√n_sources."""
+    # sample from the SAME vertex universe the BFS uses (self-loops
+    # dropped) — sampling from raw edges could pick a self-loop-only
+    # vertex the BFS then discards, silently shrinking the sample and
+    # diverging from the oracle
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
     verts = (
-        edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
     )
     sources = verts.orderBy("id").limit(n_sources)

@@ -1197,9 +1197,10 @@ def _harmonic_oracle() -> str:
 def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled harmonic centrality over the hashed random graph
     (operators/centrality.py): one multi-source BFS superstep job expands
-    the {HARM_SOURCES} lowest-id sources simultaneously for {HARM_ROUNDS}
-    fixed rounds; centrality = Σ 1/hop-distance (unreachable contributes
-    0), quantized so the unrolled-CTE oracle matches exactly."""
+    the HARM_SOURCES (8) lowest-id sources simultaneously for HARM_ROUNDS
+    (6) fixed rounds; centrality = Σ 1/hop-distance (unreachable
+    contributes 0), quantized so the unrolled-CTE oracle matches
+    exactly."""
     from .operators.centrality import harmonic_centrality_sampled
 
     e = mod_edges(spark, sf_dir)

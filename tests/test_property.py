@@ -364,6 +364,8 @@ def test_multi_source_bfs_matches_python_bfs(spark, pairs):
 
     e = edges_df(spark, pairs)
     sdf = spark.createDataFrame([(s,) for s in srcs], "id long")
-    res = multi_source_bfs(spark, e, sdf, resume=False)
+    # max_iters must cover the worst diameter the strategy can generate
+    # (a 25-vertex chain needs 24 hops); the default 20 would truncate
+    res = multi_source_bfs(spark, e, sdf, max_iters=30, resume=False)
     got = {(r["bsrc"], r["id"], r["dist"]) for r in res.state.collect()}
     assert got == want
