@@ -231,3 +231,20 @@ def test_sql_spec(spark, tmp_path):
         .orderBy(F.desc("n"), "src").limit(5).collect()
     )
     assert rows == want
+
+
+def test_traversal_spec_map_terminal(spark, tmp_path):
+    """Steps whose method returns a DataFrame directly (out_map family)
+    flow through the traversal-spec runner unchanged."""
+    from l_space_spark.traversal import Graph
+
+    path = _edges_parquet(spark, tmp_path)
+    spec = {
+        "kind": "traversal",
+        "input": {"edges_parquet": path},
+        "steps": [{"step": "N"}, {"step": "outMap"}],
+    }
+    got = {r["id"]: dict(r["m"]) for r in run_job(spark, spec).collect()}
+    g = Graph.from_edgelist(spark.read.parquet(path))
+    want = {r["id"]: dict(r["m"]) for r in g.N().out_map().collect()}
+    assert got == want and len(got) > 0
