@@ -71,8 +71,14 @@ def _load_input(spark: SparkSession, inp: dict) -> DataFrame:
     """One table from {"<name>_parquet": path} or {"table": catalog_name}."""
     if "table" in inp:
         return spark.table(inp["table"])
+    # edges_parquet wins outright, and vertices_parquet is never the primary
+    # table (it is consumed separately by the traversal loader) — otherwise a
+    # spec listing vertices before edges would load the wrong table purely on
+    # JSON key order.
+    if "edges_parquet" in inp:
+        return spark.read.parquet(inp["edges_parquet"])
     for k, v in inp.items():
-        if k.endswith("_parquet"):
+        if k.endswith("_parquet") and k != "vertices_parquet":
             return spark.read.parquet(v)
     raise ValueError(f"no loadable input in {sorted(inp)}")
 

@@ -103,7 +103,10 @@ def refresh_rollup(
             )
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum(F.col(value_col)).alias("sum_value"),
+                # cast keeps the written schema identical to read_rollup's
+                # zero-chunk fallback ('sum_value double') even when
+                # value_col is integral (sum would otherwise be bigint)
+                F.sum(F.col(value_col)).cast("double").alias("sum_value"),
             )
         )
         (

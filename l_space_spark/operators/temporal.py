@@ -97,10 +97,16 @@ def banded_range_join_count(
     after a ×2 left explode — the scale-safe replacement for the
     inequality theta join. The exact range test filters candidates.
     """
+    # hi_us is DERIVED from lo_us + width_us (not rounded independently):
+    # for fractional bounds, independent rounding can make the probed
+    # interval one microsecond longer than the bucket width, so it would
+    # span 3 buckets while only the 2 endpoint buckets are probed —
+    # silently undercounting the middle bucket.
     width_us = int(round((hi_s - lo_s) * 1_000_000))
     if width_us <= 0:
         raise ValueError("hi_s must exceed lo_s")
-    lo_us, hi_us = int(round(lo_s * 1_000_000)), int(round(hi_s * 1_000_000))
+    lo_us = int(round(lo_s * 1_000_000))
+    hi_us = lo_us + width_us
 
     l = left.select(
         F.col(left_id).alias("__lid"), F.col(key_col).alias("__k"),

@@ -111,6 +111,34 @@ def test_traversal_spec_steps_and_predicates(spark, tmp_path):
     assert got2 == want2
 
 
+def test_traversal_spec_vertices_listed_before_edges(spark, tmp_path):
+    """Regression (ADVICE r2): _load_input used to take the first
+    '*_parquet' key in JSON insertion order, so a traversal spec listing
+    vertices_parquet before edges_parquet loaded the vertices table as the
+    edge input. edges_parquet must win regardless of key order."""
+    path = _edges_parquet(spark, tmp_path)
+    vpath = str(tmp_path / "verts")
+    edges = spark.read.parquet(path)
+    (
+        edges.select(F.col("src").alias("id")).union(
+            edges.select(F.col("dst"))
+        ).distinct().write.parquet(vpath)
+    )
+    spec = {
+        "kind": "traversal",
+        # vertices FIRST — the old loader picked this as the edge table
+        "input": {"vertices_parquet": vpath, "edges_parquet": path},
+        "steps": [{"step": "N"}, {"step": "out"}, {"step": "count"}],
+    }
+    from l_space_spark.traversal import Graph
+
+    got = run_job(spark, spec).collect()[0]["_lng"]
+    want = Graph.from_edgelist(edges).N().out().count_value()
+    assert got == want
+    # sanity: the spec would NOT produce this over the vertices table
+    assert want > 0
+
+
 def test_catalog_spec_and_json_file(spark, tmp_path):
     from l_space_spark.queries import QUERIES
 

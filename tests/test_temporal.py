@@ -69,6 +69,49 @@ def test_banded_range_join_golden_and_boundaries(spark):
     assert out[3] == 0   # other key
 
 
+def test_banded_range_join_fractional_bounds(spark):
+    """Regression (ADVICE r2): with fractional lo_s/hi_s, rounding lo_us and
+    hi_us independently could make the probed interval 1 µs LONGER than the
+    bucket width (here 1000001 µs vs 1000000 µs buckets), so it spans three
+    buckets while only the two endpoint buckets are probed — the middle
+    bucket's matches were silently dropped. hi_us is now derived as
+    lo_us + width_us. Right rows are placed so that, for the left row at
+    t=2000.0000008 s, the (old) two probed buckets miss the middle bucket
+    containing a true match."""
+    from l_space_spark.operators.temporal import banded_range_join_count
+
+    lo_s, hi_s = -1800.0000008, -1799.0000005
+    # lo_us = -1800000001, width_us = 1000000; old hi_us rounded to
+    # -1799000000 → probe span 1000001 µs. Left at a whole second makes
+    # (lt + lo_us) mod width == 999999, so the old probed interval spans
+    # THREE 1 s buckets; the two in-window right rows (200.2 s, 200.9 s)
+    # sit in the unprobed middle bucket and were counted 0 by the old code.
+    left = spark.createDataFrame(
+        [(1, 10, _ts(2000))], "lid long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, _ts(200.2)), (10, _ts(200.9)), (10, _ts(199.9))],
+        "k long, ts timestamp",
+    )
+    out = banded_range_join_count(
+        left, right, key_col="k", ts_col="ts", lo_s=lo_s, hi_s=hi_s,
+        left_id="lid", count_alias="n",
+    ).collect()
+    # brute-force oracle at exact µs precision (width derived, not re-rounded)
+    epoch = dt.datetime(1970, 1, 1)
+    us = lambda t: (t - epoch) // dt.timedelta(microseconds=1)
+    lo_us = int(round(lo_s * 1e6))
+    hi_us = lo_us + int(round((hi_s - lo_s) * 1e6))
+    lt = us(_ts(2000))
+    assert (lt + lo_us) % 1_000_000 == 999_999  # the 3-bucket alignment
+    expect = sum(
+        1 for s in (200.2, 200.9, 199.9)
+        if lt + lo_us <= us(_ts(s)) <= lt + hi_us
+    )
+    assert expect == 2  # sanity: both in-window rows are true matches
+    assert out[0]["n"] == expect
+
+
 def test_sssp_source_not_in_graph(spark):
     """A source absent from the edge set reaches nothing: every vertex
     stays dist NULL (documented unreachable semantics)."""
