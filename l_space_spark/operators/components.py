@@ -15,7 +15,7 @@ Result matches the recursive-CTE min-reachability oracle exactly.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -30,34 +30,52 @@ def undirect(edges: DataFrame) -> DataFrame:
     ).distinct()
 
 
-_EMPTY_MINS = pd.DataFrame(
-    {"dst": pd.Series(dtype="int64"), "nbr_min": pd.Series(dtype="int64")}
+_EMPTY_MINS = pa.table(
+    {"dst": pa.array([], pa.int64()), "nbr_min": pa.array([], pa.int64())}
 )
 
 
-def _csr_min_kernel(spdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+def _csr_min_kernel(stbl: pa.Table, btbl: pa.Table) -> pa.Table:
     """Per-block partial min of neighbor components: the PageRank gather/
     reduceat kernel with ``minimum`` instead of ``add`` (same CSR buffers,
-    weights unused)."""
-    from .pagerank import align_to_srcs
+    weights unused). Arrow in/out — zero-copy views, no pandas (see
+    pagerank._csr_kernel)."""
+    from .pagerank import align_to_srcs, pa_buf, pa_col
 
-    if len(bpdf) == 0 or len(spdf) == 0:
+    if btbl.num_rows == 0 or stbl.num_rows == 0:
         return _EMPTY_MINS
-    row = bpdf.iloc[0]
-    srcs = np.frombuffer(row["srcs"], np.int64)
+    srcs = pa_buf(btbl, "srcs", np.int64)
     if len(srcs) == 0:
         return _EMPTY_MINS
-    eidx = np.frombuffer(row["eidx"], np.int64)
-    dstu = np.frombuffer(row["dstu"], np.int64)
-    segs = np.frombuffer(row["segs"], np.int64)
+    eidx = pa_buf(btbl, "eidx", np.int64)
+    dstu = pa_buf(btbl, "dstu", np.int64)
+    segs = pa_buf(btbl, "segs", np.int64)
     comp = align_to_srcs(
         srcs,
-        spdf["id"].to_numpy(np.int64),
-        spdf["component"].to_numpy(np.int64),
+        pa_col(stbl, "id"),
+        pa_col(stbl, "component"),
         np.iinfo(np.int64).max,  # src without state → neutral for min
     )
-    return pd.DataFrame(
-        {"dst": dstu, "nbr_min": np.minimum.reduceat(comp[eidx], segs)}
+    return pa.table(
+        {"dst": pa.array(dstu),
+         "nbr_min": pa.array(np.minimum.reduceat(comp[eidx], segs))}
+    )
+
+
+def neighbor_mins(state: DataFrame, und: DataFrame) -> DataFrame:
+    """One superstep's messages: per-vertex min of neighbor components.
+
+    shuffle_hash hint (same rationale as pagerank): broadcasting the
+    |V|-row state every round serializes on the driver, and the SMJ
+    alternative re-sorts the |E|-row und cache every round; a shuffled
+    hash join moves only the state and reuses und's src partitioning —
+    which, when ``und`` is a src-bucketed ``write_symmetric_edges`` table,
+    means the edge side needs NO exchange at all (plan-pinned in
+    tests/test_plans.py)."""
+    return (
+        state.hint("shuffle_hash").join(und, state["id"] == und["src"])
+        .groupBy("dst")
+        .agg(F.min("component").alias("nbr_min"))
     )
 
 
@@ -70,6 +88,7 @@ def connected_components(
     num_partitions: int | None = None,
     resume: bool = True,
     impl: str = "dataframe",
+    sym_edges: DataFrame | None = None,
     config_extra: dict | None = None,
 ) -> SuperstepResult:
     """Returns SuperstepResult with state ``(id long, component long)``.
@@ -83,11 +102,22 @@ def connected_components(
     economics as PageRank's csr path (wins on dense graphs, see
     pagerank.py module doc); output is exactly equal either way (min is
     order-independent — no fp concerns at all here).
+
+    ``sym_edges``: a pre-materialized distinct symmetric closure (e.g. a
+    src-bucketed table written once by ``sources.write_symmetric_edges``)
+    — replaces the query-time ``undirect`` + repartition, so the per-round
+    neighbor join reads the edge side with no exchange at all. ``edges``
+    is ignored for the closure when given; the caller owns the contract
+    that it IS the closure of the graph being queried.
     """
     num_partitions = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
-    und = undirect(edges).repartition(num_partitions, "src").persist()
+    und = (
+        sym_edges.select("src", "dst")
+        if sym_edges is not None
+        else undirect(edges).repartition(num_partitions, "src")
+    ).persist()
     if vertices is None:
         vertices = und.select(F.col("src").alias("id")).distinct()
     else:
@@ -113,21 +143,12 @@ def connected_components(
             )
             partial = s.groupBy("block").cogroup(
                 csr_blocks.groupBy("block")
-            ).applyInPandas(_csr_min_kernel, schema="dst long, nbr_min long")
+            ).applyInArrow(_csr_min_kernel, schema="dst long, nbr_min long")
             msgs = partial.groupBy("dst").agg(
                 F.min("nbr_min").alias("nbr_min")
             )
         else:
-            # shuffle_hash hint (same rationale as pagerank): broadcasting
-            # the |V|-row state every round serializes on the driver, and the
-            # SMJ alternative re-sorts the |E|-row und cache every round; a
-            # shuffled hash join moves only the state and reuses und's
-            # persisted src partitioning
-            msgs = (
-                state.hint("shuffle_hash").join(und, state["id"] == und["src"])
-                .groupBy("dst")
-                .agg(F.min("component").alias("nbr_min"))
-            )
+            msgs = neighbor_mins(state, und)
         return state.join(msgs.hint("shuffle_hash"),
                           state["id"] == msgs["dst"], "left").select(
             state["id"],

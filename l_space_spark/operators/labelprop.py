@@ -16,40 +16,40 @@ label. Convergence: number of vertices whose label changed == 0, or
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.superstep import SuperstepRunner, SuperstepResult
 from .components import undirect
 
-_EMPTY_COUNTS = pd.DataFrame(
-    {"vid": pd.Series(dtype="int64"), "label": pd.Series(dtype="int64"),
-     "cnt": pd.Series(dtype="int64")}
+_EMPTY_COUNTS = pa.table(
+    {"vid": pa.array([], pa.int64()), "label": pa.array([], pa.int64()),
+     "cnt": pa.array([], pa.int64())}
 )
 
 
-def _csr_count_kernel(spdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+def _csr_count_kernel(stbl: pa.Table, btbl: pa.Table) -> pa.Table:
     """Per-block partial neighbor-label counts ``(vid, label, cnt)`` —
     the PageRank gather kernel with a run-length count over the lexsorted
     (dst, label) pairs instead of ``add.reduceat``. The final per-vertex
     count sum + argmax stays JVM-side, so the map-side pre-aggregation
-    bounds hot vertices exactly like the dataframe path's partial agg."""
-    from .pagerank import align_to_srcs
+    bounds hot vertices exactly like the dataframe path's partial agg.
+    Arrow in/out — zero-copy views, no pandas (see pagerank._csr_kernel)."""
+    from .pagerank import align_to_srcs, pa_buf, pa_col
 
-    if len(bpdf) == 0 or len(spdf) == 0:
+    if btbl.num_rows == 0 or stbl.num_rows == 0:
         return _EMPTY_COUNTS
-    row = bpdf.iloc[0]
-    srcs = np.frombuffer(row["srcs"], np.int64)
+    srcs = pa_buf(btbl, "srcs", np.int64)
     if len(srcs) == 0:
         return _EMPTY_COUNTS
-    eidx = np.frombuffer(row["eidx"], np.int64)
-    dstu = np.frombuffer(row["dstu"], np.int64)
-    segs = np.frombuffer(row["segs"], np.int64)
+    eidx = pa_buf(btbl, "eidx", np.int64)
+    dstu = pa_buf(btbl, "dstu", np.int64)
+    segs = pa_buf(btbl, "segs", np.int64)
     lab = align_to_srcs(
         srcs,
-        spdf["id"].to_numpy(np.int64),
-        spdf["label"].to_numpy(np.int64),
+        pa_col(stbl, "id"),
+        pa_col(stbl, "label"),
         np.int64(0),  # unreachable: state covers every vertex incl. all srcs
     )
     vals = lab[eidx]  # neighbor label per edge, dst-segment order
@@ -62,8 +62,9 @@ def _csr_count_kernel(spdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
     change[1:] = (dp[1:] != dp[:-1]) | (lv[1:] != lv[:-1])
     starts = np.flatnonzero(change)
     cnt = np.diff(np.append(starts, len(dp)))
-    return pd.DataFrame(
-        {"vid": dstu[dp[starts]], "label": lv[starts], "cnt": cnt}
+    return pa.table(
+        {"vid": pa.array(dstu[dp[starts]]), "label": pa.array(lv[starts]),
+         "cnt": pa.array(cnt)}
     )
 
 
@@ -77,6 +78,7 @@ def label_propagation(
     num_partitions: int | None = None,
     resume: bool = True,
     impl: str = "dataframe",
+    sym_edges: DataFrame | None = None,
     config_extra: dict | None = None,
 ) -> SuperstepResult:
     """Returns SuperstepResult with state ``(id long, label long)``.
@@ -84,11 +86,20 @@ def label_propagation(
     ``impl="csr"``: neighbor-label counts come from the persisted packed
     CSR blocks (_csr_count_kernel) instead of the join+groupBy; the
     argmax (max count, min label) is identical, so the result is exactly
-    equal — integer counts, no fp involved."""
+    equal — integer counts, no fp involved.
+
+    ``sym_edges``: pre-materialized distinct symmetric closure (see
+    components.connected_components) — skips the query-time ``undirect``
+    re-shuffle; the per-round neighbor join reads the edge side with no
+    exchange."""
     num_partitions = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
-    und = undirect(edges).repartition(num_partitions, "src").persist()
+    und = (
+        sym_edges.select("src", "dst")
+        if sym_edges is not None
+        else undirect(edges).repartition(num_partitions, "src")
+    ).persist()
     if vertices is None:
         vertices = und.select(F.col("src").alias("id")).distinct()
     else:
@@ -114,7 +125,7 @@ def label_propagation(
             )
             counts = s.groupBy("block").cogroup(
                 csr_blocks.groupBy("block")
-            ).applyInPandas(
+            ).applyInArrow(
                 _csr_count_kernel, schema="vid long, label long, cnt long"
             ).groupBy("vid", "label").agg(F.sum("cnt").alias("cnt"))
         else:

@@ -82,7 +82,14 @@ def cosine_topk(
 def hyperplane_sketch(vec: Column, bits: int, dims: int) -> Column:
     """``bits``-bit sign sketch: bit j = [Σ_i s(j,i)·v_i > 0] where
     s(j,i) ∈ {−1,+1} comes from the portable hash of "j:i" — deterministic,
-    data-independent, reproducible in SQL."""
+    data-independent, reproducible in SQL.
+
+    INLINE-LITERAL FORM — builds ``bits × dims`` expression nodes, so it is
+    strictly for oracle-parity-sized sketches (the catalog's 6×64). At
+    production shapes (768-4096 dims, 32-64 bits) the expression tree alone
+    blows up Catalyst analysis; use ``with_hyperplane_sketch`` (broadcast
+    sign matrix + one compact fold — same values, flat analysis time,
+    measured in BENCH/hyperplane_sketch_ab.json)."""
     def bit(j: int) -> Column:
         signs = F.array(*[
             F.when(hash60(F.lit(f"{j}:{i}")) % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
@@ -98,6 +105,52 @@ def hyperplane_sketch(vec: Column, bits: int, dims: int) -> Column:
     return out
 
 
+def hyperplane_signs(bits: int, dims: int) -> list[list[float]]:
+    """Driver-side replica of the hash-derived sign matrix: s(j,i) = +1 if
+    the portable 60-bit hash (int of the first 15 hex chars of md5) of
+    "j:i" is even — bit-identical to ``hash60`` (functions/text.py), so
+    both sketch forms and the inlined-signs SQL oracle agree exactly."""
+    import hashlib
+
+    def s(j: int, i: int) -> float:
+        h = int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[:15], 16)
+        return 1.0 if h % 2 == 0 else -1.0
+
+    return [[s(j, i) for i in range(dims)] for j in range(bits)]
+
+
+def with_hyperplane_sketch(
+    df: DataFrame, vec_col: str, bits: int, dims: int,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """``df`` + a ``bits``-bit sign-sketch column — the SCALE form of
+    ``hyperplane_sketch`` (VERDICT r2 watch-item #1): the sign matrix is
+    computed once driver-side, shipped as ONE broadcast one-row table
+    (array<array<double>>, ~8·bits·dims bytes), and the sketch is a single
+    compact fold over it — projections via ``transform``/``zip_with``, bit
+    packing via a reverse fold (acc·2 + sign bit ≡ Σ bit_j·2^j). Expression
+    size is O(1) in bits×dims, so Catalyst analysis stays flat at
+    production shapes (dims 768-4096, bits 32-64) where the inline form
+    builds ~10⁵-10⁶ nodes. Values are bit-identical to the inline form
+    (asserted in tests) — the SQL oracle keeps its inlined-signs text."""
+    spark = df.sparkSession
+    m = spark.createDataFrame(
+        [(hyperplane_signs(bits, dims),)], "__signs: array<array<double>>"
+    )
+    vec = F.col(vec_col)
+    projs = F.transform(F.col("__signs"), lambda row: dot(vec, row))
+    one, zero = F.lit(1).cast("long"), F.lit(0).cast("long")
+    bucket = F.aggregate(
+        F.reverse(projs), zero,
+        lambda acc, p: acc * 2 + F.when(p > 0, one).otherwise(zero),
+    )
+    return (
+        df.crossJoin(F.broadcast(m))
+        .withColumn(out_col, bucket)
+        .drop("__signs")
+    )
+
+
 def hyperplane_lsh_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -109,10 +162,11 @@ def hyperplane_lsh_topk(
 ) -> DataFrame:
     """(query_id, neighbor, rnk) approximate top-k: candidates share the
     ``bits``-bit hyperplane bucket; exact cosine rerank within the bucket."""
-    base = embeddings.select(
-        F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
-    ).withColumn("nrm", l2_norm(F.col("v"))).withColumn(
-        "bucket", hyperplane_sketch(F.col("v"), bits, dims)
+    base = with_hyperplane_sketch(
+        embeddings.select(
+            F.col(id_col).alias("id"), as_double_vec(F.col(vec_col)).alias("v")
+        ).withColumn("nrm", l2_norm(F.col("v"))),
+        "v", bits, dims,
     ).persist()
     a = base.select(F.col("id").alias("query_id"), F.col("v").alias("qv"),
                     F.col("nrm").alias("qn"), "bucket")
@@ -161,9 +215,7 @@ def embedding_near_dup_pairs(
     ).withColumn("nrm", l2_norm(F.col("v")))
     # only the candidate-generation side pays the sketch computation; the
     # verify sides carry vectors without re-deriving buckets
-    ids = plain.select(
-        "id", hyperplane_sketch(F.col("v"), bits, dims).alias("bucket")
-    )
+    ids = with_hyperplane_sketch(plain, "v", bits, dims).select("id", "bucket")
     cand = (
         ids.select(F.col("id").alias("a"), "bucket")
         .join(ids.select(F.col("id").alias("b"), "bucket"), "bucket")

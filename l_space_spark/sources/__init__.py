@@ -173,6 +173,8 @@ def write_bucketed_edges(
     buckets: int = 16,
     path: str | None = None,
     sort: bool = True,
+    reverse: bool = False,
+    dst_col: str = "dst",
 ) -> str:
     """Persist an edge table BUCKETED by ``src`` — the layout the
     reference's own storage layer gropes toward with its pre-sharded
@@ -182,6 +184,16 @@ def write_bucketed_edges(
     (tests/test_plans.py pins this). At cluster scale this is the Iceberg
     ``bucket(N, src)`` partition transform; bucket count should match the
     superstep shuffle partitioning so graph jobs co-locate for free.
+
+    ``reverse=True`` CO-WRITES a second copy ``{table}__by_dst`` bucketed
+    (and sorted) by ``dst_col`` — the ``edgesByTo`` companion index the
+    reference materializes for reverse moves
+    (``CassandraGraphTables.scala:7-21``): ``in_()``/``in_e()`` traversal
+    moves and anything keyed on the edge TARGET read that copy and skip
+    the query-time re-shuffle of the (heavy) edge table. Storage doubles;
+    at 100 TB that trade is the whole point — the reference pays it too.
+    Ids should be stored as ``long`` so downstream casts don't mask the
+    bucketing from Catalyst's alias-aware partitioning propagation.
     """
     w = edges.write.mode("overwrite").format("parquet").bucketBy(buckets, "src")
     if sort:
@@ -189,7 +201,39 @@ def write_bucketed_edges(
     if path:
         w = w.option("path", path)
     w.saveAsTable(table)
+    if reverse:
+        w2 = (
+            edges.write.mode("overwrite").format("parquet")
+            .bucketBy(buckets, dst_col)
+        )
+        if sort:
+            w2 = w2.sortBy(dst_col)
+        if path:
+            w2 = w2.option("path", f"{path.rstrip('/')}__by_dst")
+        w2.saveAsTable(f"{table}__by_dst")
     return table
+
+
+def write_symmetric_edges(
+    edges: DataFrame,
+    table: str,
+    buckets: int = 16,
+    path: str | None = None,
+) -> str:
+    """Persist the DISTINCT SYMMETRIC CLOSURE of an edge table (both
+    directions, self-loops dropped) bucketed+sorted by ``src`` — the
+    materialized ``undirect`` that connected-components / label-propagation
+    consume every superstep. Computing the closure per job re-shuffles the
+    |E| table at query time (the round-2 VERDICT's top repeated cost for
+    undirected algorithms); reading this table instead, CC/LP's per-round
+    neighbor join needs no exchange on the edge side at all
+    (``sym_edges=`` on both operators; plan-pinned in tests/test_plans.py).
+    """
+    from ..operators.components import undirect
+
+    return write_bucketed_edges(
+        undirect(edges), table, buckets=buckets, path=path, sort=True
+    )
 
 
 def delete_where(spark: SparkSession, path: str, condition) -> int:

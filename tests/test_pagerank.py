@@ -196,3 +196,89 @@ def test_weighted_personalized_compose(spark):
     ranks = sorted(got.values())
     median = ranks[len(ranks) // 2]
     assert got[0] > median and got[1] > median
+
+
+def test_incremental_warm_start(spark, tmp_path):
+    """VERDICT r2 #7: fingerprint-gated incremental PageRank.
+
+    Convergence is geometric (delta_t ≈ delta_0·λ^t), so a warm start
+    saves ln(Δ0_cold/Δ0_warm)/ln(1/λ) supersteps — a CONSTANT OFFSET set
+    by how close the prior is, not a constant factor. Three rungs, each
+    with the assertion the math supports (numpy-simulated first, then
+    pinned here against the real engine):
+
+    1. unchanged fingerprint → ZERO supersteps (stored ranks returned);
+    2. changed fingerprint, semantically unchanged graph (duplicate-edge
+       append — re-ingestion/compaction, the common production delta):
+       Δ0_warm ≈ 0 → converges in ≤2 supersteps, ≤⅓ of cold;
+    3. real 1-edge rewire (Δ0_warm ~ 1/n rank mass): measurably fewer
+       supersteps (numpy: 18 vs 31 at n=1000/tol=1e-6; assert ≤0.75×)
+       and the SAME fixed point as a cold run on the new graph (1e-6 —
+       numpy maxdiff 2.1e-8)."""
+    from l_space_spark.operators.pagerank import pagerank_incremental
+
+    pairs = zipf_edges(n_repos=1000)
+    state_dir = str(tmp_path / "pr_state")
+    kw = dict(tol=1e-6, max_iters=300, resume=False, num_partitions=4)
+
+    r0 = pagerank_incremental(
+        spark, edges_df(spark, pairs), state_dir, fingerprint="v1", **kw)
+    assert r0.converged and r0.iterations > 6
+    cold_iters = r0.iterations
+
+    # rung 1: same fingerprint → answer straight from durable state
+    r1 = pagerank_incremental(
+        spark, edges_df(spark, pairs), state_dir, fingerprint="v1", **kw)
+    assert r1.converged and r1.iterations == 0
+
+    # rung 2: duplicate-append delta (distinct() dedups it away)
+    r2 = pagerank_incremental(
+        spark, edges_df(spark, pairs + pairs[:20]), state_dir,
+        fingerprint="v2", **kw)
+    assert r2.converged and r2.iterations <= 2
+    assert r2.iterations * 3 <= cold_iters, (r2.iterations, cold_iters)
+
+    # rung 3: one rewired edge — real but small semantic delta
+    pairs3 = pairs[:-1] + [(pairs[-1][0], (pairs[-1][1] + 1) % 1000)]
+    r3 = pagerank_incremental(
+        spark, edges_df(spark, pairs3), state_dir, fingerprint="v3", **kw)
+    assert r3.converged
+    assert r3.iterations <= 0.75 * cold_iters, (r3.iterations, cold_iters)
+
+    cold3 = pagerank(spark, edges_df(spark, pairs3), **kw)
+    got = {r["id"]: r["rank"] for r in r3.state.collect()}
+    want = {r["id"]: r["rank"] for r in cold3.state.collect()}
+    _assert_close(got, want, atol=1e-6)
+    # and the state dir now answers v3 without iterating
+    r4 = pagerank_incremental(
+        spark, edges_df(spark, pairs3), state_dir, fingerprint="v3", **kw)
+    assert r4.iterations == 0
+
+
+def test_warm_start_never_cross_resumes_cold_checkpoints(spark, tmp_path):
+    """The resume hash distinguishes warm-start lineage: a warm-started run
+    pointed at a COLD run's checkpoint dir must start from iteration 0
+    (different config hash), and two warm starts from different priors
+    must not share checkpoints either."""
+    from l_space_spark.plans.superstep import SuperstepRunner
+    from l_space_spark.operators.pagerank import pagerank as pr
+
+    pairs = zipf_edges(n_repos=60)
+    ckpt = str(tmp_path / "ckpt")
+    kw = dict(tol=0.0, max_iters=3, resume=False, num_partitions=4)
+    cold = pr(spark, edges_df(spark, pairs), checkpoint_dir=ckpt, **kw)
+    assert cold.iterations == 3
+
+    prior = cold.state
+    warm = pr(spark, edges_df(spark, pairs), checkpoint_dir=ckpt,
+              init_ranks=prior, tol=0.0, max_iters=3, resume=True,
+              num_partitions=4)
+    assert warm.resumed_from is None  # cold checkpoints invisible to warm
+
+    base = {"algo": "pagerank", "warm_start": True}
+    hashes = {
+        SuperstepRunner(spark, config=base).config_hash,
+        SuperstepRunner(spark, config={**base, "warm_src": "files:a"}).config_hash,
+        SuperstepRunner(spark, config={**base, "warm_src": "files:b"}).config_hash,
+    }
+    assert len(hashes) == 3
