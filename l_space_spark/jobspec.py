@@ -288,29 +288,29 @@ def _apply_steps(t, steps: list[dict]):
     return t
 
 
-def _run_traversal(spark: SparkSession, spec: dict) -> DataFrame:
+def _graph_from_input(spark: SparkSession, inp: dict):
     from .traversal import Graph
 
-    inp = spec.get("input", {})
     if "repos_parquet" in inp:
         from .extract import build_graph
 
         vertices, edges = build_graph(spark.read.parquet(inp["repos_parquet"]))
-        g = Graph.from_edgelist(edges, vertices=vertices,
-                                label=inp.get("label", "imports"))
-    else:
-        edges = _load_input(spark, inp)
-        verts = None
-        if "vertices_parquet" in inp:
-            verts = spark.read.parquet(inp["vertices_parquet"])
-        if set(edges.columns) >= {"src", "dst"}:
-            g = Graph.from_edgelist(edges, vertices=verts,
-                                    label=inp.get("label", "linked"))
-        else:
-            if verts is None:
-                raise ValueError("long-form edge input needs vertices_parquet")
-            g = Graph(verts, edges)
+        return Graph.from_edgelist(edges, vertices=vertices,
+                                   label=inp.get("label", "imports"))
+    edges = _load_input(spark, inp)
+    verts = None
+    if "vertices_parquet" in inp:
+        verts = spark.read.parquet(inp["vertices_parquet"])
+    if set(edges.columns) >= {"src", "dst"}:
+        return Graph.from_edgelist(edges, vertices=verts,
+                                   label=inp.get("label", "linked"))
+    if verts is None:
+        raise ValueError("long-form edge input needs vertices_parquet")
+    return Graph(verts, edges)
 
+
+def _run_traversal(spark: SparkSession, spec: dict) -> DataFrame:
+    g = _graph_from_input(spark, spec.get("input", {}))
     steps = list(spec["steps"])
     if not steps or steps[0]["step"] not in ("N", "E", "V"):
         raise ValueError("traversal must start with a scan step: N | E | V")
@@ -320,12 +320,25 @@ def _run_traversal(spark: SparkSession, spec: dict) -> DataFrame:
     return t if isinstance(t, DataFrame) else t.to_df()
 
 
+def _run_graphql(spark: SparkSession, spec: dict) -> DataFrame:
+    """``kind="graphql"``: the declarative text front end — compiles the
+    reference's GraphQL subset (graphql.py) onto the traversal DSL over
+    the same inputs as ``kind="traversal"``. ``spec["query"]`` is the
+    GraphQL text; optional ``spec["context"]`` maps field names to
+    ``{"property": ..., "reverse": bool}`` (the ActiveContext analog)."""
+    from .graphql import graphql_to_dataframe
+
+    g = _graph_from_input(spark, spec.get("input", {}))
+    return graphql_to_dataframe(g, spec["query"], spec.get("context"))
+
+
 # ---- entry -------------------------------------------------------------------
 
 KINDS: dict[str, Callable[[SparkSession, dict], DataFrame]] = {
     "algorithm": _run_algorithm,
     "catalog": _run_catalog,
     "traversal": _run_traversal,
+    "graphql": _run_graphql,
     "sql": _run_sql,
 }
 

@@ -124,29 +124,58 @@ class Graph:
         edges: DataFrame,
         property_hierarchy: dict[str, list[str]] | None = None,
         ontology_hierarchy: dict[str, list[str]] | None = None,
+        edges_by_dst: DataFrame | None = None,
+        all_node_dst: bool = False,
     ) -> None:
+        """``edges_by_dst``: the SAME edge rows physically keyed by their
+        target (e.g. a ``{table}__by_dst`` bucketed table from
+        ``sources.write_bucketed_edges(reverse=True)``) — the reference's
+        ``edgesByTo`` companion index
+        (``store/cassandra/.../CassandraGraphTables.scala:7-21``). When set
+        AND ``all_node_dst`` holds (every edge targets a node, the link-graph
+        shape — ``from_edgelist`` sets it automatically), reverse moves
+        (``in_``/``in_e``) equi-join on ``dst_id`` against this copy instead
+        of struct-joining the src-keyed table, so the edge side keeps its
+        bucketing and never re-shuffles at query time."""
         for c in ("iri", "labels"):
             if c not in vertices.columns:
                 vertices = vertices.withColumn(
                     c,
                     F.lit(None).cast("string" if c == "iri" else "array<string>"),
                 )
+        edges = self._norm_edges(edges)
+        self.edges_by_dst = (
+            None if edges_by_dst is None else self._norm_edges(edges_by_dst)
+        )
+        self._all_node_dst = all_node_dst
+        self.vertices = vertices
+        self.edges = edges
+        self._prop_desc = _closure(property_hierarchy)
+        self._ont_desc = _closure(ontology_hierarchy)
+        self._meta_cols = [c for c in edges.columns if c not in _EDGE_COLS]
+
+    @staticmethod
+    def edge_id():
+        """Deterministic edge identity over the long-form edge columns —
+        the SAME expression ``_norm_edges`` assigns, exposed so callers can
+        REIFY an edge: compute the base edge's id and use it as the ``src``
+        of meta-edge rows (statement-about-statement, reference
+        ``SampleGraph.scala:116``). Meta-edges are ordinary edge rows, so
+        the reification chains to any depth, and pointing AT an edge works
+        symmetrically via ``dst_kind='edge', dst_id=edge_id``."""
+        return F.xxhash64("src", "label", "dst_kind", "dst_id", "dst_str",
+                          "dst_dbl", "dst_lng", "dst_dt")
+
+    @staticmethod
+    def _norm_edges(edges: DataFrame) -> DataFrame:
         for c, t in (("dst_id", "long"), ("dst_str", "string"),
                      ("dst_dbl", "double"), ("dst_lng", "long"),
                      ("dst_dt", "date")):
             if c not in edges.columns:
                 edges = edges.withColumn(c, F.lit(None).cast(t))
         if "edge_id" not in edges.columns:
-            edges = edges.withColumn(
-                "edge_id",
-                F.xxhash64("src", "label", "dst_kind", "dst_id", "dst_str",
-                           "dst_dbl", "dst_lng", "dst_dt"),
-            )
-        self.vertices = vertices
-        self.edges = edges
-        self._prop_desc = _closure(property_hierarchy)
-        self._ont_desc = _closure(ontology_hierarchy)
-        self._meta_cols = [c for c in edges.columns if c not in _EDGE_COLS]
+            edges = edges.withColumn("edge_id", Graph.edge_id())
+        return edges
 
     # ------------------------------------------------------------------ build
     @classmethod
@@ -155,23 +184,39 @@ class Graph:
         edges: DataFrame,
         vertices: DataFrame | None = None,
         label: str = "linked",
+        edges_by_dst: DataFrame | None = None,
         **kw,
     ) -> "Graph":
-        """Adapter from a bare link-graph ``edges(src, dst[, label])`` table."""
-        lbl = F.col("label") if "label" in edges.columns else F.lit(label)
-        long_edges = edges.select(
-            F.col("src").cast("long").alias("src"),
-            lbl.alias("label"),
-            F.lit("node").alias("dst_kind"),
-            F.col("dst").cast("long").alias("dst_id"),
-        )
+        """Adapter from a bare link-graph ``edges(src, dst[, label])`` table.
+
+        ``edges_by_dst``: optionally the same raw rows read from a
+        dst-bucketed companion table (``write_bucketed_edges(reverse=True)``)
+        — converted through the identical projection (aliasing preserves the
+        bucketed partitioning; ``edge_id`` is a deterministic hash so both
+        copies agree) and used for reverse moves. All edges here target
+        nodes, so the fast reverse path is always sound (``all_node_dst``).
+        """
+
+        def to_long(e: DataFrame) -> DataFrame:
+            lbl = F.col("label") if "label" in e.columns else F.lit(label)
+            return e.select(
+                F.col("src").cast("long").alias("src"),
+                lbl.alias("label"),
+                F.lit("node").alias("dst_kind"),
+                F.col("dst").cast("long").alias("dst_id"),
+            )
+
         if vertices is None:
             vertices = (
                 edges.select(F.col("src").alias("id"))
                 .unionByName(edges.select(F.col("dst").alias("id")))
                 .distinct()
             )
-        return cls(vertices, long_edges, **kw)
+        return cls(
+            vertices, to_long(edges),
+            edges_by_dst=None if edges_by_dst is None else to_long(edges_by_dst),
+            all_node_dst=True, **kw,
+        )
 
     @staticmethod
     def melt_properties(
@@ -229,8 +274,9 @@ class Graph:
             out |= desc.get(k, {k}) | {k}
         return out
 
-    def _edges_for(self, keys: tuple[str, ...]) -> DataFrame:
-        e = self.edges
+    def _edges_for(self, keys: tuple[str, ...],
+                   frame: DataFrame | None = None) -> DataFrame:
+        e = self.edges if frame is None else frame
         if keys:
             e = e.where(F.col("label").isin(sorted(self._expand_labels(keys))))
         return e
@@ -296,13 +342,34 @@ class Traversal:
     """Immutable step chain; each method returns a new Traversal (the lazy
     logical plan — reference ``Traversal.scala:116-120``)."""
 
-    def __init__(self, graph: Graph, df: DataFrame, scope: list[str] | None = None):
+    def __init__(self, graph: Graph, df: DataFrame, scope: list[str] | None = None,
+                 small: bool = False):
         self.graph = graph
         self.df = df
         self.scope = list(scope or [])
+        # "traverser set is small" fact — see hint_small()
+        self.small = small
 
     def _with(self, df: DataFrame, scope: list[str] | None = None) -> "Traversal":
-        return Traversal(self.graph, df, self.scope if scope is None else scope)
+        return Traversal(self.graph, df, self.scope if scope is None else scope,
+                         small=self.small)
+
+    def hint_small(self, small: bool = True) -> "Traversal":
+        """Declare the CURRENT traverser set small enough to broadcast
+        (sticky until cleared). Moves then BROADCAST the traverser side of
+        the edge join instead of shuffling both sides — which sidesteps
+        edge-side join-key skew entirely: a celebrity vertex owning 25% of
+        all edges puts those rows in ONE task under any shuffle join
+        (AQE skew-split covers sort-merge, and not this), but under a
+        broadcast probe the celebrity's edges stay spread across the
+        scan's balanced file splits. Catalyst cannot infer this on its own
+        (frontier DataFrames come out of checkpoints/shuffles with no
+        usable size stats). ``repeat`` sets it adaptively from the
+        materialized per-round frontier count. Measured A/B + plan pin:
+        BENCH/skew_frontier_ab.json, tests/test_plans.py."""
+        t = self._with(self.df)
+        t.small = small
+        return t
 
     @property
     def _carry(self) -> list[str]:
@@ -348,10 +415,30 @@ class Traversal:
     # ---------------------------------------------------------------- moves
     def _move(self, keys: tuple[str, ...], to_edge: bool, reverse: bool) -> "Traversal":
         g = self.graph
-        e = g._edges_for(keys)
+        # reverse moves on a link graph (every edge targets a node) with a
+        # dst-keyed companion table available: equi-join that copy on dst_id
+        # — its bucketing survives the projection, so the edge side needs no
+        # exchange (the reference's edgesByTo index, CassandraGraphTables
+        # .scala:7-21; plan-pinned in tests/test_plans.py)
+        by_dst = reverse and g._all_node_dst and g.edges_by_dst is not None
+        e = g._edges_for(keys, frame=g.edges_by_dst if by_dst else None)
         pre = [F.col(c).alias(f"__e_{c}") for c in e.columns]
         e = e.select(*pre)
-        cur = self.df.where(F.col("_kind") == "node") if not reverse else self.df
+        # forward moves start from nodes OR edges — an edge-focused row's
+        # edge_id may itself anchor edges (statement-about-statement,
+        # reference SampleGraph.scala:116 `_name --- "timestamp" --> 5L`;
+        # meta-edge rows carry the base edge's `edge_id()` as their `src`,
+        # and since meta-edges are ordinary edge rows the reification
+        # chains to any depth). The by_dst reverse path keeps nodes only —
+        # every edge in that mode targets a node (all_node_dst), and a
+        # bare `_id` equi-join would otherwise let an edge-focused row's
+        # edge_id hash spuriously match a node id (the struct join
+        # excluded those via `_kind`)
+        cur = (
+            self.df.where(F.col("_kind").isin("node", "edge"))
+            if not reverse
+            else (self.df.where(F.col("_kind") == "node") if by_dst else self.df)
+        )
         # a new move invalidates edge focus + ordering
         drop = [c for c in cur.columns if c.startswith("_e_") or c == "_ord"]
         cur = cur.drop(*drop)
@@ -359,6 +446,8 @@ class Traversal:
 
         if not reverse:
             cond = cur["_id"] == e["__e_src"]
+        elif by_dst:
+            cond = cur["_id"] == e["__e_dst_id"]
         else:
             # reverse move: match the edge's typed destination against the
             # current resource (node id or literal value) — one null-safe
@@ -379,7 +468,9 @@ class Traversal:
             e = e.withColumn("__m", right_m)
             cond = cur["__m"].eqNullSafe(e["__m"])
 
-        j = cur.join(e, cond, "inner")
+        # small traverser set → broadcast it (skew-immune edge probe;
+        # see hint_small); otherwise let Catalyst/AQE pick
+        j = (F.broadcast(cur) if self.small else cur).join(e, cond, "inner")
         if to_edge:
             sel = [
                 F.lit("edge").alias("_kind"), F.col("__e_edge_id").alias("_id"),
@@ -854,6 +945,7 @@ class Traversal:
         until: Callable[["Traversal"], "Traversal"] | None = None,
         collect: bool = False,
         noloop: bool = False,
+        broadcast_frontier_rows: int = 500_000,
     ) -> "Traversal":
         """Iterative expansion — ``Repeat`` (``SyncGuide.scala:516-654``),
         the superstep primitive, as a driver loop of DataFrame jobs.
@@ -867,9 +959,18 @@ class Traversal:
         localCheckpoint-ed to cut iterative lineage (SURVEY §4.2.1); the
         unbounded default cap mirrors the reference's max-depth guard
         (``SyncGuide.scala:569,582``).
+
+        ``broadcast_frontier_rows``: per-round adaptive skew strategy — the
+        frontier is checkpointed anyway, so its exact row count is cheap;
+        below the threshold the next round's moves broadcast the frontier
+        (``hint_small``), which keeps a celebrity vertex's edge block
+        spread across the scan's file splits instead of funneling it into
+        one shuffle task. 0 disables. 500k rows ≈ tens of MB of focus
+        columns — well inside executor broadcast budgets at cluster scale.
         """
         iters = (max_loops + 1) if max_loops is not None else 20
         frontier = self.df
+        frontier_small = self.small
         if noloop and "_path" not in frontier.columns:
             frontier = frontier.withColumn(
                 "_path",
@@ -878,7 +979,8 @@ class Traversal:
             )
         emitted: list[DataFrame] = []
         for _ in range(iters):
-            cur = Traversal(self.graph, frontier, self.scope)
+            cur = Traversal(self.graph, frontier, self.scope,
+                            small=frontier_small)
             nxt = body(cur).df
             if noloop:
                 # _path already includes the new node: revisit ⇔ it appears earlier
@@ -899,8 +1001,16 @@ class Traversal:
                 if collect:
                     emitted.append(nxt)
                 frontier = nxt
-            if len(frontier.take(1)) == 0:
+            # the frontier is checkpointed — an exact count is one cheap
+            # metadata-ish job and feeds both the stop check and the
+            # adaptive broadcast decision
+            n_frontier = frontier.count()
+            if n_frontier == 0:
                 break
+            frontier_small = (
+                0 < broadcast_frontier_rows and
+                n_frontier <= broadcast_frontier_rows
+            )
         if not collect:
             emitted.append(frontier)
         out = emitted[0]

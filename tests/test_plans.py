@@ -96,7 +96,7 @@ def test_csr_blocks_do_not_reshuffle_per_superstep(spark):
         # none directly above the cache scan (the cachedPlan subtree printed
         # under InMemoryRelation contains the one-time pack exchanges — cut
         # the string at the scan so they don't count)
-        cogroup_subtree = plan.split("FlatMapCoGroupsInPandas", 1)[1]
+        cogroup_subtree = plan.split("FlatMapCoGroupsInArrow", 1)[1]
         above_cache = cogroup_subtree.split("InMemoryTableScan", 1)[0]
         assert above_cache.count("Exchange hashpartitioning(block") == 1, plan
     finally:
@@ -152,11 +152,16 @@ def test_simhash_close_pairs_has_no_nested_loop_join(spark):
 
 def test_embedding_near_dup_has_no_nested_loop_join(spark):
     """The embedding near-dup tier must generate candidates via the LSH
-    bucket EQUI-join — no BroadcastNestedLoopJoin/CartesianProduct."""
+    bucket EQUI-join — no all-pairs BroadcastNestedLoopJoin/
+    CartesianProduct. The ONE allowed BNLJ is the one-ROW sign-matrix
+    broadcast that `with_hyperplane_sketch` attaches (O(N) work, same
+    scalar-broadcast idiom as PageRank's dangling-mass join) — identified
+    by its `__signs` build side."""
     from l_space_spark.queries import q_dedup_embedding_cosine
 
     plan = _plan(q_dedup_embedding_cosine(spark, SF_DIR))
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    bnlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
+    assert all("__signs" in l for l in bnlj), plan
     assert "CartesianProduct" not in plan, plan
 
 
@@ -223,6 +228,125 @@ def test_bucketed_edge_table_aggregates_without_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bucketed_edges_t")
 
 
+def test_reverse_move_over_dst_bucketed_table_no_edge_exchange(spark, tmp_path):
+    """VERDICT r2 #2: the edgesByTo companion index. A reverse traversal
+    move (`in_`) over a Graph wired with the dst-bucketed edge copy must
+    read the edge side straight from the bucketed scan — the ONLY exchange
+    in the join is the (light) traverser side; the |E| table never
+    re-shuffles at query time (mirror of the src-bucketed agg test;
+    reference analog store/cassandra/.../CassandraGraphTables.scala:7-21)."""
+    from l_space_spark.sources import write_bucketed_edges
+    from l_space_spark.traversal import Graph
+
+    edges = spark.range(0, 1000).select(
+        F.pmod(F.xxhash64("id"), F.lit(100)).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100)).alias("dst"),
+    )
+    write_bucketed_edges(edges, "rev_edges_t", buckets=4,
+                         path=str(tmp_path / "re"), reverse=True)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the tiny test table exercises the at-scale
+        # join strategy (the bucketed layout is irrelevant under broadcast)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        g = Graph.from_edgelist(
+            spark.table("rev_edges_t"),
+            edges_by_dst=spark.table("rev_edges_t__by_dst"),
+        )
+        t = g.N().in_()
+        plan = _plan(t.df)
+        assert "Bucketed: true" in plan, plan
+        # exactly one exchange — the traverser side; none above the
+        # bucketed by_dst scan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        # and the one exchange is NOT on the edge-table columns
+        exch_line = [l for l in plan.splitlines()
+                     if "Exchange hashpartitioning" in l][0]
+        assert "dst_id" not in exch_line, plan
+
+        # correctness: identical multiset of arrival nodes vs the struct
+        # join path (no companion table)
+        g0 = Graph.from_edgelist(spark.table("rev_edges_t"))
+        got = sorted(r["_id"] for r in t.df.select("_id").collect())
+        want = sorted(r["_id"] for r in g0.N().in_().df.select("_id").collect())
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS rev_edges_t")
+        spark.sql("DROP TABLE IF EXISTS rev_edges_t__by_dst")
+
+
+def test_cc_sym_edges_table_no_edge_exchange(spark, tmp_path):
+    """VERDICT r2 #2 (second half): CC/LP's per-round neighbor join over a
+    pre-materialized src-bucketed symmetric closure must not exchange the
+    edge side — only the |V|-row state shuffles."""
+    from l_space_spark.operators.components import (
+        connected_components, neighbor_mins, undirect,
+    )
+    from l_space_spark.sources import write_symmetric_edges
+
+    edges = spark.range(0, 500).select(
+        F.pmod(F.xxhash64("id"), F.lit(80)).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(80)).alias("dst"),
+    )
+    write_symmetric_edges(edges, "sym_edges_t", buckets=4,
+                          path=str(tmp_path / "se"))
+    try:
+        sym = spark.table("sym_edges_t")
+        state = spark.range(0, 80).select(
+            F.col("id"), F.col("id").alias("component")
+        )
+        plan = _plan(neighbor_mins(state, sym))
+        assert "Bucketed: true" in plan, plan
+        # between the join and the bucketed edge scan only the STATE side
+        # may exchange (the tree prints the build/state side first); the
+        # plan's one other exchange is the post-aggregation dst shuffle of
+        # pre-aggregated |V|-bounded messages — inherent and edge-free
+        join_to_scan = plan.split("ShuffledHashJoin", 1)[1].split(
+            "Scan parquet", 1
+        )[0]
+        assert join_to_scan.count("Exchange") == 1, plan
+        assert plan.count("Exchange hashpartitioning") == 2, plan
+
+        # correctness: sym_edges path == recompute-undirect path
+        a = connected_components(spark, edges, resume=False,
+                                 num_partitions=4)
+        b = connected_components(spark, edges, sym_edges=sym, resume=False,
+                                 num_partitions=4)
+        assert sorted(map(tuple, a.state.collect())) == sorted(
+            map(tuple, b.state.collect())
+        )
+        # the table really is the closure the operator would compute
+        assert sorted(map(tuple, sym.select("src", "dst").collect())) == sorted(
+            map(tuple, undirect(edges).collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sym_edges_t")
+
+
+def test_lp_sym_edges_matches_recompute(spark, tmp_path):
+    from l_space_spark.operators.labelprop import label_propagation
+    from l_space_spark.sources import write_symmetric_edges
+
+    edges = spark.range(0, 500).select(
+        F.pmod(F.xxhash64("id"), F.lit(80)).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(80)).alias("dst"),
+    )
+    write_symmetric_edges(edges, "sym_edges_lp_t", buckets=4,
+                          path=str(tmp_path / "selp"))
+    try:
+        a = label_propagation(spark, edges, max_iters=4, fixed_iters=True,
+                              resume=False, num_partitions=4)
+        b = label_propagation(spark, edges, max_iters=4, fixed_iters=True,
+                              sym_edges=spark.table("sym_edges_lp_t"),
+                              resume=False, num_partitions=4)
+        assert sorted(map(tuple, a.state.collect())) == sorted(
+            map(tuple, b.state.collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sym_edges_lp_t")
+
+
 def test_partition_pruning_on_partitioned_parquet(spark, tmp_path):
     """A table partitioned by a column must prune partitions at the scan
     when filtered on it — the Iceberg-partition-transform analog for the
@@ -240,3 +364,46 @@ def test_partition_pruning_on_partitioned_parquet(spark, tmp_path):
     assert "(day" in plan.split("PartitionFilters:", 1)[1].splitlines()[0]
     # only 1 of 7 partition directories is read
     assert q.count() == df.where(F.col("day") == 3).count()
+
+
+def test_small_frontier_move_broadcasts_and_skips_edge_shuffle(spark):
+    """VERDICT r2 #3: hot frontier keys. A move from a hint_small (or
+    adaptively-detected-small) frontier must BROADCAST the traverser side
+    — the edge scan feeds the join with NO exchange, so a celebrity
+    vertex's edge block stays spread across balanced scan splits instead
+    of collapsing into one shuffle task. Results identical either way."""
+    from l_space_spark.traversal import Graph
+
+    # celebrity: vertex 0 owns 25% of all edges
+    n = 4000
+    edges = spark.range(0, n).select(
+        F.when(F.col("id") % 4 == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(200))).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(200)).alias("dst"),
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # kill AUTO broadcast so the test exercises the explicit strategy
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        g = Graph.from_edgelist(edges)
+        plain = g.N().out()
+        hinted = g.N().hint_small().out()
+        p_plain, p_hint = _plan(plain.df), _plan(hinted.df)
+        assert "BroadcastHashJoin" not in p_plain, p_plain
+        assert "BroadcastHashJoin" in p_hint, p_hint
+        # broadcast side is the traverser, not the |E| table: no exchange
+        # may touch the edge columns
+        exch = [l for l in p_hint.splitlines() if "Exchange" in l]
+        assert not any("__e_src" in l for l in exch), p_hint
+
+        a = sorted(r["_id"] for r in plain.df.select("_id").collect())
+        b = sorted(r["_id"] for r in hinted.df.select("_id").collect())
+        assert a == b and len(a) == n
+
+        # adaptive: repeat() flips the hint on once the frontier count is
+        # below threshold — 2-hop BFS from one node stays broadcast
+        t = g.N().has_id(0).repeat(lambda s: s.out(), max_loops=1,
+                                   broadcast_frontier_rows=100_000)
+        assert t.df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)

@@ -501,3 +501,53 @@ def test_R_scans_all_resources(g):
     assert g.R().count_value() == n + e + v
     kinds = {r["_kind"] for r in g.R().to_df().select("_kind").distinct().collect()}
     assert "node" in kinds and "edge" in kinds and len(kinds) > 2
+
+
+def test_edge_reification_statement_about_statement(spark):
+    """SampleGraph.scala:116 — ``_name --- "timestamp" --> 5L``: an edge
+    anchored ON an edge. Meta-edge rows carry the base edge's
+    ``Graph.edge_id()`` as their ``src``; a forward move from an
+    edge-focused traverser hops onto them, and because meta-edges are
+    ordinary edge rows the reification chains (edge→edge→edge)."""
+    from pyspark.sql import functions as F
+
+    from l_space_spark.traversal import Graph
+
+    base = spark.createDataFrame(
+        [(1, "name", "string", None, "San José de Maipo", None, None, None)],
+        "src long, label string, dst_kind string, dst_id long,"
+        " dst_str string, dst_dbl double, dst_lng long, dst_dt date",
+    )
+
+    def meta_of(e, label, lng):
+        return e.select(
+            Graph.edge_id().alias("src"), F.lit(label).alias("label"),
+            F.lit("long").alias("dst_kind"),
+            F.lit(None).cast("long").alias("dst_id"),
+            F.lit(None).cast("string").alias("dst_str"),
+            F.lit(None).cast("double").alias("dst_dbl"),
+            F.lit(lng).cast("long").alias("dst_lng"),
+            F.lit(None).cast("date").alias("dst_dt"),
+        )
+
+    ts_edge = meta_of(base, "timestamp", 5)          # statement about name
+    prov_edge = meta_of(ts_edge, "revision", 2)      # statement about THAT
+    vertices = spark.createDataFrame(
+        [(1, None, None)], "id long, iri string, labels array<string>"
+    )
+    g = Graph(vertices, base.unionByName(ts_edge).unionByName(prov_edge))
+
+    # node → name edge → timestamp meta-edge → long value
+    t = g.N().out_e("name").out_e("timestamp")
+    assert t.to_df().count() == 1
+    assert t.to_().values() == [5]
+    # one more hop: the meta-edge's own meta-edge
+    assert g.N().out_e("name").out_e("timestamp").out_e(
+        "revision").to_().values() == [2]
+    # out() from an edge focus goes straight to the value
+    assert g.N().out_e("name").out("timestamp").values() == [5]
+    # node-level traversal untouched by the meta rows
+    assert g.N().out("name").values() == ["San José de Maipo"]
+    # and a graph WITHOUT meta-edges still yields nothing from an edge hop
+    g0 = Graph(vertices, base)
+    assert g0.N().out_e("name").out_e("timestamp").to_df().count() == 0
