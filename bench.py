@@ -91,13 +91,20 @@ def main() -> None:
         df.collect()
         timings[name] = round(time.time() - t0, 3)
 
-    # north-star: supersteps/sec and edges/sec on the derived graph
+    # north-star: supersteps/sec and edges/sec on the derived graph.
+    # num_partitions uses the SAME data-sized policy as the catalog's
+    # pagerank_top20 (queries._small_graph_parts): the 587k-edge/150k-vertex
+    # derived graph is task-overhead-bound at the 32-partition shuffle
+    # default (measured 8 parts 7.0-7.3 s vs 32 parts 8.2-12.1 s for these
+    # 10 rounds — the r1→r2 "regression" 606k→454k edges/s was the two ends
+    # of that volatility band, not a code change)
     edges = customer_supplier_edges(spark, sf_dir)
     links, _, _ = prepare_links(edges)
     n_edges = links.count()
     iters = 10
     t0 = time.time()
-    res = pagerank(spark, edges, tol=-1.0, max_iters=iters, resume=False)
+    res = pagerank(spark, edges, tol=-1.0, max_iters=iters, resume=False,
+                   num_partitions=q._small_graph_parts(spark))
     res.state.count()
     pr_wall = time.time() - t0
     pr = {
