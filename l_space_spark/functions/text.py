@@ -73,3 +73,100 @@ def stopword_count(col: Column, stopwords: list[str] | None = None) -> Column:
 
 def punct_count(col: Column) -> Column:
     return (F.length(col) - F.length(F.regexp_replace(col, "[.,!?;:]", ""))).cast("long")
+
+
+# ---- in-document repetition --------------------------------------------------
+
+def repetition_stats(df, id_col: str, text_col: str):
+    """Per-document repetition profile — the boilerplate/template-spam
+    signal an LLM-data quality filter cuts on (no reference analog; the
+    relational formulation is deliberate: per-token counts via
+    explode+groupBy keep the hot path O(n) per doc and fully distributed,
+    where an array-lambda top-share would be O(n·distinct) per row).
+
+    Returns ``(id, n_tokens, distinct_ratio, bigram_ratio,
+    top_token_share)``, ratios as 1e-4 fixed-point longs (exact oracle
+    arithmetic). ``distinct_ratio`` = distinct/total tokens;
+    ``bigram_ratio`` = distinct/total bigrams (1.0 when <2 tokens);
+    ``top_token_share`` = most frequent token's share.
+    """
+    ts = df.select(F.col(id_col).alias("id"),
+                   tokens(F.col(text_col)).alias("ts"))
+    ex = ts.select("id", F.explode("ts").alias("w"))
+    cnt = ex.groupBy("id", "w").agg(F.count(F.lit(1)).alias("c"))
+    agg = cnt.groupBy("id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("nd"),
+        F.max("c").alias("mx"),
+    )
+    big = ts.select(
+        "id",
+        F.greatest(F.size("ts") - 1, F.lit(0)).alias("nb"),
+        F.size(shingles_of_tokens(F.col("ts"), 2)).alias("nbd"),
+    )
+
+    def fp(num, den):
+        return F.floor(num * 10000.0 / den + 0.5).cast("long")
+
+    return (
+        agg.join(big, "id")
+        .select(
+            F.col("id"),
+            F.col("n").alias("n_tokens"),
+            fp(F.col("nd"), F.col("n")).alias("distinct_ratio"),
+            F.when(F.col("nb") > 0, fp(F.col("nbd"), F.col("nb")))
+            .otherwise(F.lit(10000)).alias("bigram_ratio"),
+            fp(F.col("mx"), F.col("n")).alias("top_token_share"),
+        )
+    )
+
+
+# ---- benchmark contamination -------------------------------------------------
+
+def contamination_overlap(df, bench_pred, id_col: str, text_col: str,
+                          n: int = 3, min_shared: int = 2):
+    """Corpus docs sharing ≥ ``min_shared`` distinct word-``n``-grams with
+    a benchmark/eval set — the train-set contamination check every LLM
+    data pipeline runs before training. ``bench_pred`` is a Column
+    predicate selecting the benchmark docs.
+
+    Plan shape: one shingle projection, explode, then a gram EQUI-join of
+    the corpus side against the (distinct, typically broadcast-small)
+    benchmark gram set — never doc×doc. Returns ``(id, shared)`` ordered.
+    """
+    ts = df.select(F.col(id_col).alias("id"), bench_pred.alias("is_bench"),
+                   shingles_of_tokens(tokens(F.col(text_col)), n).alias("gs"))
+    ex = ts.select("id", "is_bench", F.explode("gs").alias("g"))
+    bench = ex.where("is_bench").select("g").distinct()
+    return (
+        ex.where(~F.col("is_bench"))
+        .join(bench, "g")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+        .orderBy("id")
+    )
+
+
+# ---- PII scrubbing -----------------------------------------------------------
+
+PII_EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
+PII_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+def pii_redactions(col: Column) -> Column:
+    """Count of PII matches (emails + phone numbers) in a text column."""
+    return (
+        F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL_RE), 0))
+        + F.size(F.regexp_extract_all(col, F.lit(PII_PHONE_RE), 0))
+    ).cast("long")
+
+
+def scrub_pii(col: Column) -> Column:
+    """Replace emails/phones with typed redaction tokens. Pure Catalyst
+    regexp (RE2-compatible patterns, so the DuckDB oracle applies the
+    SAME regex text with the 'g' flag)."""
+    return F.regexp_replace(
+        F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE, "<PHONE>",
+    )

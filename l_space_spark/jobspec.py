@@ -145,7 +145,8 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
         "kcore": kcore,
         "sssp": sssp,
     }
-    if ckpt and (algo in supersteps or algo == "harmonic_centrality"):
+    if ckpt and (algo in supersteps
+                 or algo in ("harmonic_centrality", "pagerank_incremental")):
         # pin the input snapshot into the checkpoint config hash: a
         # resume against a silently changed input (new snapshot /
         # replaced files) is refused instead of mixing states
@@ -187,6 +188,32 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
                     f"{sorted(ranked)})"
                 )
             out = out.orderBy(ranked[algo], "id").limit(int(spec["top_k"]))
+        return out
+    if algo == "pagerank_incremental":
+        # the snapshot-aware path: spec pins a durable state_dir; the
+        # input fingerprint (explicit, or derived from the input ref)
+        # gates recompute-vs-reuse and warm-starts the power iteration
+        from .operators.pagerank import pagerank_incremental
+
+        state_dir = spec.get("state_dir")
+        if not state_dir:
+            raise ValueError("pagerank_incremental needs spec['state_dir']")
+        fp = params.pop("fingerprint", None)
+        if fp is None:
+            from .sources import table_fingerprint
+
+            ref = inp.get("table") or next(
+                (v for k, v in inp.items() if k.endswith("_parquet")), None
+            )
+            if ref is not None:
+                fp = table_fingerprint(spark, ref)
+        res = pagerank_incremental(
+            spark, edges, state_dir, fingerprint=fp,
+            checkpoint_dir=ckpt, resume=resume, **params
+        )
+        out = res.state
+        if spec.get("top_k"):
+            out = out.orderBy(F.desc("rank"), "id").limit(int(spec["top_k"]))
         return out
     if algo == "triangle_count":
         return triangle_list(edges).agg(

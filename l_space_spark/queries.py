@@ -587,6 +587,50 @@ def q_dsl_traversal_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.to_df().select(F.col("_str").alias("name")).orderBy("name")
 
 
+@register(
+    "graphql_nation",  # the GraphQL text front end end-to-end (graphql.py)
+    """
+SELECT ['NATION_7'] AS name,
+       (SELECT coalesce(list_sort(list(c.c_name)), [])
+        FROM customer c JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE n2.n_name = 'NATION_7') AS customers_c_name
+""".strip(),
+)
+def q_graphql_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphQL text → traversal → DataFrame, mirroring the reference's
+    GraphqlApiSpec shape (filtered projection): start nodes filtered by a
+    query-level parameter, an aliased leaf projection, and a @reverse
+    context field collecting the filtered nation's customers."""
+    from .graphql import graphql_to_dataframe
+
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    cv = c.select((F.col("c_custkey") * 2).alias("vid"), "c_name")
+    nv = n.select((F.col("n_nationkey") * 2 + 1).alias("vid"), "n_name")
+    props = Graph.melt_properties(cv, "vid", str_cols=["c_name"]).unionByName(
+        Graph.melt_properties(nv, "vid", str_cols=["n_name"])
+    )
+    links = c.select(
+        (F.col("c_custkey") * 2).alias("src"),
+        F.lit("in_nation").alias("label"),
+        F.lit("node").alias("dst_kind"),
+        (F.col("c_nationkey") * 2 + 1).alias("dst_id"),
+        F.lit(None).cast("string").alias("dst_str"),
+        F.lit(None).cast("double").alias("dst_dbl"),
+        F.lit(None).cast("long").alias("dst_lng"),
+        F.lit(None).cast("date").alias("dst_dt"),
+    )
+    verts = cv.select(F.col("vid").alias("id")).unionByName(
+        nv.select(F.col("vid").alias("id"))
+    )
+    g = Graph(verts, props.unionByName(links))
+    return graphql_to_dataframe(
+        g,
+        '{ _(n_name: "NATION_7") { name: n_name customers { c_name } } }',
+        context={"customers": {"property": "in_nation", "reverse": True}},
+    )
+
+
 # ----------------------------------------------------------------- events
 @register(
     "events_per_user",
@@ -827,6 +871,123 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
     ).orderBy("doc_id")
+
+
+@register(
+    "repetition_stats",  # in-document repetition profile (template-spam signal)
+    f"""
+WITH toks AS MATERIALIZED (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
+ex AS (SELECT doc_id, unnest(ts) AS w FROM toks),
+cnt AS (SELECT doc_id, w, count(*) AS c FROM ex GROUP BY 1, 2),
+agg AS (SELECT doc_id, sum(c) AS n, count(*) AS nd, max(c) AS mx
+        FROM cnt GROUP BY doc_id),
+big AS (
+  SELECT doc_id, greatest(len(ts) - 1, 0) AS nb,
+         len(list_distinct([ts[i] || ' ' || ts[i+1]
+                            for i in range(1, len(ts))])) AS nbd
+  FROM toks
+)
+SELECT a.doc_id AS id, n AS n_tokens,
+       CAST(floor(nd * 10000.0 / n + 0.5) AS BIGINT) AS distinct_ratio,
+       CASE WHEN nb > 0
+            THEN CAST(floor(nbd * 10000.0 / nb + 0.5) AS BIGINT)
+            ELSE 10000 END AS bigram_ratio,
+       CAST(floor(mx * 10000.0 / n + 0.5) AS BIGINT) AS top_token_share
+FROM agg a JOIN big b ON a.doc_id = b.doc_id
+ORDER BY id
+""".strip(),
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import repetition_stats
+
+    d = load(spark, sf_dir, "documents")
+    return repetition_stats(d, "doc_id", "text").orderBy("id")
+
+
+@register(
+    "contamination_ngram_overlap",  # train-set vs benchmark n-gram leakage
+    f"""
+WITH toks AS MATERIALIZED (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
+grams AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                        for i in range(1, len(ts) - 1)]) AS gs
+  FROM toks WHERE len(ts) >= 3
+),
+ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+bench AS (SELECT DISTINCT g FROM ex WHERE doc_id % 97 = 0)
+SELECT e.doc_id AS id, CAST(count(*) AS BIGINT) AS shared
+FROM ex e JOIN bench b ON e.g = b.g
+WHERE e.doc_id % 97 <> 0
+GROUP BY e.doc_id HAVING count(*) >= 2
+ORDER BY id
+""".strip(),
+)
+def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs sharing ≥2 distinct 3-grams with the 'benchmark' subset
+    (doc_id % 97 == 0 — a deterministic stand-in for an eval set)."""
+    from .functions.text import contamination_overlap
+
+    d = load(spark, sf_dir, "documents")
+    return contamination_overlap(
+        d, F.col("doc_id") % 97 == 0, "doc_id", "text", n=3, min_shared=2
+    )
+
+
+@register(
+    "pii_scrub",  # typed redaction of emails/phones + audit count
+    """
+WITH pii AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@mail.example.com'
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                      ELSE '' END
+              || CASE WHEN doc_id % 5 = 0
+                      THEN ' cc admin' || doc_id || '@mail.example.com'
+                      ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[a-z0-9.]+@[a-z0-9.]+[a-z]'))
+            + len(regexp_extract_all(t, '\\+1-555-[0-9]{4}')) AS BIGINT)
+         AS n_redactions,
+       ('0x' || substr(md5(
+          regexp_replace(regexp_replace(t, '[a-z0-9.]+@[a-z0-9.]+[a-z]',
+                                        '<EMAIL>', 'g'),
+                         '\\+1-555-[0-9]{4}', '<PHONE>', 'g')
+        ), 1, 15))::BIGINT AS scrubbed_h
+FROM pii ORDER BY doc_id
+""".strip(),
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a deterministically PII-injected composite (the raw
+    corpus carries none — same composite-input trick as
+    token_count_styles): count matches, replace with typed tokens, hash
+    the scrubbed text for exact cross-engine comparison."""
+    from .functions.text import pii_redactions, scrub_pii
+
+    d = load(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" call +1-555-"),
+                        F.lpad((F.col("doc_id") % 10000).cast("string"),
+                               4, "0"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(" cc admin"), F.col("doc_id").cast("string"),
+                        F.lit("@mail.example.com"))).otherwise(F.lit("")),
+    )
+    return (
+        d.select("doc_id", t.alias("t"))
+        .select(
+            "doc_id",
+            pii_redactions(F.col("t")).alias("n_redactions"),
+            hash60(scrub_pii(F.col("t"))).alias("scrubbed_h"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 _NGRAM_SQL = f"""
