@@ -272,20 +272,68 @@ def delete_where_table(spark: SparkSession, table: str,
     """Drop-step sink for CATALOG tables. On a v2/Iceberg catalog this is a
     native ``DELETE FROM`` (position/equality deletes — no rewrite, the
     scale path); file-based parquet tables reject row-level SQL, so the
-    fallback resolves the table's location and reuses the copy-on-write
-    path swap (``delete_where``), then refreshes the catalog entry.
-    Returns rows deleted."""
+    fallback resolves the table's location and rewrites copy-on-write,
+    then refreshes the catalog entry. Returns rows deleted.
+
+    BUCKETED tables keep their layout: the naive directory swap would
+    leave plain files under bucketed metadata and every later scan dies
+    with INVALID_BUCKET_FILE (Spark derives the bucket id from the file
+    name), so the rewrite round-trips through a staging dir and re-writes
+    with the table's own bucket/sort spec. A ``{table}__by_dst`` companion
+    (``write_bucketed_edges(reverse=True)``) holds the same logical rows —
+    the delete auto-propagates there so the two indexes never diverge.
+    """
     total = spark.table(table).count()
+    deleted: int | None = None
     try:
         spark.sql(f"DELETE FROM {table} WHERE {condition_sql}")
-        return total - spark.table(table).count()
+        deleted = total - spark.table(table).count()
     except Exception:
         pass  # not a v2 table → copy-on-write fallback below
-    loc = next(
-        r for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
-        if r["col_name"].strip() == "Location"
-    )["data_type"]
-    path = loc.removeprefix("file:")
-    n = delete_where(spark, path, F.expr(condition_sql))
-    spark.sql(f"REFRESH TABLE {table}")
-    return n
+    if deleted is None:
+        meta = {
+            r["col_name"].strip(): (r["data_type"] or "").strip()
+            for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+        }
+        path = meta["Location"].removeprefix("file:")
+        n_buckets = int(meta.get("Num Buckets") or 0)
+        if n_buckets <= 0:
+            deleted = delete_where(spark, path, F.expr(condition_sql))
+            spark.sql(f"REFRESH TABLE {table}")
+        else:
+            import shutil
+            import uuid
+
+            def cols(key: str) -> list[str]:
+                raw = meta.get(key) or "[]"
+                return [c.strip(" `") for c in raw.strip("[]").split(",")
+                        if c.strip(" `")]
+
+            bucket_cols = cols("Bucket Columns")
+            sort_cols = cols("Sort Columns")
+            cond = F.expr(condition_sql)
+            kept = spark.table(table).where(~F.coalesce(cond, F.lit(False)))
+            staging = f"{path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
+            kept.write.mode("overwrite").parquet(staging)
+            n_kept = spark.read.parquet(staging).count()
+            w = (
+                spark.read.parquet(staging)
+                .write.mode("overwrite").format("parquet")
+                .bucketBy(n_buckets, *bucket_cols)
+                .option("path", path)
+            )
+            if sort_cols:
+                w = w.sortBy(*sort_cols)
+            w.saveAsTable(table)
+            shutil.rmtree(staging)
+            spark.sql(f"REFRESH TABLE {table}")
+            deleted = total - n_kept
+    companion = f"{table}__by_dst"
+    if spark.catalog.tableExists(companion):
+        n_c = delete_where_table(spark, companion, condition_sql)
+        if n_c != deleted:
+            raise RuntimeError(
+                f"companion {companion} removed {n_c} rows vs {deleted} in "
+                f"{table} — the two copies had already diverged"
+            )
+    return deleted

@@ -140,3 +140,40 @@ def test_jobspec_pins_input_snapshot_in_checkpoint_meta(spark, tmp_path):
                 "input_snapshot": fp2},
     )
     assert r_changed.latest_checkpoint() is None  # refuses stale states
+
+
+def test_delete_where_table_preserves_bucketing_and_companion(spark, tmp_path):
+    """Deleting from a BUCKETED catalog table must keep the bucketed
+    layout readable (the naive directory swap leaves plain files under
+    bucketed metadata → INVALID_BUCKET_FILE on the next scan) and must
+    propagate to the {table}__by_dst companion so the two indexes never
+    diverge."""
+    from l_space_spark.sources import delete_where_table, write_bucketed_edges
+
+    edges = spark.range(0, 1000).select(
+        F.pmod(F.xxhash64("id"), F.lit(50)).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(50)).alias("dst"),
+    )
+    write_bucketed_edges(edges, "dwt_bkt", buckets=4,
+                         path=str(tmp_path / "e"), reverse=True)
+    try:
+        before = spark.table("dwt_bkt").count()
+        expect = spark.table("dwt_bkt").where("src = 7").count()
+        n = delete_where_table(spark, "dwt_bkt", "src = 7")
+        assert n == expect > 0
+
+        # both copies still readable, same multiset, no src=7 anywhere
+        base = sorted(map(tuple, spark.table("dwt_bkt").collect()))
+        comp = sorted(map(tuple, spark.table("dwt_bkt__by_dst").collect()))
+        assert base == comp and len(base) == before - n
+        assert all(r[0] != 7 for r in base)
+
+        # the base table still claims AND delivers bucketed layout: an
+        # aggregation on the bucket key plans without an exchange
+        plan = (spark.table("dwt_bkt").groupBy("src").count()
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Bucketed: true" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dwt_bkt")
+        spark.sql("DROP TABLE IF EXISTS dwt_bkt__by_dst")
