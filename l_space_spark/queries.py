@@ -1648,6 +1648,35 @@ def q_events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_stream_events",
+    """
+SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) = 1
+ORDER BY user_id, event_type
+""".strip(),
+)
+def q_dedup_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.dedup_stream (first event per
+    (user_id, event_type), event_id as the deterministic tie-break) —
+    the streaming test drains ordered micro-batches through
+    dropDuplicatesWithinWatermark and asserts the same surviving set."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "event_type",
+                F.col("event_id").alias("first_event_id"),
+                F.col("ts").alias("first_ts"))
+        .orderBy("user_id", "event_type")
+    )
+
+
 # =====================================================================
 # 4. Remaining step families — argmax/argmin barriers, clipping, branch,
 #    set ops, Repeat+Path, OutMap, IVF ANN, multimodal binary metadata

@@ -340,3 +340,27 @@ def _sessionize_group(key, pdfs, state, *, gap_us: int, ts_col: str,
         out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
         out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
         yield out
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming EXACT dedup: first occurrence of each key wins, state
+    bounded by the watermark (``dropDuplicatesWithinWatermark`` — keys
+    older than the watermark age out of state, so a 100 TB/day stream
+    holds hours of keys, not the full history). The batch twin is the
+    catalog's ``dedup_stream_events`` (argmin-by-ts per key); the
+    streaming test drains scrambled micro-batches and asserts the same
+    surviving set. Duplicates separated by MORE than the watermark are a
+    documented false-negative of the bounded-state contract — the same
+    trade every watermarked operator makes; exact global dedup is the
+    batch tier (``dedup.exact_pairs``)."""
+    return (
+        events.withColumn("__ts", F.col(ts_col).cast("timestamp"))
+        .withWatermark("__ts", watermark)
+        .dropDuplicatesWithinWatermark(key_cols)
+        .drop("__ts")
+    )

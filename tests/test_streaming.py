@@ -311,3 +311,54 @@ def test_reorder_stream_feeds_sessionizer_under_disorder(spark, tmp_path):
     got_sel = got.select("user_id", "session_start", "session_end", "n_events")
     assert got_sel.count() == closed_twin.count()
     assert got_sel.exceptAll(closed_twin).count() == 0
+
+
+def test_dedup_stream_matches_batch_twin(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps the FIRST ARRIVED row per key;
+    with files staged in event-time order (range-partitioned by ts, one
+    file per micro-batch, single-partition files) arrival order equals
+    event-time order, so the surviving set must equal the batch twin's
+    min-ts row per key. The watermark spans the whole fixture so no key
+    ages out of state mid-stream (bounded-state re-emission is the
+    operator's documented contract, not the subject here)."""
+    src = "/root/testdata/sf0.001/events.parquet"
+    if not os.path.exists(src):
+        pytest.skip("driver testdata missing")
+    events = spark.read.parquet(src)
+    events_dir = str(tmp_path / "ev_sorted")
+    events.repartitionByRange(4, "ts").sortWithinPartitions("ts").write.parquet(
+        events_dir
+    )
+    # the file source orders batches by MODIFICATION TIME; stamp the range
+    # files (part-0000N = ascending ts ranges) with ascending mtimes so
+    # arrival order really is event-time order
+    import time as _time
+
+    t0 = _time.time()
+    parts = sorted(f for f in os.listdir(events_dir)
+                   if f.startswith("part-") and f.endswith(".parquet"))
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(events_dir, f), (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(events_dir)
+    )
+    deduped = streaming.dedup_stream(
+        stream, ["user_id", "event_type"], ts_col="ts", watermark="3650 days"
+    )
+    streaming.run_available_now_to_memory(
+        deduped, "dedup_stream_out", str(tmp_path / "ckpt_dd"),
+        output_mode="append",
+    )
+    got = {(r["user_id"], r["event_type"], r["ts"])
+           for r in spark.table("dedup_stream_out")
+           .select("user_id", "event_type", "ts").collect()}
+
+    from l_space_spark.queries import QUERIES
+
+    batch = {(r["user_id"], r["event_type"], r["first_ts"])
+             for r in QUERIES["dedup_stream_events"](
+                 spark, "/root/testdata/sf0.001").collect()}
+    assert {k[:2] for k in got} == {k[:2] for k in batch}
+    # survivors carry the per-key minimum event time
+    assert {k[:2]: k[2] for k in got} == {k[:2]: k[2] for k in batch}
