@@ -2259,6 +2259,46 @@ def _kcore_oracle(edges_sql: str, k: int, rounds: int) -> str:
     return "\n".join(parts)
 
 
+SCC_ORACLE_SQL = f"""
+WITH RECURSIVE e0 AS ({MOD_EDGES_SQL}),
+links AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+verts AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+reach(a, b) AS (
+    SELECT src, dst FROM links
+    UNION
+    SELECT r.a, l.dst FROM reach r JOIN links l ON l.src = r.b
+),
+mutual AS (
+    SELECT r1.a AS id, r1.b AS other
+    FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+)
+SELECT v.id, least(v.id, coalesce(min(m.other), v.id)) AS scc
+FROM verts v LEFT JOIN mutual m ON m.id = v.id
+GROUP BY v.id
+ORDER BY v.id
+""".strip()
+
+
+@register("scc_members", SCC_ORACLE_SQL)
+def q_scc_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (operators/scc.py — FW-BW-Trim
+    min-label peeling on the superstep runner) of the hashed random
+    DIRECTED graph; ``scc`` = min vertex id of the component. Oracle:
+    recursive-CTE transitive closure → mutual-reachability classes
+    (tractable because mod_edges caps the vertex universe at MOD_N).
+    Directed companion of ``connected_components`` (SURVEY §2.6 Repeat:
+    the reference would phrase one peel round as
+    ``Repeat(out.min) + Repeat(in.min) + Where(f==b)``)."""
+    from .operators.scc import strongly_connected_components
+
+    res = strongly_connected_components(
+        spark, mod_edges(spark, sf_dir), resume=False,
+        num_partitions=_small_graph_parts(spark),
+    )
+    return res.state.select("id", F.col("scc").cast("long").alias("scc")
+                            ).orderBy("id")
+
+
 @register("kcore_members", None)  # oracle attached below
 def q_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{K}-core of the hashed random graph (operators/kcore.py): fixed
