@@ -1,0 +1,111 @@
+"""Deterministic random walks — the graph-embedding sampler (DeepWalk /
+node2vec input stage), expressed as L equi-join supersteps.
+
+Each walk advances by choosing, among the current vertex's out-neighbors,
+the one minimizing the portable 60-bit hash of
+``(seed, walk_id, step, candidate)`` — a fixed pseudo-random draw that is
+(a) uniform over neighbors in distribution, (b) independent across walks
+and steps, and (c) bit-reproducible in ANSI SQL, so the whole operator
+gets an exact DuckDB oracle (the same reason MinHash/SimHash use this
+hash, ``queries.py`` module doc). Walks that reach a sink (no out-edges)
+simply end early, like the reference's ``Repeat`` loop running out of
+moves (``step/Repeat.scala:100`` — a frontier row with no join match
+drops out).
+
+Scale shape: one step = frontier ⋈ edges equi-join on ``src`` (the edge
+table is repartitioned by ``src`` once and persisted; only the
+|walks|-row frontier shuffles per step) followed by a map-side-combinable
+``groupBy(walk_id).min(struct(h, dst))`` — no windows, no skew pileup
+(the per-walk candidate set is the out-degree of one vertex, and the
+min-struct aggregation combines partials before the shuffle). Weighted /
+node2vec-biased sampling drops into the same plan by keying the argmin on
+``pow(u, 1/w)``-style transformed hashes (Efraimidis–Spirakis weighted
+sampling) — still SQL-reproducible; the shipped operator is the uniform
+sampler.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import hash60
+
+
+def random_walks(
+    spark: SparkSession,
+    edges: DataFrame,
+    walk_length: int = 5,
+    n_walks: int = 1,
+    seed: str = "walk",
+    starts: DataFrame | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Returns ``(walk_id long, step int, vertex long)`` rows.
+
+    One walk per (start vertex × ``n_walks``); ``walk_id = id * n_walks
+    + r`` so replicate walks draw independent hash streams. ``starts``
+    defaults to every vertex appearing in ``edges``. ``step`` 0 is the
+    start vertex; a walk shorter than ``walk_length`` hit a sink.
+    """
+    num_partitions = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    e = (
+        edges.select("src", "dst").distinct()
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    if starts is None:
+        starts = e.select(F.col("src").alias("id")).unionByName(
+            e.select(F.col("dst").alias("id"))
+        ).distinct()
+    else:
+        starts = starts.select("id").distinct()
+    starts = starts.localCheckpoint(eager=True)
+
+    frontier = starts.select(
+        "id", F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("r")
+    ).select(
+        (F.col("id") * n_walks + F.col("r")).alias("walk_id"),
+        F.col("id").alias("cur"),
+    )
+    out = frontier.select(
+        "walk_id", F.lit(0).alias("step"), F.col("cur").alias("vertex")
+    )
+    steps = [out]
+
+    for k in range(1, walk_length + 1):
+        cand = frontier.hint("shuffle_hash").join(
+            e, frontier["cur"] == e["src"]
+        ).select(
+            "walk_id",
+            "dst",
+            hash60(
+                F.concat_ws(
+                    ":",
+                    F.lit(seed),
+                    F.col("walk_id").cast("string"),
+                    F.lit(str(k)),
+                    F.col("dst").cast("string"),
+                )
+            ).alias("h"),
+        )
+        frontier = (
+            cand.groupBy("walk_id")
+            .agg(F.min(F.struct("h", "dst")).alias("m"))
+            .select("walk_id", F.col("m.dst").alias("cur"))
+            .localCheckpoint(eager=True)
+        )
+        steps.append(
+            frontier.select(
+                "walk_id", F.lit(k).alias("step"),
+                F.col("cur").alias("vertex"),
+            )
+        )
+
+    e.unpersist()  # every steps[k] is (derived from) a localCheckpoint
+    result = steps[0]
+    for s in steps[1:]:
+        result = result.unionByName(s)
+    return result

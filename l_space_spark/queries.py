@@ -2259,6 +2259,56 @@ def _kcore_oracle(edges_sql: str, k: int, rounds: int) -> str:
     return "\n".join(parts)
 
 
+WALK_LEN = 4
+WALK_SEED = "walk"
+
+
+def _walks_oracle(edges_sql: str, length: int, seed: str) -> str:
+    parts = [
+        f"WITH e0 AS ({edges_sql}),",
+        "links AS (SELECT DISTINCT src, dst FROM e0),",
+        "verts AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),",
+        "w0 AS (SELECT id AS walk_id, id AS cur FROM verts),",
+    ]
+    for k in range(1, length + 1):
+        h = _hash60_sql(
+            f"'{seed}:' || f.walk_id || ':' || {k} || ':' || l.dst"
+        )
+        parts.append(
+            f"w{k} AS (SELECT walk_id, dst AS cur FROM ("
+            f" SELECT f.walk_id, l.dst, row_number() OVER ("
+            f"  PARTITION BY f.walk_id ORDER BY {h}, l.dst) AS rn"
+            f" FROM w{k - 1} f JOIN links l ON l.src = f.cur) WHERE rn = 1),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    sel = " UNION ALL ".join(
+        f"SELECT walk_id, {k} AS step, cur AS vertex FROM w{k}"
+        for k in range(length + 1)
+    )
+    parts.append(sel)
+    parts.append("ORDER BY walk_id, step")
+    return "\n".join(parts)
+
+
+@register("random_walks", None)  # oracle attached below
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk-style walks (operators/walks.py): one
+    {WALK_LEN}-step walk per vertex of the hashed random directed graph;
+    the successor is the out-neighbor minimizing the portable 60-bit
+    hash of (seed, walk_id, step, candidate), so the unrolled argmin
+    oracle reproduces every step exactly."""
+    from .operators.walks import random_walks
+
+    w = random_walks(
+        spark, mod_edges(spark, sf_dir), walk_length=WALK_LEN,
+        seed=WALK_SEED, num_partitions=_small_graph_parts(spark),
+    )
+    return w.select("walk_id", "step", "vertex").orderBy("walk_id", "step")
+
+
+ORACLES["random_walks"] = _walks_oracle(MOD_EDGES_SQL, WALK_LEN, WALK_SEED)
+
+
 SCC_ORACLE_SQL = f"""
 WITH RECURSIVE e0 AS ({MOD_EDGES_SQL}),
 links AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),

@@ -1,0 +1,71 @@
+"""Deterministic random walks vs a pure-python step simulator."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from l_space_spark.operators.walks import random_walks
+
+from conftest import edges_df
+
+
+def h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def simulate(pairs, length, n_walks=1, seed="walk"):
+    adj = {}
+    verts = set()
+    for s, d in set(pairs):
+        adj.setdefault(s, set()).add(d)
+        verts.update((s, d))
+    rows = set()
+    for v in verts:
+        for r in range(n_walks):
+            wid = v * n_walks + r
+            cur = v
+            rows.add((wid, 0, v))
+            for k in range(1, length + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                cur = min(
+                    nbrs, key=lambda d: (h60(f"{seed}:{wid}:{k}:{d}"), d)
+                )
+                rows.add((wid, k, cur))
+    return rows
+
+
+def _run(spark, pairs, **kw):
+    df = random_walks(spark, edges_df(spark, pairs), num_partitions=4, **kw)
+    return {(r["walk_id"], r["step"], r["vertex"]) for r in df.collect()}
+
+
+def test_walks_match_simulator(spark):
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (3, 1), (1, 4)]
+    got = _run(spark, pairs, walk_length=5)
+    assert got == simulate(pairs, 5)
+
+
+def test_sink_truncates_walk(spark):
+    pairs = [(0, 1), (1, 2)]  # 2 is a sink
+    got = _run(spark, pairs, walk_length=4)
+    assert got == simulate(pairs, 4)
+    # the walk from 0 records exactly steps 0..2 then stops
+    assert {(0, 0, 0), (0, 1, 1), (0, 2, 2)} <= got
+    assert not any(w == 0 and s > 2 for w, s, _ in got)
+
+
+def test_multiple_walks_independent_streams(spark):
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 0), (2, 0), (3, 0)]
+    got = _run(spark, pairs, walk_length=3, n_walks=3)
+    want = simulate(pairs, 3, n_walks=3)
+    assert got == want
+    # replicate walks from vertex 0 should not all pick one neighbor
+    firsts = {v for w, s, v in got if w in (0, 1, 2) and s == 1}
+    assert len(firsts) >= 2
+
+
+def test_self_loop_walkable(spark):
+    got = _run(spark, [(7, 7)], walk_length=3)
+    assert got == {(7, k, 7) for k in range(4)}
