@@ -1,0 +1,149 @@
+"""ANF — the approximate neighborhood function N(t) via mergeable
+bottom-k sketches (Palmer et al., KDD'02; the HyperANF idea of
+Boldi & Vigna, WWW'11, with KMV registers instead of HyperLogLog so the
+estimate is bit-reproducible across engines).
+
+``N(t)`` = the number of (v, u) pairs with ``dist(v, u) ≤ t`` — the
+curve that yields effective diameter, average distance, and spid at
+graph scale WITHOUT any all-pairs computation. Exact distance
+computation at 100 TB is hopeless (|V|² state); the sketch version
+carries one bottom-k register set per vertex (``k`` longs) and one
+superstep per distance unit:
+
+    ball(v, 0)   = {v}
+    ball(v, t+1) = {v} ∪ ⋃ over out-edges (v, w) of ball(w, t)
+
+where every ball is represented by the bottom-k of the portable 60-bit
+hashes of its members — set union becomes "merge registers and re-take
+the bottom-k", which is associative, commutative and idempotent, so it
+survives any partitioning/combining order (``sketch.bottom_k_hashes``,
+the same two-level shard windows as the KMV distinct sketch: a
+celebrity vertex's inbox never sorts in one task).
+
+Scale shape per superstep: state ⋈ edges equi-join (edge table
+persisted src-partitioned; only the |V|-row sketch table shuffles),
+explode to (vertex, hash) pairs — ≤ |E|·k rows, ANF's inherent
+bandwidth price, bounded by choosing k — then the sharded bottom-k
+windows. The per-round total ``N(t)`` is an integer-fixed-point sum
+(each per-vertex estimate rounds to e3 BEFORE summing, so the float
+total is order-independent and oracle-exact, the kcore/hits pattern).
+
+Runs on the shared SuperstepRunner (fixed ``max_t`` rounds, tol=-1, the
+HITS shape): durable checkpoints, resume and lineage for free;
+``result.deltas[t-1]`` holds N(t)·1e3. Reference analog: none — the
+reference's only distance tool is materialized ``Path`` enumeration
+(``librarian/traversal/Collection.scala``), which is exactly what does
+not scale; this operator is the Spark-native replacement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import hash60
+from ..plans.superstep import SuperstepResult, SuperstepRunner
+from .sketch import DOMAIN, bottom_k_hashes
+
+
+def _estimate_e3(state: DataFrame, k: int) -> F.Column:
+    """Sum over vertices of the KMV estimate of |ball(v)|, as an e3
+    fixed-point bigint (order-independent, bit-reproducible in SQL)."""
+    n_kept = F.size("sk")
+    kth = F.element_at(F.col("sk"), k).cast("double")
+    est = F.when(n_kept < k, n_kept.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(DOMAIN) / kth
+    )
+    return F.sum(
+        F.floor(est * F.lit(1000.0) + F.lit(0.5)).cast("long")
+    ).alias("total_e3")
+
+
+def neighborhood_function(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_t: int = 3,
+    k: int = 16,
+    shards: int = 16,
+    checkpoint_dir: str | None = None,
+    num_partitions: int | None = None,
+    resume: bool = True,
+    config_extra: dict | None = None,
+) -> tuple[DataFrame, SuperstepResult]:
+    """Returns ``(totals, result)``: ``totals`` is an e3 fixed-point
+    ``(t int, total_e3 long)`` DataFrame of N(0)..N(max_t) estimates
+    (N(0) = |V| exactly — every sketch starts unsaturated), ``result``
+    the superstep result whose ``state`` holds the final per-vertex
+    ball sketches ``(id, sk)`` for reuse (e.g. a deeper continuation).
+
+    ``totals`` is exact for balls with < k members and the standard
+    (k−1)·2^60/kth KMV estimator beyond — deterministic for fixed k, so
+    the catalog entry carries an exact SQL oracle despite being an
+    approximate operator.
+    """
+    num_partitions = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    e = (
+        edges.select("src", "dst").distinct()
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    verts = e.select(F.col("src").alias("id")).unionByName(
+        e.select(F.col("dst").alias("id"))
+    ).distinct()
+
+    init = verts.select(
+        "id", F.array(hash60(F.col("id").cast("string"))).alias("sk")
+    )
+
+    ej = e.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        inbox = (
+            state.hint("shuffle_hash")
+            .join(ej, state["id"] == ej["e_dst"])
+            .select(F.col("e_src").alias("g"), F.explode("sk").alias("h"))
+            .groupBy("g", "h")
+            .agg(F.lit(1).alias("__one"))
+        )
+        merged = bottom_k_hashes(inbox, k, shards).select(
+            "g", F.col("sketch").alias("nbr_sk")
+        )
+        return state.join(
+            merged.hint("shuffle_hash"), state["id"] == merged["g"], "left"
+        ).select(
+            state["id"],
+            F.slice(
+                F.array_sort(
+                    F.array_union(
+                        F.col("sk"),
+                        F.coalesce(
+                            "nbr_sk", F.array().cast("array<long>")
+                        ),
+                    )
+                ),
+                1,
+                k,
+            ).alias("sk"),
+        )
+
+    def round_total(old: DataFrame, new: DataFrame) -> float:
+        return float(new.agg(_estimate_e3(new, k)).collect()[0][0])
+
+    runner = SuperstepRunner(
+        spark,
+        max_iters=max_t,
+        tol=-1.0,  # fixed rounds, metric records N(t) per round
+        checkpoint_dir=checkpoint_dir,
+        config={"algo": "anf", "k": k, **(config_extra or {})},
+    )
+    result = runner.run(init, step, metric_fn=round_total, resume=resume)
+
+    n0 = verts.count() * 1000
+    rows = [(0, n0)] + [
+        (t + 1, int(d)) for t, d in enumerate(result.deltas)
+    ]
+    totals = spark.createDataFrame(rows, "t int, total_e3 long")
+    e.unpersist()
+    return totals, result

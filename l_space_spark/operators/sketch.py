@@ -29,11 +29,9 @@ from ..functions.text import hash60
 DOMAIN = float(1 << 60)
 
 
-def kmv_sketch(df: DataFrame, group_col: str, item_col: str,
-               k: int = 64, shards: int = 64) -> DataFrame:
-    """Per group: the bottom-``k`` distinct item hashes as a sorted array
-    (``sketch``), plus ``n_kept``. Mergeable: union two sketches by
-    re-taking the bottom-k of the concatenation (``kmv_merge``).
+def bottom_k_hashes(hashed: DataFrame, k: int, shards: int) -> DataFrame:
+    """Bottom-``k`` per group of DISTINCT ``(g, h)`` hash rows →
+    ``(g, sketch sorted array<long>, n_kept)``.
 
     Two-level bottom-k: level 1 ranks within (group, ``h % shards``) — a
     hot group's distinct hashes spread over ``shards`` tasks, each keeping
@@ -41,9 +39,6 @@ def kmv_sketch(df: DataFrame, group_col: str, item_col: str,
     global bottom-k is a subset of every shard-level bottom-k, so the
     result is identical to the single-window form while no task ever sees
     more than (group's distinct)/shards + shards·k rows."""
-    hashed = df.groupBy(
-        F.col(group_col).alias("g"), hash60(F.col(item_col)).alias("h")
-    ).agg(F.lit(1).alias("__one"))
     w1 = Window.partitionBy("g", "__s").orderBy("h")
     survivors = (
         hashed.withColumn("__s", F.pmod(F.col("h"), F.lit(shards)))
@@ -60,6 +55,17 @@ def kmv_sketch(df: DataFrame, group_col: str, item_col: str,
             F.count(F.lit(1)).alias("n_kept"),
         )
     )
+
+
+def kmv_sketch(df: DataFrame, group_col: str, item_col: str,
+               k: int = 64, shards: int = 64) -> DataFrame:
+    """Per group: the bottom-``k`` distinct item hashes as a sorted array
+    (``sketch``), plus ``n_kept``. Mergeable: union two sketches by
+    re-taking the bottom-k of the concatenation (``kmv_merge``)."""
+    hashed = df.groupBy(
+        F.col(group_col).alias("g"), hash60(F.col(item_col)).alias("h")
+    ).agg(F.lit(1).alias("__one"))
+    return bottom_k_hashes(hashed, k, shards)
 
 
 def kmv_merge(sketches: DataFrame, k: int = 64) -> DataFrame:

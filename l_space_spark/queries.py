@@ -2309,6 +2309,68 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["random_walks"] = _walks_oracle(MOD_EDGES_SQL, WALK_LEN, WALK_SEED)
 
 
+ANF_T = 3
+ANF_K = 8
+_POW60 = "CAST(1152921504606846976 AS DOUBLE)"  # 2^60, exact in ieee754
+
+
+def _anf_oracle(edges_sql: str, max_t: int, k: int) -> str:
+    parts = [
+        f"WITH e0 AS ({edges_sql}),",
+        "links AS (SELECT DISTINCT src, dst FROM e0),",
+        "verts AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),",
+        "r0 AS (SELECT id AS v, id AS u FROM verts),",
+    ]
+    for t in range(1, max_t + 1):
+        parts.append(
+            f"r{t} AS (SELECT v, u FROM r{t - 1} UNION"
+            f" SELECT l.src, r.u FROM links l"
+            f" JOIN r{t - 1} r ON r.v = l.dst),"
+        )
+    h = _hash60_sql("CAST(u AS VARCHAR)")
+    for t in range(1, max_t + 1):
+        parts += [
+            f"h{t} AS (SELECT v, h,"
+            f" row_number() OVER (PARTITION BY v ORDER BY h) AS rn,"
+            f" count(*) OVER (PARTITION BY v) AS cnt"
+            f" FROM (SELECT DISTINCT v, {h} AS h FROM r{t})),",
+            f"e{t} AS (SELECT v, CASE WHEN max(cnt) < {k}"
+            f" THEN CAST(max(cnt) AS DOUBLE)"
+            f" ELSE CAST({k - 1} AS DOUBLE) * {_POW60}"
+            f" / CAST(max(CASE WHEN rn = {k} THEN h END) AS DOUBLE) END"
+            f" AS est FROM h{t} WHERE rn <= {k} GROUP BY v),",
+            f"s{t} AS (SELECT {t} AS t, SUM(CAST(floor(est * 1000.0 + 0.5)"
+            f" AS BIGINT)) AS total_e3 FROM e{t}),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    sel = " UNION ALL ".join(
+        ["SELECT 0 AS t, (SELECT count(*) FROM verts) * 1000 AS total_e3"]
+        + [f"SELECT t, total_e3 FROM s{t}" for t in range(1, max_t + 1)]
+    )
+    parts.append(sel)
+    parts.append("ORDER BY t")
+    return "\n".join(parts)
+
+
+@register("anf_neighborhood", None)  # oracle attached below
+def q_anf_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate neighborhood function N(0..{ANF_T}) of the hashed
+    random directed graph (operators/anf.py — bottom-{ANF_K} KMV ball
+    sketches, one superstep per distance unit). The per-vertex estimates
+    round to e3 fixed point BEFORE summing, so this approximate operator
+    still carries an exact unrolled-reachability DuckDB oracle."""
+    from .operators.anf import neighborhood_function
+
+    totals, _ = neighborhood_function(
+        spark, mod_edges(spark, sf_dir), max_t=ANF_T, k=ANF_K, shards=4,
+        resume=False, num_partitions=_small_graph_parts(spark),
+    )
+    return totals.orderBy("t")
+
+
+ORACLES["anf_neighborhood"] = _anf_oracle(MOD_EDGES_SQL, ANF_T, ANF_K)
+
+
 SCC_ORACLE_SQL = f"""
 WITH RECURSIVE e0 AS ({MOD_EDGES_SQL}),
 links AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),

@@ -1,0 +1,80 @@
+"""ANF neighborhood function vs an exact python ball/KMV simulator."""
+
+import hashlib
+import math
+import random
+
+from l_space_spark.operators.anf import neighborhood_function
+
+from conftest import edges_df
+
+DOMAIN = float(1 << 60)
+
+
+def h60(v) -> int:
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+
+def simulate(pairs, max_t, k):
+    adj = {}
+    verts = set()
+    for s, d in set(pairs):
+        adj.setdefault(s, set()).add(d)
+        verts.update((s, d))
+    balls = {v: {v} for v in verts}
+    totals = [len(verts) * 1000]
+    for _ in range(max_t):
+        balls = {
+            v: balls[v] | set().union(
+                set(), *(balls[w] for w in adj.get(v, ()))
+            )
+            for v in verts
+        }
+        tot = 0
+        for v in verts:
+            hs = sorted(h60(u) for u in balls[v])[:k]
+            est = (
+                float(len(hs)) if len(hs) < k
+                else float(k - 1) * DOMAIN / float(hs[k - 1])
+            )
+            tot += math.floor(est * 1000.0 + 0.5)
+        totals.append(tot)
+    return totals
+
+
+def _run(spark, pairs, max_t, k):
+    totals, res = neighborhood_function(
+        spark, edges_df(spark, pairs), max_t=max_t, k=k, shards=4,
+        num_partitions=4, resume=False,
+    )
+    got = {r["t"]: r["total_e3"] for r in totals.collect()}
+    return [got[t] for t in range(max_t + 1)], res
+
+
+def test_path_graph_exact_small_balls(spark):
+    # balls stay < k => every estimate is exact
+    pairs = [(i, i + 1) for i in range(6)]
+    got, _ = _run(spark, pairs, max_t=3, k=16)
+    # N(t) for a directed path of 7 vertices: sum over v of min(t+1, 7-v)
+    want = [7000, 13000, 18000, 22000]
+    assert got == want
+    assert got == simulate(pairs, 3, 16)
+
+
+def test_random_graph_matches_simulator_saturated(spark):
+    rng = random.Random(11)
+    pairs = [(rng.randrange(30), rng.randrange(30)) for _ in range(70)]
+    got, _ = _run(spark, pairs, max_t=3, k=4)  # tiny k => estimator branch
+    assert got == simulate(pairs, 3, 4)
+
+
+def test_sketches_monotone_and_reusable(spark):
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 4)]
+    got, res = _run(spark, pairs, max_t=4, k=8)
+    assert got == simulate(pairs, 4, 8)
+    assert all(a <= b for a, b in zip(got, got[1:]))  # N(t) is monotone
+    # final state: one sorted bottom-k sketch per vertex
+    rows = res.state.collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["sk"] == sorted(r["sk"]) and len(r["sk"]) <= 8
