@@ -84,9 +84,13 @@ def neighborhood_function(
     num_partitions = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
+    # the only per-round edge join is on dst (pull from out-neighbors),
+    # so the cache is dst-partitioned: plan-audited to ZERO per-round
+    # exchanges on the |E| side (src-partitioning here cost one |E|
+    # re-shuffle every superstep)
     e = (
         edges.select("src", "dst").distinct()
-        .repartition(num_partitions, "src")
+        .repartition(num_partitions, "dst")
         .persist()
     )
     verts = e.select(F.col("src").alias("id")).unionByName(

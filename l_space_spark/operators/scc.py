@@ -184,10 +184,16 @@ def strongly_connected_components(
             "id", F.col("id").alias("scc")
         )
 
-        # 2+3. directional min-label fixpoints over the untrimmed core
+        # 2+3. directional min-label fixpoints over the untrimmed core.
+        # Each direction gets a join-key-aligned cache (src- resp.
+        # dst-partitioned) so the inner loop's edge side never exchanges
+        # — one |E_core| repartition per outer round buys exchange-free
+        # joins for every inner iteration (the edgesByTo rationale).
         labels0 = core.select("id", F.col("id").alias("lab"))
-        fwd = _propagate_min(labels0, e_core, "src", "dst", inner_max_iters)
-        bwd = _propagate_min(labels0, e_core, "dst", "src", inner_max_iters)
+        e_fwd = e_core.repartition(num_partitions, "src").persist()
+        e_bwd = e_core.repartition(num_partitions, "dst").persist()
+        fwd = _propagate_min(labels0, e_fwd, "src", "dst", inner_max_iters)
+        bwd = _propagate_min(labels0, e_bwd, "dst", "src", inner_max_iters)
 
         # 4. peel f == b (provably non-empty when core is non-empty)
         joined = fwd.withColumnRenamed("lab", "f").join(
@@ -200,6 +206,8 @@ def strongly_connected_components(
             )
         )
         new_state = new_state.localCheckpoint(eager=True)
+        e_fwd.unpersist()
+        e_bwd.unpersist()
         if e_core is not e_act:
             e_core.unpersist()
         e_act.unpersist()
