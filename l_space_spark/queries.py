@@ -990,6 +990,39 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_CAP = 7
+
+
+@register(
+    "sample_capped_per_source",
+    f"""
+SELECT doc_id, source, lang FROM (
+  SELECT doc_id, source, lang,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_hash60_sql("'cap:' || doc_id")}, doc_id) AS rn
+  FROM documents)
+WHERE rn <= {SAMPLE_CAP}
+ORDER BY source, doc_id
+""".strip(),
+)
+def q_sample_capped_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling (operators/sampling.py): keep at most
+    {SAMPLE_CAP} documents per source, uniformly-by-hash, deterministic
+    and seed-redrawable. The oracle's single window equals the
+    operator's two-level sharded rank (the bottom-cap subset property,
+    also property-tested)."""
+    from .operators.sampling import group_capped_sample
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        group_capped_sample(d, ["source"], "doc_id", SAMPLE_CAP, seed="cap",
+                            shards=8)
+        .select("doc_id", "source", "lang")
+        .orderBy("source", "doc_id")
+    )
+
+
 _NGRAM_SQL = f"""
 toks AS MATERIALIZED (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
 grams AS MATERIALIZED (

@@ -1,0 +1,66 @@
+"""Per-group capped sampling: quotas, determinism, two-level == global."""
+
+import hashlib
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from l_space_spark.operators.sampling import group_capped_sample
+
+
+def _df(spark, n_groups=5, per_group=40):
+    rows = [
+        (g * 1000 + i, f"g{g}", f"payload-{g}-{i}")
+        for g in range(n_groups)
+        for i in range(per_group)
+    ]
+    return spark.createDataFrame(rows, "key long, grp string, payload string")
+
+
+def test_quota_exact_and_schema_preserved(spark):
+    df = _df(spark)
+    out = group_capped_sample(df, ["grp"], "key", cap=6, shards=4)
+    assert out.columns == df.columns
+    counts = {r["grp"]: r["cnt"] for r in
+              out.groupBy("grp").agg(F.count("*").alias("cnt")).collect()}
+    assert counts == {f"g{g}": 6 for g in range(5)}
+
+
+def test_small_groups_kept_whole(spark):
+    df = _df(spark, n_groups=3, per_group=4)
+    out = group_capped_sample(df, ["grp"], "key", cap=10)
+    assert out.count() == 12
+
+
+def test_two_level_equals_single_window(spark):
+    df = _df(spark)
+    out = {r["key"] for r in
+           group_capped_sample(df, ["grp"], "key", cap=5, shards=4).collect()}
+
+    def h60(v):
+        return int(hashlib.md5(f"cap:{v}".encode()).hexdigest()[:15], 16)
+
+    w = Window.partitionBy("grp").orderBy("__h", "key")
+    brute = {r["key"] for r in
+             df.withColumn("__h", F.udf(h60, "long")("key"))
+             .withColumn("__r", F.row_number().over(w))
+             .where(F.col("__r") <= 5).collect()}
+    assert out == brute
+
+
+def test_cap_monotone_prefix(spark):
+    df = _df(spark)
+    k5 = {r["key"] for r in
+          group_capped_sample(df, ["grp"], "key", cap=5).collect()}
+    k8 = {r["key"] for r in
+          group_capped_sample(df, ["grp"], "key", cap=8).collect()}
+    assert k5 < k8
+
+
+def test_seed_redraws(spark):
+    df = _df(spark)
+    a = {r["key"] for r in
+         group_capped_sample(df, ["grp"], "key", 5, seed="a").collect()}
+    b = {r["key"] for r in
+         group_capped_sample(df, ["grp"], "key", 5, seed="b").collect()}
+    assert a != b and len(a) == len(b) == 25
