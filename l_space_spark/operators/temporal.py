@@ -141,3 +141,61 @@ def banded_range_join_count(
         .drop("__lid")
         .withColumn(count_alias, F.coalesce(F.col(count_alias), F.lit(0)))
     )
+
+
+def banded_interval_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    lo_s: float,
+    hi_s: float,
+    left_id: str,
+    right_id: str,
+) -> DataFrame:
+    """The PAIR-returning sibling of ``banded_range_join_count``: one row
+    ``(left_id, right_id, key, l_ts_us, r_ts_us)`` per qualifying pair
+    (same key, ``l.ts + lo_s ≤ r.ts ≤ l.ts + hi_s``). Identical ×2
+    bucket equi-join candidate generation — the scale-safe shape for a
+    batch interval join, and the batch twin of
+    ``streaming.interval_join_stream`` (whose state Spark bounds with
+    the watermark instead of the bucket)."""
+    width_us = int(round((hi_s - lo_s) * 1_000_000))
+    if width_us <= 0:
+        raise ValueError("hi_s must exceed lo_s")
+    lo_us = int(round(lo_s * 1_000_000))
+    hi_us = lo_us + width_us
+
+    l = left.select(
+        F.col(left_id).alias("__lid"), F.col(key_col).alias("__k"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__lt"),
+    )
+    r = right.select(
+        F.col(right_id).alias("__rid"), F.col(key_col).alias("__k"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__rt"),
+    ).withColumn("__b", F.floor(F.col("__rt") / F.lit(width_us)))
+    probes = l.withColumn(
+        "__b",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((F.col("__lt") + F.lit(lo_us)) / F.lit(width_us)),
+                    F.floor((F.col("__lt") + F.lit(hi_us)) / F.lit(width_us)),
+                )
+            )
+        ),
+    )
+    return (
+        probes.join(r, ["__k", "__b"])
+        .where(
+            (F.col("__rt") >= F.col("__lt") + F.lit(lo_us))
+            & (F.col("__rt") <= F.col("__lt") + F.lit(hi_us))
+        )
+        .select(
+            F.col("__lid").alias(left_id),
+            F.col("__rid").alias(right_id),
+            F.col("__k").alias(key_col),
+            F.col("__lt").alias("l_ts_us"),
+            F.col("__rt").alias("r_ts_us"),
+        )
+    )

@@ -678,6 +678,48 @@ def q_events_max_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INTERVAL_BAND_S = 24 * 3600
+
+
+@register(
+    "stream_interval_join_events",
+    f"""
+SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+       epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND epoch_us(c.ts) >= epoch_us(v.ts)
+ AND epoch_us(c.ts) <= epoch_us(v.ts) + {INTERVAL_BAND_S}::BIGINT * 1000000
+ORDER BY view_id, click_id
+""".strip(),
+)
+def q_stream_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.interval_join_stream: each view paired
+    with the same user's clicks in the following 24 h, via the banded
+    ×2-bucket equi-join (temporal.banded_interval_pairs) — never an
+    inequality theta join. The streaming test drains a view stream and
+    a click stream through the watermarked stream-stream join and
+    asserts the same pair set."""
+    from .operators.temporal import banded_interval_pairs
+
+    e = load(spark, sf_dir, "events")
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts"
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    pairs = banded_interval_pairs(
+        v, c, "user_id", "ts", 0.0, float(INTERVAL_BAND_S),
+        "view_id", "click_id",
+    )
+    return pairs.select(
+        "view_id", "click_id", "user_id",
+        (F.col("r_ts_us") - F.col("l_ts_us")).alias("gap_us"),
+    ).orderBy("view_id", "click_id")
+
+
 # =====================================================================
 # 3. Training-data pipeline operators (documents / embeddings)
 # =====================================================================

@@ -342,6 +342,47 @@ def _sessionize_group(key, pdfs, state, *, gap_us: int, ts_col: str,
         yield out
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    band_s: int = 86400,
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Stream-stream inner interval join: pairs rows with equal ``on``
+    keys where ``left_ts ≤ right_ts ≤ left_ts + band_s``. Both sides are
+    watermarked, and the time-range predicate lets Spark BOUND the join
+    state: buffered rows age out once the other side's watermark passes
+    their reachable window, so a 100 TB/day pair of streams holds
+    ``watermark``-worth of state, not the full history (the same trade
+    as every watermarked operator; pairs separated by more than the
+    watermark are the documented false negative). Batch twin:
+    ``temporal.banded_interval_pairs`` (bucket equi-join — the catalog's
+    ``stream_interval_join_events``); the streaming test drains both
+    file streams and asserts the same pair set.
+
+    ``left_ts`` / ``right_ts`` must be DISTINCT column names (rename
+    before calling); the right side's key columns are dropped from the
+    output."""
+    l = left.withColumn(left_ts, F.col(left_ts).cast("timestamp")) \
+        .withWatermark(left_ts, watermark).alias("l")
+    r = right.withColumn(right_ts, F.col(right_ts).cast("timestamp")) \
+        .withWatermark(right_ts, watermark).alias("r")
+    cond = " AND ".join(
+        [f"l.{k} = r.{k}" for k in on]
+        + [
+            f"r.{right_ts} >= l.{left_ts}",
+            f"r.{right_ts} <= l.{left_ts} + INTERVAL {int(band_s)} SECONDS",
+        ]
+    )
+    out = l.join(r, F.expr(cond))
+    for k in on:
+        out = out.drop(r[k])
+    return out
+
+
 def dedup_stream(
     events: DataFrame,
     key_cols: list[str],

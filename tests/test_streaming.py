@@ -313,6 +313,45 @@ def test_reorder_stream_feeds_sessionizer_under_disorder(spark, tmp_path):
     assert got_sel.exceptAll(closed_twin).count() == 0
 
 
+def test_interval_join_stream_matches_batch_twin(spark, tmp_path):
+    """Watermarked stream-stream interval join over a view stream and a
+    click stream reproduces the banded batch twin's pair set exactly
+    (the watermark spans the fixture, so no pair ages out of state)."""
+    src = "/root/testdata/sf0.001/events.parquet"
+    if not os.path.exists(src):
+        pytest.skip("driver testdata missing")
+    events = spark.read.parquet(src)
+    v_dir, c_dir = str(tmp_path / "views"), str(tmp_path / "clicks")
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id",
+        F.col("ts").alias("v_ts"))
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("c_ts"))
+    views.coalesce(2).write.parquet(v_dir)
+    clicks.coalesce(2).write.parquet(c_dir)
+
+    vs = spark.readStream.schema(views.schema).parquet(v_dir)
+    cs = spark.readStream.schema(clicks.schema).parquet(c_dir)
+    joined = streaming.interval_join_stream(
+        vs, cs, ["user_id"], "v_ts", "c_ts",
+        band_s=24 * 3600, watermark="3650 days",
+    )
+    streaming.run_available_now_to_memory(
+        joined, "ij_out", str(tmp_path / "ckpt_ij"), output_mode="append",
+    )
+    got = {(r["view_id"], r["click_id"])
+           for r in spark.table("ij_out").collect()}
+
+    from l_space_spark.queries import QUERIES
+
+    want = {(r["view_id"], r["click_id"])
+            for r in QUERIES["stream_interval_join_events"](
+                spark, "/root/testdata/sf0.001").collect()}
+    assert len(want) > 0
+    assert got == want
+
+
 def test_dedup_stream_matches_batch_twin(spark, tmp_path):
     """dropDuplicatesWithinWatermark keeps the FIRST ARRIVED row per key;
     with files staged in event-time order (range-partitioned by ts, one
