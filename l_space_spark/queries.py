@@ -2384,6 +2384,65 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["random_walks"] = _walks_oracle(MOD_EDGES_SQL, WALK_LEN, WALK_SEED)
 
 
+MIS_ROUNDS = 8
+MIS_SEED = "mis"
+
+
+def _mis_oracle(edges_sql: str, rounds: int, seed: str) -> str:
+    parts = [
+        f"WITH e0 AS ({edges_sql}),",
+        "links AS (SELECT DISTINCT src, dst FROM ("
+        " SELECT src, dst FROM e0 WHERE src <> dst"
+        " UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)),",
+        "verts AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),",
+        "s0 AS (SELECT id, 0 AS st FROM verts),",
+    ]
+    for r in range(1, rounds + 1):
+        h = _hash60_sql(f"'{seed}:{r - 1}:' || id")
+        parts += [
+            f"a{r} AS MATERIALIZED (SELECT id, {h} AS p"
+            f" FROM s{r - 1} WHERE st = 0),",
+            f"m{r} AS (SELECT l.dst AS id, min(a.p) AS np FROM links l"
+            f" JOIN a{r} a ON a.id = l.src GROUP BY l.dst),",
+            f"w{r} AS MATERIALIZED (SELECT a.id FROM a{r} a"
+            f" LEFT JOIN m{r} m ON m.id = a.id"
+            f" WHERE m.np IS NULL OR a.p < m.np),",
+            f"x{r} AS (SELECT DISTINCT l.dst AS id FROM links l"
+            f" JOIN w{r} w ON w.id = l.src),",
+            f"s{r} AS MATERIALIZED (SELECT s.id, CASE"
+            f" WHEN s.st <> 0 THEN s.st"
+            f" WHEN s.id IN (SELECT id FROM w{r}) THEN 1"
+            f" WHEN s.id IN (SELECT id FROM x{r}) THEN 2"
+            f" ELSE 0 END AS st FROM s{r - 1} s),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT id, CAST(st AS INTEGER) AS st FROM s{rounds} ORDER BY id"
+    )
+    return "\n".join(parts)
+
+
+@register("mis_members", None)  # oracle attached below
+def q_mis_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby maximal independent set (operators/mis.py) on the hashed
+    random graph's symmetric closure, fixed {MIS_ROUNDS} rounds with
+    per-round hash priorities — the unrolled oracle replays every round
+    exactly (rounds past convergence are no-ops)."""
+    from .operators.mis import maximal_independent_set
+
+    res = maximal_independent_set(
+        spark, mod_edges(spark, sf_dir), max_rounds=MIS_ROUNDS,
+        seed=MIS_SEED, resume=False,
+        num_partitions=_small_graph_parts(spark),
+    )
+    return res.state.select(
+        "id", F.col("st").cast("int").alias("st")
+    ).orderBy("id")
+
+
+ORACLES["mis_members"] = _mis_oracle(MOD_EDGES_SQL, MIS_ROUNDS, MIS_SEED)
+
+
 ANF_T = 3
 ANF_K = 8
 _POW60 = "CAST(1152921504606846976 AS DOUBLE)"  # 2^60, exact in ieee754
