@@ -116,3 +116,37 @@ def triangles_per_vertex(spark: SparkSession, edges: DataFrame) -> DataFrame:
     return vertices.join(counts, "id", "left").select(
         "id", F.coalesce("triangles", F.lit(0)).alias("triangles")
     )
+
+
+def clustering_coefficient(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """(id, degree, triangles, lcc_e6) — local clustering coefficient
+    ``2·t / (d·(d−1))`` over the undirected simple graph (0 for d < 2),
+    as an e6 fixed-point long: integer t and d feed one IEEE multiply/
+    divide, so the value is bit-reproducible in SQL.
+
+    Same degree-ordered wedge join as ``triangles_per_vertex`` (the
+    O(√E)-bounded orientation), one extra |E|→|V| degree aggregation.
+    The standard graph-quality feature (e.g. spam/link-farm detection
+    scores on a repo-dependency graph).
+    """
+    canon = _canonical(edges).persist()
+    deg = (
+        canon.select(F.col("a").alias("id"))
+        .unionByName(canon.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangles_per_vertex(spark, canon.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")))
+    d = F.col("degree").cast("double")
+    lcc = F.when(
+        F.col("degree") >= 2,
+        F.lit(2.0) * F.col("triangles").cast("double") / (d * (d - F.lit(1.0))),
+    ).otherwise(F.lit(0.0))
+    out = deg.join(tri, "id", "left").select(
+        "id",
+        "degree",
+        F.coalesce("triangles", F.lit(0)).alias("triangles"),
+        F.floor(lcc * F.lit(1e6) + F.lit(0.5)).cast("long").alias("lcc_e6"),
+    )
+    return out

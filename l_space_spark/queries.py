@@ -301,6 +301,48 @@ def q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "clustering_coefficient",
+    f"""
+WITH e0 AS ({MOD_EDGES_SQL}),
+canon AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM canon e1
+  JOIN canon e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN canon e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+),
+deg AS (SELECT id, count(*) AS degree FROM (
+  SELECT a AS id FROM canon UNION ALL SELECT b FROM canon) GROUP BY id),
+tc AS (SELECT id, count(*) AS t FROM corners GROUP BY id)
+SELECT d.id, CAST(d.degree AS BIGINT) AS degree,
+       CAST(coalesce(tc.t, 0) AS BIGINT) AS triangles,
+       CAST(floor((CASE WHEN d.degree >= 2
+            THEN 2.0 * CAST(coalesce(tc.t, 0) AS DOUBLE)
+                 / (CAST(d.degree AS DOUBLE) * (CAST(d.degree AS DOUBLE) - 1.0))
+            ELSE 0.0 END) * 1e6 + 0.5) AS BIGINT) AS lcc_e6
+FROM deg d LEFT JOIN tc ON tc.id = d.id
+ORDER BY d.id
+""".strip(),
+)
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (operators/triangles.py) of the
+    hashed random graph — degree-ordered wedge join + degree agg, e6
+    fixed point for bit-exact cross-engine comparison."""
+    from .operators.triangles import clustering_coefficient
+
+    return clustering_coefficient(spark, mod_edges(spark, sf_dir)).select(
+        "id", F.col("degree").cast("long").alias("degree"),
+        F.col("triangles").cast("long").alias("triangles"), "lcc_e6",
+    ).orderBy("id")
+
+
+@register(
     "degree_distribution",
     f"""
 WITH e0 AS ({CUSTOMER_SUPPLIER_EDGES_SQL}),

@@ -34,3 +34,27 @@ def test_direction_and_duplicates_ignored(spark):
     # parallel + reversed + self-loop edges must not change the count
     pairs = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)]
     assert triangle_count(spark, edges_df(spark, pairs)) == 1
+
+
+def test_clustering_coefficient_known_graphs(spark):
+    from l_space_spark.operators.triangles import clustering_coefficient
+    from conftest import edges_df
+
+    # K4: every vertex lcc = 1; path: all 0; pendant on a triangle
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = {r["id"]: (r["degree"], r["triangles"], r["lcc_e6"])
+           for r in clustering_coefficient(spark, edges_df(spark, k4)).collect()}
+    assert got == {i: (3, 3, 1_000_000) for i in range(4)}
+
+    path = [(0, 1), (1, 2), (2, 3)]
+    got = {r["id"]: r["lcc_e6"]
+           for r in clustering_coefficient(spark, edges_df(spark, path)).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0}
+
+    tri_pendant = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    got = {r["id"]: (r["degree"], r["triangles"], r["lcc_e6"])
+           for r in clustering_coefficient(
+               spark, edges_df(spark, tri_pendant)).collect()}
+    assert got[0] == (2, 1, 1_000_000)
+    assert got[2] == (3, 1, 333_333)  # 2*1/(3*2) = 1/3
+    assert got[3] == (1, 0, 0)
