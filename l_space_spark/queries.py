@@ -343,6 +343,42 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "neighbor_jaccard_pairs",
+    f"""
+WITH e0 AS ({MOD_EDGES_SQL}),
+und AS (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM e0 WHERE src <> dst
+  UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)),
+deg AS (SELECT src, count(*) AS d FROM und GROUP BY src),
+com AS (
+  SELECT w1.dst AS u, w2.dst AS w, count(*) AS common
+  FROM und w1 JOIN und w2 ON w1.src = w2.src AND w1.dst < w2.dst
+  GROUP BY 1, 2
+)
+SELECT c.u, c.w, CAST(c.common AS BIGINT) AS common,
+       CAST(floor(CAST(c.common AS DOUBLE)
+            / CAST(du.d + dw.d - c.common AS DOUBLE) * 1e6 + 0.5)
+            AS BIGINT) AS jaccard_e6
+FROM com c JOIN deg du ON du.src = c.u JOIN deg dw ON dw.src = c.w
+ORDER BY c.u, c.w
+""".strip(),
+)
+def q_neighbor_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link-prediction pairs (operators/linkpred.py)
+    over the hashed random graph — hub wedge join candidates, e6
+    fixed-point overlap; uncapped here, ``max_hub_degree`` is the
+    documented production knob."""
+    from .operators.linkpred import neighbor_jaccard
+
+    return (
+        neighbor_jaccard(mod_edges(spark, sf_dir))
+        .select("u", "w", F.col("common").cast("long").alias("common"),
+                "jaccard_e6")
+        .orderBy("u", "w")
+    )
+
+
+@register(
     "degree_distribution",
     f"""
 WITH e0 AS ({CUSTOMER_SUPPLIER_EDGES_SQL}),

@@ -1,0 +1,62 @@
+"""Neighbor-Jaccard link prediction vs brute-force python oracle."""
+
+import random
+
+from l_space_spark.operators.linkpred import neighbor_jaccard
+
+from conftest import edges_df
+
+
+def brute(pairs, max_hub=None, min_common=1):
+    adj = {}
+    for s, d in pairs:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    hubs = {v for v in adj if max_hub is None or len(adj[v]) <= max_hub}
+    out = {}
+    cand = set()
+    for v in hubs:
+        ns = sorted(adj[v])
+        for i, u in enumerate(ns):
+            for w in ns[i + 1:]:
+                cand.add((u, w))
+    import math
+    for u, w in cand:
+        common = len({v for v in adj[u] & adj[w] if v in hubs})
+        if common >= min_common:
+            jac = common / (len(adj[u]) + len(adj[w]) - common)
+            out[(u, w)] = (common, math.floor(jac * 1e6 + 0.5))
+    return out
+
+
+def _run(spark, pairs, **kw):
+    return {(r["u"], r["w"]): (r["common"], r["jaccard_e6"])
+            for r in neighbor_jaccard(edges_df(spark, pairs), **kw).collect()}
+
+
+def test_square_with_diagonal(spark):
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    got = _run(spark, pairs)
+    assert got == brute(pairs)
+    # 1 and 3 share neighbors {0, 2}: jaccard 2/(2+2-2)=1.0
+    assert got[(1, 3)] == (2, 1_000_000)
+
+
+def test_random_matches_brute(spark):
+    rng = random.Random(5)
+    pairs = [(rng.randrange(25), rng.randrange(25)) for _ in range(60)]
+    assert _run(spark, pairs) == brute(pairs)
+
+
+def test_hub_cap_drops_celebrity_wedges(spark):
+    # celebrity 99 adjacent to everyone; with the cap its wedges vanish
+    pairs = [(99, i) for i in range(10)] + [(0, 1), (1, 2)]
+    got = _run(spark, pairs, max_hub_degree=5)
+    assert got == brute(pairs, max_hub=5)
+    # no pair generated THROUGH the celebrity: (3,4) only share hub 99
+    assert (3, 4) not in got
+    # but the celebrity can still be an endpoint (via small hubs 0 and 2)
+    assert got[(1, 99)][0] == 2
+    uncapped = _run(spark, pairs)
+    assert (3, 4) in uncapped
