@@ -2462,6 +2462,54 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["random_walks"] = _walks_oracle(MOD_EDGES_SQL, WALK_LEN, WALK_SEED)
 
 
+KTRUSS_K = 4
+KTRUSS_ROUNDS = 6
+
+
+def _ktruss_oracle(edges_sql: str, k: int, rounds: int) -> str:
+    parts = [
+        f"WITH e0 AS ({edges_sql}),",
+        "c0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,"
+        " greatest(src, dst) AS b FROM e0 WHERE src <> dst),",
+    ]
+    for r in range(1, rounds + 1):
+        parts += [
+            f"t{r} AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z"
+            f" FROM c{r - 1} e1"
+            f" JOIN c{r - 1} e2 ON e2.a = e1.a AND e2.b > e1.b"
+            f" JOIN c{r - 1} e3 ON e3.a = e1.b AND e3.b = e2.b),",
+            f"sup{r} AS (SELECT a, b, count(*) AS n FROM ("
+            f" SELECT x AS a, y AS b FROM t{r}"
+            f" UNION ALL SELECT x, z FROM t{r}"
+            f" UNION ALL SELECT y, z FROM t{r}) GROUP BY a, b),",
+            f"c{r} AS MATERIALIZED (SELECT c.a, c.b FROM c{r - 1} c"
+            f" LEFT JOIN sup{r} s ON s.a = c.a AND s.b = c.b"
+            f" WHERE coalesce(s.n, 0) >= {k - 2}),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT a, b FROM c{rounds} ORDER BY a, b")
+    return "\n".join(parts)
+
+
+@register("ktruss_edges", None)  # oracle attached below
+def q_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KTRUSS_K}-truss of the hashed random graph (operators/ktruss.py):
+    fixed {KTRUSS_ROUNDS}-round synchronous support peeling so the
+    unrolled oracle replays every round (rounds past the fixpoint are
+    no-ops)."""
+    from .operators.ktruss import ktruss
+
+    res = ktruss(
+        spark, mod_edges(spark, sf_dir), k=KTRUSS_K,
+        max_rounds=KTRUSS_ROUNDS, fixed_iters=True, resume=False,
+        num_partitions=_small_graph_parts(spark),
+    )
+    return res.state.select("a", "b").orderBy("a", "b")
+
+
+ORACLES["ktruss_edges"] = _ktruss_oracle(MOD_EDGES_SQL, KTRUSS_K, KTRUSS_ROUNDS)
+
+
 MIS_ROUNDS = 8
 MIS_SEED = "mis"
 
