@@ -75,6 +75,10 @@ def neighborhood_function(
     (N(0) = |V| exactly — every sketch starts unsaturated), ``result``
     the superstep result whose ``state`` holds the final per-vertex
     ball sketches ``(id, sk)`` for reuse (e.g. a deeper continuation).
+    A RESUMED run reports only the rounds it executed (labels start at
+    ``resumed_from + 2``); the earlier curve points are in the prior
+    run's output — totals are captured per round, not reconstructable
+    from a checkpointed state alone.
 
     ``totals`` is exact for balls with < k members and the standard
     (k−1)·2^60/kth KMV estimator beyond — deterministic for fixed k, so
@@ -132,8 +136,15 @@ def neighborhood_function(
             ).alias("sk"),
         )
 
+    # exact per-round totals captured driver-side as Python ints: the
+    # runner's deltas go through float, which would round totals above
+    # 2^53 (reachable-pair counts at 1e9-vertex scale exceed that)
+    exact_totals: list[int] = []
+
     def round_total(old: DataFrame, new: DataFrame) -> float:
-        return float(new.agg(_estimate_e3(new, k)).collect()[0][0])
+        t = int(new.agg(_estimate_e3(new, k)).collect()[0][0])
+        exact_totals.append(t)
+        return float(t)
 
     runner = SuperstepRunner(
         spark,
@@ -144,10 +155,14 @@ def neighborhood_function(
     )
     result = runner.run(init, step, metric_fn=round_total, resume=resume)
 
-    n0 = verts.count() * 1000
-    rows = [(0, n0)] + [
-        (t + 1, int(d)) for t, d in enumerate(result.deltas)
-    ]
+    # label totals by the rounds THIS run actually executed: a resumed
+    # run starts at resumed_from + 1 and its first measured total is
+    # N(resumed_from + 2); earlier points live in the prior run's output
+    first_t = 1 if result.resumed_from is None else result.resumed_from + 2
+    rows = [(t, n) for t, n in zip(
+        range(first_t, first_t + len(exact_totals)), exact_totals)]
+    if result.resumed_from is None:
+        rows = [(0, verts.count() * 1000)] + rows
     totals = spark.createDataFrame(rows, "t int, total_e3 long")
     e.unpersist()
     return totals, result

@@ -9,10 +9,11 @@ recompute every surviving edge's support, drop all edges below
 ``k − 2``, repeat to a fixpoint — exactly the kcore entry's fixed-round
 discipline, so the unrolled SQL oracle replays each round.
 
-Per round the support count routes through ``triangles.triangle_list``
-— the degree-ordered oriented wedge join (per-vertex fan-out bounded
-O(√E), the module's skew story) — then one explode(3)+count per
-triangle. Triangle SETS are orientation-independent, so the oracle may
+Per round the support count routes through the degree-ordered oriented
+wedge join (``triangles._triangles_of`` over a per-round persisted
+orientation — it appears three times in the plan, so it is packed once;
+per-vertex fan-out bounded O(√E), the module's skew story) then one
+explode(3)+count per triangle. Triangle SETS are orientation-independent, so the oracle may
 use the naive ``b < c`` wedge form and still match exactly. State on
 the SuperstepRunner is the EDGE table (the runner is state-schema
 agnostic): metric = edges removed, tol 0, durable checkpoints/resume at
@@ -29,15 +30,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.superstep import SuperstepResult, SuperstepRunner
-from .triangles import _canonical, triangle_list
+from .triangles import _canonical, _oriented, _triangles_of
 
 
-def edge_support(canon: DataFrame) -> DataFrame:
+def edge_support(canon: DataFrame,
+                 oriented: DataFrame | None = None) -> DataFrame:
     """(a, b, support) for every canonical edge: the number of triangles
-    the edge participates in (0-support edges included)."""
-    tri = triangle_list(
-        canon.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-    )
+    the edge participates in (0-support edges included). Pass a
+    pre-persisted ``oriented`` table when materializing the result —
+    the oriented frame appears three times in the plan (two wedge sides
+    + closing edges), so an unpersisted one recomputes canonicalize +
+    degree-join 3×."""
+    if oriented is None:
+        oriented = _oriented(
+            canon.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        )
+    tri = _triangles_of(oriented)
     sides = (
         tri.select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
         .unionByName(tri.select(F.least("x", "z").alias("a"),
@@ -72,11 +80,17 @@ def ktruss(
     init = _canonical(edges)
 
     def step(state: DataFrame, i: int) -> DataFrame:
-        return (
-            edge_support(state)
+        o = _oriented(
+            state.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        ).persist()
+        new = (
+            edge_support(state, oriented=o)
             .where(F.col("support") >= k - 2)
             .select("a", "b")
+            .localCheckpoint(eager=True)
         )
+        o.unpersist()
+        return new
 
     def removed(old: DataFrame, new: DataFrame) -> float:
         return float(old.count() - new.count())

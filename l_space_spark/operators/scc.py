@@ -127,8 +127,11 @@ def strongly_connected_components(
         .persist()
     )
     if vertices is None:
-        vertices = e.select(F.col("src").alias("id")).unionByName(
-            e.select(F.col("dst").alias("id"))
+        # universe from the UNFILTERED edges: a vertex whose only edges
+        # are self-loops is a singleton SCC, not absent (matches the
+        # oracle, which builds verts from e0 before dropping self-loops)
+        vertices = edges.select(F.col("src").alias("id")).unionByName(
+            edges.select(F.col("dst").alias("id"))
         ).distinct()
     else:
         vertices = vertices.select("id").distinct()

@@ -74,6 +74,62 @@ def asof_join(
     return out
 
 
+def _banded_candidates(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    lo_s: float,
+    hi_s: float,
+    left_id: str,
+    right_id: str | None = None,
+) -> DataFrame:
+    """Shared candidate generation for the banded range joins: exact
+    matches ``(__lid, [__rid,] __k, __lt, __rt)`` with
+    ``l.ts + lo_s ≤ r.ts ≤ l.ts + hi_s`` via the ×2 bucket equi-join.
+
+    ``hi_us`` is DERIVED from ``lo_us + width_us`` (not rounded
+    independently): for fractional bounds, independent rounding can make
+    the probed interval one microsecond longer than the bucket width, so
+    it would span 3 buckets while only the 2 endpoint buckets are probed
+    — silently undercounting the middle bucket.
+    """
+    width_us = int(round((hi_s - lo_s) * 1_000_000))
+    if width_us <= 0:
+        raise ValueError("hi_s must exceed lo_s")
+    lo_us = int(round(lo_s * 1_000_000))
+    hi_us = lo_us + width_us
+
+    l = left.select(
+        F.col(left_id).alias("__lid"), F.col(key_col).alias("__k"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__lt"),
+    )
+    rcols = [
+        F.col(key_col).alias("__k"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__rt"),
+    ]
+    if right_id is not None:
+        rcols.insert(0, F.col(right_id).alias("__rid"))
+    r = right.select(*rcols).withColumn(
+        "__b", F.floor(F.col("__rt") / F.lit(width_us))
+    )
+    probes = l.withColumn(
+        "__b",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((F.col("__lt") + F.lit(lo_us)) / F.lit(width_us)),
+                    F.floor((F.col("__lt") + F.lit(hi_us)) / F.lit(width_us)),
+                )
+            )
+        ),
+    )
+    return probes.join(r, ["__k", "__b"]).where(
+        (F.col("__rt") >= F.col("__lt") + F.lit(lo_us))
+        & (F.col("__rt") <= F.col("__lt") + F.lit(hi_us))
+    )
+
+
 def banded_range_join_count(
     left: DataFrame,
     right: DataFrame,
@@ -97,42 +153,8 @@ def banded_range_join_count(
     after a ×2 left explode — the scale-safe replacement for the
     inequality theta join. The exact range test filters candidates.
     """
-    # hi_us is DERIVED from lo_us + width_us (not rounded independently):
-    # for fractional bounds, independent rounding can make the probed
-    # interval one microsecond longer than the bucket width, so it would
-    # span 3 buckets while only the 2 endpoint buckets are probed —
-    # silently undercounting the middle bucket.
-    width_us = int(round((hi_s - lo_s) * 1_000_000))
-    if width_us <= 0:
-        raise ValueError("hi_s must exceed lo_s")
-    lo_us = int(round(lo_s * 1_000_000))
-    hi_us = lo_us + width_us
-
-    l = left.select(
-        F.col(left_id).alias("__lid"), F.col(key_col).alias("__k"),
-        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__lt"),
-    )
-    r = right.select(
-        F.col(key_col).alias("__k"),
-        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__rt"),
-    ).withColumn("__b", F.floor(F.col("__rt") / F.lit(width_us)))
-    probes = l.withColumn(
-        "__b",
-        F.explode(
-            F.array_distinct(
-                F.array(
-                    F.floor((F.col("__lt") + F.lit(lo_us)) / F.lit(width_us)),
-                    F.floor((F.col("__lt") + F.lit(hi_us)) / F.lit(width_us)),
-                )
-            )
-        ),
-    )
     hits = (
-        probes.join(r, ["__k", "__b"])
-        .where(
-            (F.col("__rt") >= F.col("__lt") + F.lit(lo_us))
-            & (F.col("__rt") <= F.col("__lt") + F.lit(hi_us))
-        )
+        _banded_candidates(left, right, key_col, ts_col, lo_s, hi_s, left_id)
         .groupBy("__lid")
         .agg(F.count(F.lit(1)).alias(count_alias))
     )
@@ -160,42 +182,12 @@ def banded_interval_pairs(
     batch interval join, and the batch twin of
     ``streaming.interval_join_stream`` (whose state Spark bounds with
     the watermark instead of the bucket)."""
-    width_us = int(round((hi_s - lo_s) * 1_000_000))
-    if width_us <= 0:
-        raise ValueError("hi_s must exceed lo_s")
-    lo_us = int(round(lo_s * 1_000_000))
-    hi_us = lo_us + width_us
-
-    l = left.select(
-        F.col(left_id).alias("__lid"), F.col(key_col).alias("__k"),
-        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__lt"),
-    )
-    r = right.select(
-        F.col(right_id).alias("__rid"), F.col(key_col).alias("__k"),
-        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__rt"),
-    ).withColumn("__b", F.floor(F.col("__rt") / F.lit(width_us)))
-    probes = l.withColumn(
-        "__b",
-        F.explode(
-            F.array_distinct(
-                F.array(
-                    F.floor((F.col("__lt") + F.lit(lo_us)) / F.lit(width_us)),
-                    F.floor((F.col("__lt") + F.lit(hi_us)) / F.lit(width_us)),
-                )
-            )
-        ),
-    )
-    return (
-        probes.join(r, ["__k", "__b"])
-        .where(
-            (F.col("__rt") >= F.col("__lt") + F.lit(lo_us))
-            & (F.col("__rt") <= F.col("__lt") + F.lit(hi_us))
-        )
-        .select(
-            F.col("__lid").alias(left_id),
-            F.col("__rid").alias(right_id),
-            F.col("__k").alias(key_col),
-            F.col("__lt").alias("l_ts_us"),
-            F.col("__rt").alias("r_ts_us"),
-        )
+    return _banded_candidates(
+        left, right, key_col, ts_col, lo_s, hi_s, left_id, right_id
+    ).select(
+        F.col("__lid").alias(left_id),
+        F.col("__rid").alias(right_id),
+        F.col("__k").alias(key_col),
+        F.col("__lt").alias("l_ts_us"),
+        F.col("__rt").alias("r_ts_us"),
     )

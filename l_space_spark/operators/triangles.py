@@ -127,7 +127,9 @@ def clustering_coefficient(spark: SparkSession, edges: DataFrame) -> DataFrame:
     Same degree-ordered wedge join as ``triangles_per_vertex`` (the
     O(√E)-bounded orientation), one extra |E|→|V| degree aggregation.
     The standard graph-quality feature (e.g. spam/link-farm detection
-    scores on a repo-dependency graph).
+    scores on a repo-dependency graph). The result is MATERIALIZED
+    before returning (localCheckpoint) so the canonical edge cache can
+    be released immediately instead of leaking until context GC.
     """
     canon = _canonical(edges).persist()
     deg = (
@@ -148,5 +150,6 @@ def clustering_coefficient(spark: SparkSession, edges: DataFrame) -> DataFrame:
         "degree",
         F.coalesce("triangles", F.lit(0)).alias("triangles"),
         F.floor(lcc * F.lit(1e6) + F.lit(0.5)).cast("long").alias("lcc_e6"),
-    )
+    ).localCheckpoint(eager=True)
+    canon.unpersist()
     return out

@@ -78,3 +78,24 @@ def test_sketches_monotone_and_reusable(spark):
     assert len(rows) == 5
     for r in rows:
         assert r["sk"] == sorted(r["sk"]) and len(r["sk"]) <= 8
+
+
+def test_resumed_run_reports_only_executed_rounds(spark, tmp_path):
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    ck = str(tmp_path / "anf_ck")
+    t1, r1 = neighborhood_function(
+        spark, edges_df(spark, pairs), max_t=3, k=8, shards=4,
+        num_partitions=4, checkpoint_dir=ck,
+    )
+    assert r1.resumed_from is None and t1.count() == 4
+    # resuming a COMPLETED run executes no rounds: totals must be empty
+    # (not mislabeled), and the final sketch state must be unchanged
+    t2, r2 = neighborhood_function(
+        spark, edges_df(spark, pairs), max_t=3, k=8, shards=4,
+        num_partitions=4, checkpoint_dir=ck,
+    )
+    assert r2.resumed_from is not None
+    assert t2.count() == 0
+    s1 = {(r["id"], tuple(r["sk"])) for r in r1.state.collect()}
+    s2 = {(r["id"], tuple(r["sk"])) for r in r2.state.collect()}
+    assert s1 == s2

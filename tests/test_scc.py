@@ -98,6 +98,12 @@ def test_self_loops_and_isolated(spark):
     assert got == {5: 5, 6: 6}
 
 
+def test_self_loop_only_vertex_is_singleton(spark):
+    # a vertex whose ONLY edges are self-loops must still appear
+    got, _ = _run(spark, [(5, 5), (1, 2)])
+    assert got == {1: 1, 2: 2, 5: 5}
+
+
 def test_random_graphs_match_kosaraju(spark):
     for seed, n, m in [(1, 12, 18), (2, 20, 30), (3, 30, 75), (4, 9, 40)]:
         rng = random.Random(seed)
