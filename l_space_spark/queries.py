@@ -2462,6 +2462,84 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["random_walks"] = _walks_oracle(MOD_EDGES_SQL, WALK_LEN, WALK_SEED)
 
 
+BC_SOURCES = 8
+BC_DEPTH = 4
+BC_SEED = "bc"
+
+
+def _betweenness_oracle(edges_sql: str, n_src: int, depth: int,
+                        seed: str) -> str:
+    h = _hash60_sql(f"'{seed}:' || id")
+    parts = [
+        f"WITH e0 AS ({edges_sql}),",
+        "links AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),",
+        "verts AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),",
+        f"srcs AS (SELECT id FROM (SELECT id, row_number() OVER"
+        f" (ORDER BY {h}, id) AS rn FROM verts) WHERE rn <= {n_src}),",
+        "f0 AS (SELECT id AS s, id AS v, 1::BIGINT AS sigma FROM srcs),",
+        "vis0 AS (SELECT s, v FROM f0),",
+    ]
+    for l in range(1, depth + 1):
+        parts += [
+            f"c{l} AS (SELECT f.s, l.dst AS v,"
+            f" CAST(SUM(f.sigma) AS BIGINT) AS sigma"
+            f" FROM f{l - 1} f JOIN links l ON l.src = f.v GROUP BY 1, 2),",
+            f"f{l} AS MATERIALIZED (SELECT c.s, c.v, c.sigma FROM c{l} c"
+            f" LEFT JOIN vis{l - 1} x ON x.s = c.s AND x.v = c.v"
+            f" WHERE x.v IS NULL),",
+            f"vis{l} AS MATERIALIZED (SELECT s, v FROM vis{l - 1}"
+            f" UNION ALL SELECT s, v FROM f{l}),",
+        ]
+    parts.append(
+        f"d{depth} AS (SELECT s, v, 0::BIGINT AS delta FROM f{depth}),"
+    )
+    for l in range(depth - 1, 0, -1):
+        parts += [
+            f"t{l} AS (SELECT fv.s, fv.v, CAST(SUM("
+            f" (fv.sigma * (1000000000 + dw.delta)) // fw.sigma)"
+            f" AS BIGINT) AS dsum"
+            f" FROM f{l} fv JOIN links l ON l.src = fv.v"
+            f" JOIN f{l + 1} fw ON fw.s = fv.s AND fw.v = l.dst"
+            f" JOIN d{l + 1} dw ON dw.s = fv.s AND dw.v = l.dst"
+            f" GROUP BY 1, 2),",
+            f"d{l} AS MATERIALIZED (SELECT f.s, f.v,"
+            f" coalesce(t.dsum, 0) AS delta FROM f{l} f"
+            f" LEFT JOIN t{l} t ON t.s = f.s AND t.v = f.v),",
+        ]
+    union = " UNION ALL ".join(
+        f"SELECT v, delta FROM d{l}" for l in range(1, depth + 1)
+    )
+    parts.append(
+        f"bc AS (SELECT v, CAST(SUM(delta) AS BIGINT) AS bc_e9"
+        f" FROM ({union}) GROUP BY v)"
+    )
+    parts.append(
+        "SELECT vt.id, coalesce(bc.bc_e9, 0) AS bc_e9 FROM verts vt"
+        " LEFT JOIN bc ON bc.v = vt.id ORDER BY vt.id"
+    )
+    return "\n".join(parts)
+
+
+@register("betweenness_sampled", None)  # oracle attached below
+def q_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled bounded-depth Brandes betweenness
+    (operators/betweenness.py): {BC_SOURCES} hash-chosen sources,
+    paths ≤ {BC_DEPTH} hops, e9 integer fixed-point dependency
+    accumulation — the unrolled two-pass oracle replays every level."""
+    from .operators.betweenness import betweenness_sampled
+
+    return betweenness_sampled(
+        spark, mod_edges(spark, sf_dir), n_sources=BC_SOURCES,
+        max_depth=BC_DEPTH, seed=BC_SEED,
+        num_partitions=_small_graph_parts(spark),
+    ).orderBy("id")
+
+
+ORACLES["betweenness_sampled"] = _betweenness_oracle(
+    MOD_EDGES_SQL, BC_SOURCES, BC_DEPTH, BC_SEED
+)
+
+
 KTRUSS_K = 4
 KTRUSS_ROUNDS = 6
 
