@@ -2462,6 +2462,69 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["random_walks"] = _walks_oracle(MOD_EDGES_SQL, WALK_LEN, WALK_SEED)
 
 
+COLOR_ROUNDS = 10
+COLOR_SEED = "col"
+
+
+def _coloring_oracle(edges_sql: str, rounds: int, seed: str) -> str:
+    h = _hash60_sql(f"'{seed}:' || id")
+    empty = "CAST([] AS INTEGER[])"
+    parts = [
+        f"WITH e0 AS ({edges_sql}),",
+        "links AS (SELECT DISTINCT src, dst FROM ("
+        " SELECT src, dst FROM e0 WHERE src <> dst"
+        " UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)),",
+        "verts AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),",
+        "s0 AS (SELECT id, CAST(NULL AS INTEGER) AS color FROM verts),",
+    ]
+    for r in range(1, rounds + 1):
+        parts += [
+            f"u{r} AS MATERIALIZED (SELECT id, {h} AS p FROM s{r - 1}"
+            f" WHERE color IS NULL),",
+            f"m{r} AS (SELECT l.dst AS id, max(u.p) AS mp FROM links l"
+            f" JOIN u{r} u ON u.id = l.src GROUP BY l.dst),",
+            f"rd{r} AS (SELECT u.id FROM u{r} u LEFT JOIN m{r} m"
+            f" ON m.id = u.id WHERE m.mp IS NULL OR m.mp < u.p),",
+            f"pal{r} AS (SELECT l.dst AS id, list(DISTINCT s.color) AS cols"
+            f" FROM links l JOIN s{r - 1} s ON s.id = l.src"
+            f" AND s.color IS NOT NULL GROUP BY l.dst),",
+            f"nw{r} AS (SELECT rd.id, CAST(list_min(list_filter("
+            f" range(0, len(coalesce(p.cols, {empty})) + 1),"
+            f" x -> NOT list_contains(coalesce(p.cols, {empty}), x)))"
+            f" AS INTEGER) AS new_color"
+            f" FROM rd{r} rd LEFT JOIN pal{r} p ON p.id = rd.id),",
+            f"s{r} AS MATERIALIZED (SELECT s.id,"
+            f" coalesce(s.color, n.new_color) AS color FROM s{r - 1} s"
+            f" LEFT JOIN nw{r} n ON n.id = s.id),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT id, color FROM s{rounds} ORDER BY id")
+    return "\n".join(parts)
+
+
+@register("greedy_coloring", None)  # oracle attached below
+def q_greedy_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jones-Plassmann greedy coloring (operators/coloring.py) of the
+    hashed random graph's symmetric closure: fixed {COLOR_ROUNDS}
+    rounds with static hash priorities — the unrolled mex oracle
+    replays every round (vertices beyond the priority-path depth stay
+    NULL in BOTH engines; dense graphs need more rounds, documented)."""
+    from .operators.coloring import greedy_coloring
+
+    res = greedy_coloring(
+        spark, mod_edges(spark, sf_dir), max_rounds=COLOR_ROUNDS,
+        seed=COLOR_SEED, fixed_iters=True, resume=False,
+        num_partitions=_small_graph_parts(spark),
+    )
+    return res.state.select("id", F.col("color").cast("int").alias("color")
+                            ).orderBy("id")
+
+
+ORACLES["greedy_coloring"] = _coloring_oracle(
+    MOD_EDGES_SQL, COLOR_ROUNDS, COLOR_SEED
+)
+
+
 BC_SOURCES = 8
 BC_DEPTH = 4
 BC_SEED = "bc"
