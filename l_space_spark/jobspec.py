@@ -20,9 +20,12 @@ Four spec kinds:
      "output": {"path": "/out/ranks", "format": "parquet"}}
 
     algorithms: pagerank · connected_components · connected_components_star ·
-    label_propagation · triangle_count · triangles_per_vertex · hits ·
-    kcore · sssp (params: source, weight_col) · harmonic_centrality
-    (params: n_sources, max_iters).
+    scc · label_propagation · triangle_count · triangles_per_vertex ·
+    clustering_coefficient · hits · kcore · ktruss (params: k) · mis ·
+    coloring · sssp (params: source, weight_col) · harmonic_centrality
+    (params: n_sources, max_iters) · betweenness (params: n_sources,
+    max_depth) · anf (params: max_t, k) · random_walks (params:
+    walk_length, n_walks) · neighbor_jaccard (params: max_hub_degree).
     ``checkpoint_dir``+``resume`` make the run restartable (north rule); the
     result DataFrame is written to ``output`` (or shown when absent).
 
@@ -118,15 +121,21 @@ def _edges_from_input(spark: SparkSession, inp: dict,
 # ---- algorithm registry ------------------------------------------------------
 
 def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
+    from .operators.coloring import greedy_coloring
     from .operators.components import (
         connected_components, connected_components_star,
     )
     from .operators.hits import hits
     from .operators.kcore import kcore
+    from .operators.ktruss import ktruss
     from .operators.labelprop import label_propagation
+    from .operators.mis import maximal_independent_set
     from .operators.pagerank import pagerank
+    from .operators.scc import strongly_connected_components
     from .operators.sssp import sssp
-    from .operators.triangles import triangle_list, triangles_per_vertex
+    from .operators.triangles import (
+        clustering_coefficient, triangle_list, triangles_per_vertex,
+    )
 
     inp = spec.get("input", {})
     params = dict(spec.get("params", {}))
@@ -143,7 +152,11 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
         "label_propagation": label_propagation,
         "hits": hits,
         "kcore": kcore,
+        "ktruss": ktruss,
         "sssp": sssp,
+        "scc": strongly_connected_components,
+        "mis": maximal_independent_set,
+        "coloring": greedy_coloring,
     }
     if ckpt and (algo in supersteps
                  or algo in ("harmonic_centrality", "pagerank_incremental")):
@@ -221,6 +234,37 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
         )
     if algo == "triangles_per_vertex":
         return triangles_per_vertex(spark, edges)
+    if algo == "clustering_coefficient":
+        return clustering_coefficient(spark, edges)
+    if algo == "random_walks":
+        from .operators.walks import random_walks
+
+        return random_walks(spark, edges, **params)
+    if algo == "neighbor_jaccard":
+        from .operators.linkpred import neighbor_jaccard
+
+        out = neighbor_jaccard(edges, **params)
+        if spec.get("top_k"):
+            out = out.orderBy(F.desc("jaccard_e6"), "u", "w").limit(
+                int(spec["top_k"])
+            )
+        return out
+    if algo == "betweenness":
+        from .operators.betweenness import betweenness_sampled
+
+        out = betweenness_sampled(spark, edges, **params)
+        if spec.get("top_k"):
+            out = out.orderBy(F.desc("bc_e9"), "id").limit(
+                int(spec["top_k"])
+            )
+        return out
+    if algo == "anf":
+        from .operators.anf import neighborhood_function
+
+        totals, _ = neighborhood_function(
+            spark, edges, checkpoint_dir=ckpt, resume=resume, **params
+        )
+        return totals
     if algo == "harmonic_centrality":
         from .operators.centrality import harmonic_centrality_sampled
 

@@ -312,3 +312,58 @@ def test_pagerank_incremental_spec(spark, tmp_path):
     top = run_job(spark, {**spec, "top_k": 5}).collect()
     assert len(top) == 5
     assert round(top[0]["rank"], 9) == max(r[1] for r in got)
+
+
+def test_new_algorithm_specs_round3(spark, tmp_path):
+    """The round-3 algorithms are reachable over the wire: scc / mis /
+    coloring / ktruss (superstep-shaped) and betweenness / walks /
+    neighbor_jaccard / clustering_coefficient / anf (frame-shaped)."""
+    path = str(tmp_path / "edges")
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (5, 6)]
+    edges_df(spark, pairs).write.parquet(path)
+    inp = {"edges_parquet": path}
+
+    scc = {r["id"]: r["scc"] for r in run_job(
+        spark, {"kind": "algorithm", "algorithm": "scc",
+                "input": inp}).collect()}
+    assert scc[0] == scc[1] == scc[2] == scc[3] == scc[4] == 0
+    assert scc[5] == 5 and scc[6] == 6
+
+    mis = {r["id"]: r["st"] for r in run_job(
+        spark, {"kind": "algorithm", "algorithm": "mis",
+                "input": inp}).collect()}
+    assert set(mis.values()) <= {1, 2} and len(mis) == 7
+
+    col = {r["id"]: r["color"] for r in run_job(
+        spark, {"kind": "algorithm", "algorithm": "coloring",
+                "input": inp}).collect()}
+    for s, d in pairs:
+        assert col[s] != col[d]
+
+    truss = {(r["a"], r["b"]) for r in run_job(
+        spark, {"kind": "algorithm", "algorithm": "ktruss",
+                "params": {"k": 3}, "input": inp}).collect()}
+    assert truss == {(0, 1), (0, 2), (1, 2), (2, 3), (2, 4), (3, 4)}
+
+    bc = run_job(spark, {"kind": "algorithm", "algorithm": "betweenness",
+                         "params": {"n_sources": 7, "max_depth": 3},
+                         "input": inp, "top_k": 3}).collect()
+    assert len(bc) == 3 and bc[0]["bc_e9"] >= bc[-1]["bc_e9"]
+
+    walks = run_job(spark, {"kind": "algorithm", "algorithm": "random_walks",
+                            "params": {"walk_length": 3}, "input": inp})
+    assert walks.where(F.col("step") == 0).count() == 7
+
+    nj = run_job(spark, {"kind": "algorithm", "algorithm": "neighbor_jaccard",
+                         "input": inp, "top_k": 2}).collect()
+    assert len(nj) == 2
+
+    lcc = run_job(spark, {"kind": "algorithm",
+                          "algorithm": "clustering_coefficient",
+                          "input": inp}).collect()
+    assert {r["id"] for r in lcc} == {0, 1, 2, 3, 4, 5, 6}
+
+    anf = {r["t"]: r["total_e3"] for r in run_job(
+        spark, {"kind": "algorithm", "algorithm": "anf",
+                "params": {"max_t": 2, "k": 8}, "input": inp}).collect()}
+    assert anf[0] == 7000 and anf[2] >= anf[1] >= anf[0]
