@@ -38,6 +38,8 @@ not scale; this operator is the Spark-native replacement.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -166,3 +168,46 @@ def neighborhood_function(
     totals = spark.createDataFrame(rows, "t int, total_e3 long")
     e.unpersist()
     return totals, result
+
+
+def distance_stats(totals_rows: list) -> dict:
+    """Distance statistics from a neighborhood-function curve — the
+    payoff of ANF (Palmer et al. §1: effective diameter and average
+    distance WITHOUT all-pairs work). Input: the ``(t, total_e3)`` rows
+    of ``neighborhood_function``'s totals (driver-side — the curve is
+    max_t+1 integers, born on the driver).
+
+    - ``avg_dist_e6``: Σ t·(N(t)−N(t−1)) / (N(T)−N(0)) over reachable
+      non-self pairs within the horizon — exact integer numerator and
+      denominator through ONE IEEE division, e6 fixed point.
+    - ``eff_diam_e6``: smallest interpolated t where N(t) ≥ 0.9·N(T).
+      α is FIXED at 9/10 so the threshold test is pure integer
+      arithmetic (``10·N(t) ≥ 9·N(T)``); only the final interpolation
+      divides. A float α would not survive the cross-engine exactness
+      contract.
+
+    Returns ``{"avg_dist_e6": int, "eff_diam_e6": int}``; both are -1
+    when the curve is degenerate (no pairs beyond t=0).
+    """
+    pts = sorted((int(r["t"]), int(r["total_e3"])) for r in totals_rows)
+    if len(pts) < 2 or pts[-1][1] <= pts[0][1]:
+        return {"avg_dist_e6": -1, "eff_diam_e6": -1}
+    n0, nT = pts[0][1], pts[-1][1]
+    num = sum(t * (n - prev_n)
+              for (_, prev_n), (t, n) in zip(pts, pts[1:]))
+    avg = math.floor(num / (nT - n0) * 1_000_000 + 0.5)
+    if 10 * n0 >= 9 * nT:
+        eff = 0  # threshold already met at t=0 (near-flat curve)
+    else:
+        eff = -1
+        for (tp, prev_n), (t, n) in zip(pts, pts[1:]):
+            if 10 * n >= 9 * nT:
+                if n == prev_n:
+                    eff = t * 1_000_000
+                else:
+                    eff = math.floor(
+                        (tp + (9 * nT - 10 * prev_n)
+                         / (10 * (n - prev_n))) * 1_000_000 + 0.5
+                    )
+                break
+    return {"avg_dist_e6": avg, "eff_diam_e6": eff}

@@ -2715,7 +2715,9 @@ ANF_K = 8
 _POW60 = "CAST(1152921504606846976 AS DOUBLE)"  # 2^60, exact in ieee754
 
 
-def _anf_oracle(edges_sql: str, max_t: int, k: int) -> str:
+def _anf_curve_parts(edges_sql: str, max_t: int, k: int) -> list[str]:
+    """Shared CTE chain ending in per-t sums s1..s{max_t} (last part
+    keeps its trailing comma for further chaining)."""
     parts = [
         f"WITH e0 AS ({edges_sql}),",
         "links AS (SELECT DISTINCT src, dst FROM e0),",
@@ -2743,13 +2745,50 @@ def _anf_oracle(edges_sql: str, max_t: int, k: int) -> str:
             f"s{t} AS (SELECT {t} AS t, SUM(CAST(floor(est * 1000.0 + 0.5)"
             f" AS BIGINT)) AS total_e3 FROM e{t}),",
         ]
-    parts[-1] = parts[-1].rstrip(",")
-    sel = " UNION ALL ".join(
+    return parts
+
+
+def _anf_curve_union(max_t: int) -> str:
+    return " UNION ALL ".join(
         ["SELECT 0 AS t, (SELECT count(*) FROM verts) * 1000 AS total_e3"]
         + [f"SELECT t, total_e3 FROM s{t}" for t in range(1, max_t + 1)]
     )
-    parts.append(sel)
+
+
+def _anf_oracle(edges_sql: str, max_t: int, k: int) -> str:
+    parts = _anf_curve_parts(edges_sql, max_t, k)
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(_anf_curve_union(max_t))
     parts.append("ORDER BY t")
+    return "\n".join(parts)
+
+
+def _anf_stats_oracle(edges_sql: str, max_t: int, k: int) -> str:
+    parts = _anf_curve_parts(edges_sql, max_t, k)
+    parts += [
+        f"curve AS (SELECT t, CAST(total_e3 AS BIGINT) AS n"
+        f" FROM ({_anf_curve_union(max_t)})),",
+        "lagged AS (SELECT t, n, lag(n) OVER (ORDER BY t) AS pn"
+        " FROM curve),",
+        f"agg AS (SELECT CAST(SUM(t * (n - pn)) AS BIGINT) AS num,"
+        f" max(CASE WHEN t = {max_t} THEN n END) AS nt,"
+        f" max(CASE WHEN t = 0 THEN n END) AS n0"
+        f" FROM lagged),",
+        "sel AS (SELECT t, n, pn FROM lagged"
+        " WHERE 10 * n >= 9 * (SELECT nt FROM agg) AND pn IS NOT NULL"
+        " ORDER BY t LIMIT 1)",
+        "SELECT"
+        " CAST(floor(CAST(a.num AS DOUBLE) / CAST(a.nt - a.n0 AS DOUBLE)"
+        "   * 1000000.0 + 0.5) AS BIGINT) AS avg_dist_e6,"
+        " CASE WHEN 10 * a.n0 >= 9 * a.nt THEN 0"
+        " WHEN s.t IS NULL THEN -1"
+        " WHEN s.n = s.pn THEN s.t * 1000000"
+        " ELSE CAST(floor(((s.t - 1) +"
+        "   CAST(9 * a.nt - 10 * s.pn AS DOUBLE)"
+        "   / CAST(10 * (s.n - s.pn) AS DOUBLE)) * 1000000.0 + 0.5)"
+        "   AS BIGINT) END AS eff_diam_e6"
+        " FROM agg a LEFT JOIN sel s ON TRUE",
+    ]
     return "\n".join(parts)
 
 
@@ -2770,6 +2809,28 @@ def q_anf_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["anf_neighborhood"] = _anf_oracle(MOD_EDGES_SQL, ANF_T, ANF_K)
+
+
+@register("anf_distance_stats", None)  # oracle attached below
+def q_anf_distance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average distance + interpolated 0.9-effective-diameter from the
+    same N(t) curve as ``anf_neighborhood`` (operators/anf.
+    distance_stats): integer thresholds (alpha = 9/10 exactly) and one
+    IEEE division each, so the stats match the SQL twin bit-for-bit."""
+    from .operators.anf import distance_stats, neighborhood_function
+
+    totals, _ = neighborhood_function(
+        spark, mod_edges(spark, sf_dir), max_t=ANF_T, k=ANF_K, shards=4,
+        resume=False, num_partitions=_small_graph_parts(spark),
+    )
+    st = distance_stats(totals.collect())
+    return spark.createDataFrame(
+        [(st["avg_dist_e6"], st["eff_diam_e6"])],
+        "avg_dist_e6 long, eff_diam_e6 long",
+    )
+
+
+ORACLES["anf_distance_stats"] = _anf_stats_oracle(MOD_EDGES_SQL, ANF_T, ANF_K)
 
 
 SCC_ORACLE_SQL = f"""

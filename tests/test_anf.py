@@ -99,3 +99,21 @@ def test_resumed_run_reports_only_executed_rounds(spark, tmp_path):
     s1 = {(r["id"], tuple(r["sk"])) for r in r1.state.collect()}
     s2 = {(r["id"], tuple(r["sk"])) for r in r2.state.collect()}
     assert s1 == s2
+
+
+def test_distance_stats_known_curve():
+    from l_space_spark.operators.anf import distance_stats
+
+    # path-graph curve from test_path_graph_exact_small_balls:
+    # N = [7000, 13000, 18000, 22000]; avg over non-self pairs =
+    # (1*6000 + 2*5000 + 3*4000)/15000 = 28/15
+    rows = [{"t": t, "total_e3": n}
+            for t, n in enumerate([7000, 13000, 18000, 22000])]
+    st = distance_stats(rows)
+    assert st["avg_dist_e6"] == round(28 / 15 * 1e6)
+    # 0.9 * 22000 = 19800 crossed between t=2 (18000) and t=3 (22000):
+    # 2 + (19800-18000)/4000 = 2.45
+    assert st["eff_diam_e6"] == 2_450_000
+    # degenerate: no growth
+    assert distance_stats([{"t": 0, "total_e3": 5000}]) == {
+        "avg_dist_e6": -1, "eff_diam_e6": -1}
