@@ -407,3 +407,85 @@ def test_small_frontier_move_broadcasts_and_skips_edge_shuffle(spark):
         assert t.df.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
+def test_anf_edge_cache_reused_without_exchange(spark):
+    """ANF's per-superstep inbox join is on dst; the edge cache is
+    dst-partitioned, so no exchange may sit directly above its scan
+    (the src-partitioned form re-shuffled |E| every superstep)."""
+    import re
+
+    from l_space_spark.functions.text import hash60
+    from l_space_spark.operators.sketch import bottom_k_hashes
+
+    e = (
+        spark.range(0, 2000).select(
+            F.pmod(F.xxhash64("id"), F.lit(300)).alias("src"),
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(300)).alias("dst"),
+        ).distinct().repartition(4, "dst").persist()
+    )
+    try:
+        e.count()
+        state = (
+            e.select(F.col("src").alias("id")).distinct()
+            .select("id",
+                    F.array(hash60(F.col("id").cast("string"))).alias("sk"))
+            .localCheckpoint(eager=True)
+        )
+        ej = e.select(F.col("src").alias("e_src"),
+                      F.col("dst").alias("e_dst"))
+        inbox = (
+            state.hint("shuffle_hash")
+            .join(ej, state["id"] == ej["e_dst"])
+            .select(F.col("e_src").alias("g"), F.explode("sk").alias("h"))
+            .groupBy("g", "h").agg(F.lit(1).alias("__one"))
+        )
+        plan = _plan(bottom_k_hashes(inbox, 8, 4))
+        assert "InMemoryTableScan" in plan
+        assert not re.search(
+            r"Exchange[^\n]*\n[\s:+|-]*InMemoryTableScan", plan
+        ), plan
+    finally:
+        e.unpersist()
+
+
+def test_walks_edge_cache_reused_without_exchange(spark):
+    """random_walks' per-step frontier join is on src over the
+    src-partitioned cache: only the frontier side may exchange."""
+    import re
+
+    from l_space_spark.functions.text import hash60
+
+    e = (
+        spark.range(0, 2000).select(
+            F.pmod(F.xxhash64("id"), F.lit(300)).alias("src"),
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(300)).alias("dst"),
+        ).distinct().repartition(4, "src").persist()
+    )
+    try:
+        e.count()
+        frontier = (
+            e.select(F.col("src").alias("walk_id"),
+                     F.col("src").alias("cur"))
+            .distinct().localCheckpoint(eager=True)
+        )
+        cand = frontier.hint("shuffle_hash").join(
+            e, frontier["cur"] == e["src"]
+        ).select(
+            "walk_id", "dst",
+            hash60(F.concat_ws(":", F.lit("walk"),
+                               F.col("walk_id").cast("string"), F.lit("1"),
+                               F.col("dst").cast("string"))).alias("h"),
+        )
+        step = (
+            cand.groupBy("walk_id")
+            .agg(F.min(F.struct("h", "dst")).alias("m"))
+            .select("walk_id", F.col("m.dst").alias("cur"))
+        )
+        plan = _plan(step)
+        assert "InMemoryTableScan" in plan
+        assert not re.search(
+            r"Exchange[^\n]*\n[\s:+|-]*InMemoryTableScan", plan
+        ), plan
+    finally:
+        e.unpersist()
