@@ -2603,6 +2603,57 @@ ORACLES["betweenness_sampled"] = _betweenness_oracle(
 )
 
 
+CORENESS_ROUNDS = 8
+
+
+def _coreness_oracle(edges_sql: str, rounds: int) -> str:
+    parts = [
+        f"WITH e0 AS ({edges_sql}),",
+        "links AS (SELECT DISTINCT src, dst FROM ("
+        " SELECT src, dst FROM e0 WHERE src <> dst"
+        " UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)),",
+        "verts AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),",
+        "deg AS (SELECT src AS id, count(*) AS c FROM links GROUP BY src),",
+        "s0 AS (SELECT v.id, CAST(coalesce(d.c, 0) AS BIGINT) AS c"
+        " FROM verts v LEFT JOIN deg d ON d.id = v.id),",
+    ]
+    for r in range(1, rounds + 1):
+        parts += [
+            f"m{r} AS (SELECT l.dst AS v, s.c AS cv FROM links l"
+            f" JOIN s{r - 1} s ON s.id = l.src),",
+            f"h{r} AS (SELECT v, max(least(cv, rn)) AS h FROM ("
+            f" SELECT v, cv, row_number() OVER"
+            f" (PARTITION BY v ORDER BY cv DESC) AS rn FROM m{r})"
+            f" GROUP BY v),",
+            f"s{r} AS MATERIALIZED (SELECT s.id,"
+            f" least(s.c, coalesce(h.h, 0)) AS c FROM s{r - 1} s"
+            f" LEFT JOIN h{r} h ON h.v = s.id),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT id, c FROM s{rounds} ORDER BY id")
+    return "\n".join(parts)
+
+
+@register("coreness", None)  # oracle attached below
+def q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core-number decomposition of the hashed random graph
+    (operators/coreness.py — h-index dynamics, Lü et al. 2016): fixed
+    {CORENESS_ROUNDS}-round synchronous replay so the unrolled h-index
+    oracle matches exactly (rounds past convergence are no-ops)."""
+    from .operators.coreness import coreness
+
+    res = coreness(
+        spark, mod_edges(spark, sf_dir), max_rounds=CORENESS_ROUNDS,
+        fixed_iters=True, resume=False,
+        num_partitions=_small_graph_parts(spark),
+    )
+    return res.state.select("id", F.col("c").cast("long").alias("c")
+                            ).orderBy("id")
+
+
+ORACLES["coreness"] = _coreness_oracle(MOD_EDGES_SQL, CORENESS_ROUNDS)
+
+
 KTRUSS_K = 4
 KTRUSS_ROUNDS = 6
 
