@@ -21,7 +21,8 @@ Four spec kinds:
 
     algorithms: pagerank · connected_components · connected_components_star ·
     scc · label_propagation · triangle_count · triangles_per_vertex ·
-    clustering_coefficient · hits · kcore · ktruss (params: k) · mis ·
+    clustering_coefficient · hits · kcore · ktruss (params: k) ·
+    coreness · mis ·
     coloring · sssp (params: source, weight_col) · harmonic_centrality
     (params: n_sources, max_iters) · betweenness (params: n_sources,
     max_depth) · anf (params: max_t, k) · random_walks (params:
@@ -122,6 +123,7 @@ def _edges_from_input(spark: SparkSession, inp: dict,
 
 def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
     from .operators.coloring import greedy_coloring
+    from .operators.coreness import coreness
     from .operators.components import (
         connected_components, connected_components_star,
     )
@@ -153,6 +155,7 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
         "hits": hits,
         "kcore": kcore,
         "ktruss": ktruss,
+        "coreness": coreness,
         "sssp": sssp,
         "scc": strongly_connected_components,
         "mis": maximal_independent_set,

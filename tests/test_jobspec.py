@@ -367,3 +367,12 @@ def test_new_algorithm_specs_round3(spark, tmp_path):
         spark, {"kind": "algorithm", "algorithm": "anf",
                 "params": {"max_t": 2, "k": 8}, "input": inp}).collect()}
     assert anf[0] == 7000 and anf[2] >= anf[1] >= anf[0]
+
+
+def test_coreness_spec(spark, tmp_path):
+    path = str(tmp_path / "edges_cn")
+    edges_df(spark, [(0, 1), (1, 2), (2, 0), (2, 3)]).write.parquet(path)
+    got = {r["id"]: r["c"] for r in run_job(
+        spark, {"kind": "algorithm", "algorithm": "coreness",
+                "input": {"edges_parquet": path}}).collect()}
+    assert got == {0: 2, 1: 2, 2: 2, 3: 1}
