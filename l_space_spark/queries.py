@@ -1110,6 +1110,85 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_MIN_TOKENS = 50
+FUNNEL_CAP = 8
+
+
+@register(
+    "curation_funnel",
+    f"""
+WITH raw AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, source, text FROM documents WHERE doc_id % 5 = 0
+),
+dd AS (
+  SELECT doc_id, source, text FROM (
+    SELECT doc_id, source, text,
+           row_number() OVER (PARTITION BY sha256(text)
+                              ORDER BY doc_id) AS rn
+    FROM raw) WHERE rn = 1
+),
+q AS (SELECT doc_id, source FROM dd
+      WHERE len({_TOKENS_SQL}) >= {FUNNEL_MIN_TOKENS}),
+capped AS (
+  SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source
+             ORDER BY {_hash60_sql("'cap:' || doc_id")}, doc_id) AS rn
+    FROM q) WHERE rn <= {FUNNEL_CAP}
+),
+staged AS (
+  SELECT source, 0 AS st FROM raw
+  UNION ALL SELECT source, 1 FROM dd
+  UNION ALL SELECT source, 2 FROM q
+  UNION ALL SELECT source, 3 FROM capped
+)
+SELECT source,
+  CAST(sum(CASE WHEN st = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_raw,
+  CAST(sum(CASE WHEN st = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+  CAST(sum(CASE WHEN st = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+  CAST(sum(CASE WHEN st = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_capped
+FROM staged GROUP BY source ORDER BY source
+""".strip(),
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation funnel, COMPOSED from the pipeline
+    operators (the point: they chain): deterministically duplicate-
+    injected corpus → exact dedup (dedup.keep_first_exact) → token-count
+    quality gate (functions.text.tokens) → per-source quota
+    (sampling.group_capped_sample), reported as per-source counts at
+    every stage — the monitoring table a production curation run ships
+    to its dashboard."""
+    from .functions.text import tokens
+    from .operators.dedup import keep_first_exact
+    from .operators.sampling import group_capped_sample
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    dup = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "source", "text"
+    )
+    raw = d.unionByName(dup)
+    dd = keep_first_exact(raw, "doc_id")
+    q = dd.where(F.size(tokens(F.col("text"))) >= FUNNEL_MIN_TOKENS)
+    capped = group_capped_sample(
+        q, ["source"], "doc_id", FUNNEL_CAP, seed="cap", shards=8
+    )
+    staged = (
+        raw.select("source", F.lit(0).alias("st"))
+        .unionByName(dd.select("source", F.lit(1).alias("st")))
+        .unionByName(q.select("source", F.lit(2).alias("st")))
+        .unionByName(capped.select("source", F.lit(3).alias("st")))
+    )
+    aggs = [
+        F.sum(F.when(F.col("st") == i, 1).otherwise(0)).cast("long")
+        .alias(name)
+        for i, name in enumerate(["n_raw", "n_dedup", "n_quality",
+                                  "n_capped"])
+    ]
+    return staged.groupBy("source").agg(*aggs).orderBy("source")
+
+
 SAMPLE_CAP = 7
 
 
