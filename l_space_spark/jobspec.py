@@ -162,7 +162,8 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
         "coloring": greedy_coloring,
     }
     if ckpt and (algo in supersteps
-                 or algo in ("harmonic_centrality", "pagerank_incremental")):
+                 or algo in ("harmonic_centrality", "pagerank_incremental",
+                             "anf")):
         # pin the input snapshot into the checkpoint config hash: a
         # resume against a silently changed input (new snapshot /
         # replaced files) is refused instead of mixing states
@@ -238,10 +239,20 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
     if algo == "triangles_per_vertex":
         return triangles_per_vertex(spark, edges)
     if algo == "clustering_coefficient":
-        return clustering_coefficient(spark, edges)
+        out = clustering_coefficient(spark, edges)
+        if spec.get("top_k"):
+            out = out.orderBy(F.desc("lcc_e6"), "id").limit(
+                int(spec["top_k"])
+            )
+        return out
     if algo == "random_walks":
         from .operators.walks import random_walks
 
+        if spec.get("top_k"):
+            raise ValueError(
+                "top_k is not meaningful for 'random_walks' (walks are "
+                "not ranked); use starts/n_walks to bound the output"
+            )
         return random_walks(spark, edges, **params)
     if algo == "neighbor_jaccard":
         from .operators.linkpred import neighbor_jaccard
@@ -264,9 +275,25 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
     if algo == "anf":
         from .operators.anf import neighborhood_function
 
-        totals, _ = neighborhood_function(
+        if spec.get("top_k"):
+            raise ValueError(
+                "top_k is not meaningful for 'anf' (the result is the "
+                "whole N(t) curve)"
+            )
+        totals, result = neighborhood_function(
             spark, edges, checkpoint_dir=ckpt, resume=resume, **params
         )
+        if result.resumed_from is not None:
+            # totals are captured per executed round and cannot be
+            # reconstructed from a checkpointed sketch state: a resumed
+            # run would emit a PARTIAL curve and run_job's overwrite
+            # sink would destroy the prior full one — fail loud instead
+            raise ValueError(
+                "anf resumed from a checkpoint, so the totals curve "
+                "would be partial (rounds <= "
+                f"{result.resumed_from + 1} missing); rerun with "
+                '"resume": false for a full curve'
+            )
         return totals
     if algo == "harmonic_centrality":
         from .operators.centrality import harmonic_centrality_sampled

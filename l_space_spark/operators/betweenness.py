@@ -62,13 +62,20 @@ def betweenness_sampled(
     verts = edges.select(F.col("src").alias("id")).unionByName(
         edges.select(F.col("dst").alias("id"))
     ).distinct().localCheckpoint(eager=True)
+    # sample from the SELF-LOOP-FREE universe: a self-loop-only vertex
+    # has an empty BFS and would silently occupy a sample slot,
+    # shrinking the effective source count (the harmonic-centrality
+    # pitfall, centrality.py) — the bc output still covers all of verts
+    sample_verts = e.select(F.col("src").alias("id")).unionByName(
+        e.select(F.col("dst").alias("id"))
+    ).distinct()
 
     w = Window.orderBy(
         hash60(F.concat_ws(":", F.lit(seed), F.col("id").cast("string"))),
         "id",
     )
     sources = (
-        verts.withColumn("__rn", F.row_number().over(w))
+        sample_verts.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= n_sources)
         .select(F.col("id").alias("s"))
     )

@@ -1169,8 +1169,16 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"), "source", "text"
     )
     raw = d.unionByName(dup)
-    dd = keep_first_exact(raw, "doc_id")
-    q = dd.where(F.size(tokens(F.col("text"))) >= FUNNEL_MIN_TOKENS)
+    # materialize the two expensive stages once: without this, the
+    # 4-way staged union re-runs the sha2 dedup for three branches and
+    # the regexp tokenizer for two (and text never needs to travel past
+    # the quality gate — q drops it)
+    dd = keep_first_exact(raw, "doc_id").localCheckpoint(eager=True)
+    q = (
+        dd.where(F.size(tokens(F.col("text"))) >= FUNNEL_MIN_TOKENS)
+        .select("doc_id", "source")
+        .localCheckpoint(eager=True)
+    )
     capped = group_capped_sample(
         q, ["source"], "doc_id", FUNNEL_CAP, seed="cap", shards=8
     )
@@ -2616,8 +2624,10 @@ def _betweenness_oracle(edges_sql: str, n_src: int, depth: int,
         f"WITH e0 AS ({edges_sql}),",
         "links AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),",
         "verts AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),",
+        "sverts AS (SELECT src AS id FROM links"
+        " UNION SELECT dst FROM links),",
         f"srcs AS (SELECT id FROM (SELECT id, row_number() OVER"
-        f" (ORDER BY {h}, id) AS rn FROM verts) WHERE rn <= {n_src}),",
+        f" (ORDER BY {h}, id) AS rn FROM sverts) WHERE rn <= {n_src}),",
         "f0 AS (SELECT id AS s, id AS v, 1::BIGINT AS sigma FROM srcs),",
         "vis0 AS (SELECT s, v FROM f0),",
     ]
@@ -2908,9 +2918,12 @@ def _anf_stats_oracle(edges_sql: str, max_t: int, k: int) -> str:
         " WHERE 10 * n >= 9 * (SELECT nt FROM agg) AND pn IS NOT NULL"
         " ORDER BY t LIMIT 1)",
         "SELECT"
-        " CAST(floor(CAST(a.num AS DOUBLE) / CAST(a.nt - a.n0 AS DOUBLE)"
-        "   * 1000000.0 + 0.5) AS BIGINT) AS avg_dist_e6,"
-        " CASE WHEN 10 * a.n0 >= 9 * a.nt THEN 0"
+        " CASE WHEN a.nt - a.n0 <= 0 THEN -1"  # degenerate: no growth
+        " ELSE CAST(floor(CAST(a.num AS DOUBLE)"
+        "   / CAST(a.nt - a.n0 AS DOUBLE)"
+        "   * 1000000.0 + 0.5) AS BIGINT) END AS avg_dist_e6,"
+        " CASE WHEN a.nt - a.n0 <= 0 THEN -1"
+        " WHEN 10 * a.n0 >= 9 * a.nt THEN 0"
         " WHEN s.t IS NULL THEN -1"
         " WHEN s.n = s.pn THEN s.t * 1000000"
         " ELSE CAST(floor(((s.t - 1) +"
