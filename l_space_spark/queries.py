@@ -379,6 +379,62 @@ def q_neighbor_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bipartite_project_suppliers",
+    f"""
+WITH e0 AS ({CUSTOMER_SUPPLIER_EDGES_SQL}),
+e AS (SELECT DISTINCT src, dst FROM e0)
+SELECT a.dst AS u, b.dst AS w, CAST(count(*) AS BIGINT) AS weight
+FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+GROUP BY 1, 2 ORDER BY u, w
+""".strip(),
+)
+def q_bipartite_project_suppliers(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """One-mode projection of the customer→supplier bipartite graph
+    (operators/graphstats.bipartite_project): suppliers linked when they
+    share a customer, weight = shared-customer count — the co-purchase
+    graph, generated by a hub wedge equi-join (max_hub_degree is the
+    documented celebrity trim; uncapped on this fixture)."""
+    from .operators.graphstats import bipartite_project
+
+    return bipartite_project(
+        customer_supplier_edges(spark, sf_dir)
+    ).orderBy("u", "w")
+
+
+@register(
+    "degree_assortativity",
+    f"""
+WITH e0 AS ({MOD_EDGES_SQL}),
+und AS (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM e0 WHERE src <> dst
+  UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)),
+deg AS (SELECT src, count(*) AS d FROM und GROUP BY src),
+p AS (SELECT dx.d AS x, dy.d AS y FROM und u
+      JOIN deg dx ON dx.src = u.src JOIN deg dy ON dy.src = u.dst),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy FROM p)
+SELECT CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+  THEN CAST(floor((n * sxy - sx * sy)
+       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+       * 1000000.0 + 0.5) AS BIGINT) END AS r_e6
+FROM s
+""".strip(),
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the hashed random graph
+    (operators/graphstats.degree_assortativity): exact integer
+    sufficient statistics, one correctly-rounded IEEE sqrt, e6 fixed
+    point — the libm exception that keeps the exactness contract."""
+    from .operators.graphstats import degree_assortativity
+
+    return degree_assortativity(mod_edges(spark, sf_dir))
+
+
+@register(
     "degree_distribution",
     f"""
 WITH e0 AS ({CUSTOMER_SUPPLIER_EDGES_SQL}),

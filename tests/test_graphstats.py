@@ -1,0 +1,65 @@
+"""Bipartite projection + degree assortativity vs python twins."""
+
+import math
+import random
+from collections import defaultdict
+
+from l_space_spark.operators.graphstats import (
+    bipartite_project,
+    degree_assortativity,
+)
+
+from conftest import edges_df
+
+
+def test_projection_weights_and_hub_cap(spark):
+    # customers 100..102; supplier pairs share customers
+    pairs = [(100, 1), (100, 2), (100, 3), (101, 1), (101, 2), (102, 9)]
+    got = {(r["u"], r["w"]): r["weight"] for r in
+           bipartite_project(edges_df(spark, pairs)).collect()}
+    assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+    capped = {(r["u"], r["w"]): r["weight"] for r in
+              bipartite_project(edges_df(spark, pairs),
+                                max_hub_degree=2).collect()}
+    assert capped == {(1, 2): 1}  # only hub 101 (degree 2) survives
+
+
+def assort_twin(pairs):
+    adj = defaultdict(set)
+    for s, d in pairs:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    xs, ys = [], []
+    for a in adj:
+        for b in adj[a]:
+            xs.append(len(adj[a]))
+            ys.append(len(adj[b]))
+    n = float(len(xs))
+    sx, sy = float(sum(xs)), float(sum(ys))
+    sxy = float(sum(x * y for x, y in zip(xs, ys)))
+    sxx, syy = float(sum(x * x for x in xs)), float(sum(y * y for y in ys))
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    if vx <= 0 or vy <= 0:
+        return None
+    return math.floor(
+        (n * sxy - sx * sy) / math.sqrt(vx * vy) * 1e6 + 0.5)
+
+
+def test_assortativity_star_is_negative(spark):
+    pairs = [(0, i) for i in range(1, 6)]
+    r = degree_assortativity(edges_df(spark, pairs)).collect()[0]["r_e6"]
+    assert r == assort_twin(pairs) == -1_000_000  # perfectly disassortative
+
+
+def test_assortativity_regular_graph_degenerate(spark):
+    pairs = [(i, (i + 1) % 6) for i in range(6)]  # 2-regular cycle
+    r = degree_assortativity(edges_df(spark, pairs)).collect()[0]["r_e6"]
+    assert r is None
+
+
+def test_assortativity_random_matches_twin(spark):
+    rng = random.Random(13)
+    pairs = [(rng.randrange(20), rng.randrange(20)) for _ in range(45)]
+    r = degree_assortativity(edges_df(spark, pairs)).collect()[0]["r_e6"]
+    assert r == assort_twin(pairs)
