@@ -2748,6 +2748,72 @@ ORACLES["betweenness_sampled"] = _betweenness_oracle(
 )
 
 
+TRUSSNESS_ROUNDS = 6
+
+
+def _trussness_oracle(edges_sql: str, rounds: int) -> str:
+    parts = [
+        f"WITH e0 AS ({edges_sql}),",
+        "c0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,"
+        " greatest(src, dst) AS b FROM e0 WHERE src <> dst),",
+        "tri AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z"
+        " FROM c0 e1 JOIN c0 e2 ON e2.a = e1.a AND e2.b > e1.b"
+        " JOIN c0 e3 ON e3.a = e1.b AND e3.b = e2.b),",
+        "sup AS (SELECT a, b, count(*) AS n FROM ("
+        " SELECT x AS a, y AS b FROM tri"
+        " UNION ALL SELECT x, z FROM tri"
+        " UNION ALL SELECT y, z FROM tri) GROUP BY a, b),",
+        "v0 AS (SELECT c.a, c.b, CAST(coalesce(s.n, 0) AS BIGINT) AS t"
+        " FROM c0 c LEFT JOIN sup s ON s.a = c.a AND s.b = c.b),",
+    ]
+    for r in range(1, rounds + 1):
+        parts += [
+            f"j{r} AS (SELECT t.x, t.y, t.z, vxy.t AS vxy, vxz.t AS vxz,"
+            f" vyz.t AS vyz FROM tri t"
+            f" JOIN v{r - 1} vxy ON vxy.a = t.x AND vxy.b = t.y"
+            f" JOIN v{r - 1} vxz ON vxz.a = t.x AND vxz.b = t.z"
+            f" JOIN v{r - 1} vyz ON vyz.a = t.y AND vyz.b = t.z),",
+            f"m{r} AS (SELECT x AS a, y AS b, least(vxz, vyz) AS mv"
+            f" FROM j{r}"
+            f" UNION ALL SELECT x, z, least(vxy, vyz) FROM j{r}"
+            f" UNION ALL SELECT y, z, least(vxy, vxz) FROM j{r}),",
+            f"h{r} AS (SELECT a, b, max(least(mv, rn)) AS h FROM ("
+            f" SELECT a, b, mv, row_number() OVER"
+            f" (PARTITION BY a, b ORDER BY mv DESC) AS rn FROM m{r})"
+            f" GROUP BY a, b),",
+            f"v{r} AS MATERIALIZED (SELECT v.a, v.b,"
+            f" least(v.t, coalesce(h.h, 0)) AS t FROM v{r - 1} v"
+            f" LEFT JOIN h{r} h ON h.a = v.a AND h.b = v.b),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT a, b, t + 2 AS trussness FROM v{rounds} ORDER BY a, b"
+    )
+    return "\n".join(parts)
+
+
+@register("trussness", None)  # oracle attached below
+def q_trussness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truss-number decomposition of the hashed random graph
+    (operators/trussness.py — local h-index dynamics over the static
+    triangle list): fixed {TRUSSNESS_ROUNDS}-round replay so the
+    unrolled oracle matches exactly (rounds past convergence are
+    no-ops). The edge analog of ``coreness``."""
+    from .operators.trussness import trussness
+
+    res = trussness(
+        spark, mod_edges(spark, sf_dir), max_rounds=TRUSSNESS_ROUNDS,
+        fixed_iters=True, resume=False,
+        num_partitions=_small_graph_parts(spark),
+    )
+    return res.state.select(
+        "a", "b", (F.col("t") + 2).cast("long").alias("trussness")
+    ).orderBy("a", "b")
+
+
+ORACLES["trussness"] = _trussness_oracle(MOD_EDGES_SQL, TRUSSNESS_ROUNDS)
+
+
 CORENESS_ROUNDS = 8
 
 
