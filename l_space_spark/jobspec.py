@@ -22,7 +22,7 @@ Four spec kinds:
     algorithms: pagerank · connected_components · connected_components_star ·
     scc · label_propagation · triangle_count · triangles_per_vertex ·
     clustering_coefficient · hits · kcore · ktruss (params: k) ·
-    coreness · mis ·
+    coreness · trussness · mis ·
     coloring · sssp (params: source, weight_col) · harmonic_centrality
     (params: n_sources, max_iters) · betweenness (params: n_sources,
     max_depth) · anf (params: max_t, k) · random_walks (params:
@@ -124,6 +124,7 @@ def _edges_from_input(spark: SparkSession, inp: dict,
 def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
     from .operators.coloring import greedy_coloring
     from .operators.coreness import coreness
+    from .operators.trussness import trussness
     from .operators.components import (
         connected_components, connected_components_star,
     )
@@ -156,6 +157,7 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
         "kcore": kcore,
         "ktruss": ktruss,
         "coreness": coreness,
+        "trussness": trussness,
         "sssp": sssp,
         "scc": strongly_connected_components,
         "mis": maximal_independent_set,

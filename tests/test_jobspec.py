@@ -376,3 +376,15 @@ def test_coreness_spec(spark, tmp_path):
         spark, {"kind": "algorithm", "algorithm": "coreness",
                 "input": {"edges_parquet": path}}).collect()}
     assert got == {0: 2, 1: 2, 2: 2, 3: 1}
+
+
+def test_trussness_spec(spark, tmp_path):
+    from itertools import combinations
+
+    path = str(tmp_path / "edges_tn")
+    k4 = list(combinations(range(4), 2))
+    edges_df(spark, k4 + [(3, 9)]).write.parquet(path)
+    got = {(r["a"], r["b"]): r["t"] for r in run_job(
+        spark, {"kind": "algorithm", "algorithm": "trussness",
+                "input": {"edges_parquet": path}}).collect()}
+    assert got == {**{tuple(e): 2 for e in k4}, (3, 9): 0}
