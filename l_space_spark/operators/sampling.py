@@ -20,12 +20,12 @@ shard's bottom-cap, so the result equals the single-window form
 
 ``key_col`` must identify rows uniquely (e.g. a doc id): the rank
 orders by ``(h, key)``, so uniqueness makes the kept set well-defined —
-the contract that gives the exact SQL oracle. Weighted sampling
-(Efraimidis–Spirakis ``u^(1/w)`` keys) drops into the same rank but is
-deliberately NOT shipped: ``pow``/``ln`` are libm calls whose last-ulp
-behavior differs across engines, which would break the exactness
-contract; use integer weight replication or accept a hash-band
-approximation if weights are needed.
+the contract that gives the exact SQL oracle. For WEIGHTED sampling see
+``weighted_sample_per_group`` below: Efraimidis–Spirakis ``u^(1/w)``
+keys are deliberately avoided (``pow``/``ln`` are libm calls whose
+last-ulp behavior differs across engines, breaking exactness); the
+integer replica race gives the same without-replacement distribution
+with hash-only arithmetic.
 
 Reference analog: ``Coin`` (``step/Coin.scala``) is the reference's only
 sampler — Bernoulli and nondeterministic (``Math.random()``); the
@@ -39,6 +39,65 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import hash60
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    weight_col: str,
+    n: int,
+    seed: str = "wcap",
+    shards: int = 16,
+) -> DataFrame:
+    """EXACT weighted sampling without replacement, ``n`` rows per
+    group, for positive INTEGER weights — deterministic and
+    SQL-reproducible.
+
+    Scheme: replicate each row's key ``w`` times, draw one uniform hash
+    per replica, and rank rows by their MINIMUM draw. All Σw replica
+    draws are i.i.d., so their ranking is a uniform permutation of the
+    replicas, and the order in which distinct rows first appear follows
+    the sequential weighted-without-replacement distribution exactly —
+    P(first = i) = wᵢ/Σw, P(second = j | first = i) = wⱼ/(Σw − wᵢ), and
+    so on (the classic replica-race equivalence). This is the
+    integer-weight alternative to Efraimidis–Espirakis ``u^(1/w)`` keys,
+    whose ``pow`` would break the cross-engine exactness contract
+    (module doc).
+
+    Cost and contract: rows explode ×w — weights must be SMALL integers
+    (scale/quantize first, e.g. ``1 + bytes div 1000``); the min-draw
+    per row is a map-side-combinable ``min`` and the final per-group
+    top-n reuses the two-level sharded rank. Rows with ``w <= 0`` are
+    excluded (never sampled), matching the probability they deserve.
+    """
+    w = F.col(weight_col).cast("long")
+    draws = (
+        df.where(w > 0)
+        .withColumn("__r", F.explode(F.sequence(F.lit(1), w)))
+        .withColumn(
+            "__d",
+            hash60(
+                F.concat_ws(
+                    ":", F.lit(seed), F.col(key_col).cast("string"),
+                    F.col("__r").cast("string"),
+                )
+            ),
+        )
+        .groupBy(*group_cols, key_col)
+        .agg(F.min("__d").alias("__h"))
+    )
+    w1 = Window.partitionBy(*group_cols, "__s").orderBy("__h", key_col)
+    w2 = Window.partitionBy(*group_cols).orderBy("__h", key_col)
+    picked = (
+        draws.withColumn("__s", F.pmod(F.col("__h"), F.lit(shards)))
+        .withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= n)
+        .withColumn("__r2", F.row_number().over(w2))
+        .where(F.col("__r2") <= n)
+        .select(*group_cols, key_col)
+    )
+    return df.join(picked, [*group_cols, key_col], "semi")
 
 
 def group_capped_sample(

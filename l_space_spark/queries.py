@@ -1253,6 +1253,51 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.groupBy("source").agg(*aggs).orderBy("source")
 
 
+WSAMPLE_N = 3
+
+
+@register(
+    "weighted_sample_per_source",
+    f"""
+WITH wts AS (
+  SELECT doc_id, source, 1 + n_chars // 1000 AS w FROM documents
+),
+draws AS (
+  SELECT source, doc_id,
+         min({_hash60_sql("'wcap:' || doc_id || ':' || r")}) AS h
+  FROM (SELECT source, doc_id, unnest(range(1, w + 1)) AS r
+        FROM wts WHERE w > 0)
+  GROUP BY source, doc_id
+)
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+  FROM draws) WHERE rn <= {WSAMPLE_N}
+ORDER BY source, doc_id
+""".strip(),
+)
+def q_weighted_sample_per_source(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Exact length-weighted sampling without replacement
+    (operators/sampling.weighted_sample_per_group): {WSAMPLE_N} docs
+    per source, weight = 1 + n_chars div 1000 via the integer replica
+    race — P(pick) proportional to weight, sequential-draw exact, no
+    libm (the pow/ln exactness stance, module doc)."""
+    from .operators.sampling import weighted_sample_per_group
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        (F.lit(1) + F.expr("n_chars div 1000")).alias("w"),
+    )
+    return (
+        weighted_sample_per_group(
+            d, ["source"], "doc_id", "w", WSAMPLE_N, seed="wcap", shards=8
+        )
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )
+
+
 SAMPLE_CAP = 7
 
 

@@ -64,3 +64,52 @@ def test_seed_redraws(spark):
     b = {r["key"] for r in
          group_capped_sample(df, ["grp"], "key", 5, seed="b").collect()}
     assert a != b and len(a) == len(b) == 25
+
+
+def test_weighted_sample_matches_replica_twin(spark):
+    import hashlib
+
+    from l_space_spark.operators.sampling import weighted_sample_per_group
+
+    rows = [(g * 100 + i, f"g{g}", (g * 100 + i) % 7)
+            for g in range(3) for i in range(15)]
+    df = spark.createDataFrame(rows, "key long, grp string, w long")
+    got = {(r["grp"], r["key"]) for r in
+           weighted_sample_per_group(
+               df, ["grp"], "key", "w", n=4, shards=4).collect()}
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    want = set()
+    for g in range(3):
+        draws = []
+        for k, grp, w in rows:
+            if grp != f"g{g}" or w <= 0:
+                continue
+            d = min(h60(f"wcap:{k}:{r}") for r in range(1, w + 1))
+            draws.append((d, k))
+        for _, k in sorted(draws)[:4]:
+            want.add((f"g{g}", k))
+    assert got == want
+    # zero-weight rows never sampled
+    assert not any(k % 7 == 0 for _, k in got)
+
+
+def test_weighted_sample_is_weight_proportional(spark):
+    """Statistical sanity over many seeds: an item with weight 9 among
+    ten weight-1 items wins first place ~9/19 of the time."""
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    wins = 0
+    trials = 400
+    for t in range(trials):
+        best = min(
+            (min(h60(f"s{t}:{k}:{r}") for r in range(1, w + 1)), k)
+            for k, w in [(0, 9)] + [(i, 1) for i in range(1, 11)]
+        )
+        wins += best[1] == 0
+    assert abs(wins / trials - 9 / 19) < 0.08
