@@ -106,7 +106,14 @@ def repetition_stats(df, id_col: str, text_col: str):
     )
 
     def fp(num, den):
-        return F.floor(num * 10000.0 / den + 0.5).cast("long")
+        # round-half-up in PURE INTEGER arithmetic: floor(num*1e4/den + 1/2)
+        # = (num*20000 + den) div (2*den).  No float division anywhere, so
+        # the value is bit-identical across engines/versions (a float
+        # formulation can flip floor() at exact-.5 boundaries depending on
+        # the engine's division/rounding path).
+        a = (num.cast("long") * 20000 + den).cast("long")
+        b = den.cast("long") * 2
+        return ((a - F.pmod(a, b)) / b).cast("long")
 
     return (
         agg.join(big, "id")
