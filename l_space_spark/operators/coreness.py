@@ -14,14 +14,12 @@ classic sequential algorithm unusable on a cluster and this one a
 perfect superstep.
 
 Spark shape per round: one message pass (state ⋈ src-partitioned
-symmetric closure) then a per-vertex h-index — computed as
-``max(least(value, rank))`` over a descending rank window, the
-standard closed form (duplicate values rank arbitrarily but yield the
-same h, so the result is deterministic). The window sorts each inbox
-(≤ degree rows) spill-safely; a histogram-based two-level variant can
-bound hub inboxes if ever needed (values are capped by the current
-estimate, so counts suffice) — documented, not shipped. Fixed-round
-mode replays for the unrolled SQL oracle, the kcore/ktruss discipline.
+symmetric closure) then a per-vertex h-index via the histogram/count
+kernel (``hindex.h_index_by``): combiner-backed ``groupBy(v, value)``
+counts collapse a hub's inbox to its distinct values map-side, then a
+suffix-count over ≤ O(√E) distinct values — no per-inbox sort, hub-safe
+at 100×. Fixed-round mode replays for the unrolled SQL oracle, the
+kcore/ktruss discipline.
 
 Reference analog: none (as with the rest of the cohesion family);
 ``kcore_members``' fixed-k peeling remains for the membership question.
@@ -29,11 +27,12 @@ Reference analog: none (as with the rest of the cohesion family);
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.superstep import SuperstepResult, SuperstepRunner
 from .components import undirect
+from .hindex import h_index_by
 
 
 def coreness(
@@ -70,12 +69,7 @@ def coreness(
             .join(und, state["id"] == und["src"])
             .select(F.col("dst").alias("v"), F.col("c").alias("cv"))
         )
-        w = Window.partitionBy("v").orderBy(F.desc("cv"))
-        h = (
-            inbox.withColumn("rn", F.row_number().over(w))
-            .groupBy("v")
-            .agg(F.max(F.least("cv", F.col("rn").cast("long"))).alias("h"))
-        )
+        h = h_index_by(inbox, ["v"], "cv", out="h")
         return state.join(h, state["id"] == h["v"], "left").select(
             "id",
             F.least(

@@ -18,7 +18,8 @@ Scale shape: the TRIANGLE LIST IS STATIC — computed once by the
 degree-ordered oriented wedge join (O(√E) fan-out bound) and persisted;
 each round is three equi-joins of the |E|-row value table against it
 (one per corner edge), a 3-way explode into per-(edge, triangle)
-messages, and the same descending-rank-window h-index as coreness.
+messages, and the same histogram/count h-index kernel as coreness
+(``hindex.h_index_by`` — combiner-backed counts, no per-inbox sort).
 Only value tables move per round. Fixed-round mode replays for the
 unrolled SQL oracle (kcore/ktruss/coreness discipline).
 
@@ -28,10 +29,11 @@ full density hierarchy the fixed-k entries only sample.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.superstep import SuperstepResult, SuperstepRunner
+from .hindex import h_index_by
 from .ktruss import edge_support
 from .triangles import _canonical, _oriented, _triangles_of
 
@@ -93,12 +95,7 @@ def trussness(
                 F.col("yz_a").alias("a"), F.col("yz_b").alias("b"),
                 F.least("vxy", "vxz").alias("mv")))
         )
-        w = Window.partitionBy("a", "b").orderBy(F.desc("mv"))
-        h = (
-            msgs.withColumn("rn", F.row_number().over(w))
-            .groupBy("a", "b")
-            .agg(F.max(F.least("mv", F.col("rn").cast("long"))).alias("h"))
-        )
+        h = h_index_by(msgs, ["a", "b"], "mv", out="h")
         return v.join(h, ["a", "b"], "left").select(
             "a", "b",
             F.least(F.col("t"), F.coalesce("h", F.lit(0))).alias("t"),
