@@ -26,7 +26,8 @@ Four spec kinds:
     coloring · sssp (params: source, weight_col) · harmonic_centrality
     (params: n_sources, max_iters) · betweenness (params: n_sources,
     max_depth) · anf (params: max_t, k) · random_walks (params:
-    walk_length, n_walks) · neighbor_jaccard (params: max_hub_degree).
+    walk_length, n_walks) · neighbor_jaccard (params: max_hub_degree) ·
+    simrank (params: walk_length, n_walks, max_bucket).
     ``checkpoint_dir``+``resume`` make the run restartable (north rule); the
     result DataFrame is written to ``output`` (or shown when absent).
 
@@ -262,6 +263,15 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
         out = neighbor_jaccard(edges, **params)
         if spec.get("top_k"):
             out = out.orderBy(F.desc("jaccard_e6"), "u", "w").limit(
+                int(spec["top_k"])
+            )
+        return out
+    if algo == "simrank":
+        from .operators.simrank import simrank_sampled
+
+        out = simrank_sampled(spark, edges, **params)
+        if spec.get("top_k"):
+            out = out.orderBy(F.desc("sim_e6"), "a", "b").limit(
                 int(spec["top_k"])
             )
         return out

@@ -3,19 +3,25 @@ node2vec input stage), expressed as L equi-join supersteps.
 
 Each walk advances by choosing, among the current vertex's out-neighbors,
 the one minimizing the portable 60-bit hash of
-``(seed, walk_id, step, candidate)`` — a fixed pseudo-random draw that is
-(a) uniform over neighbors in distribution, (b) independent across walks
-and steps, and (c) bit-reproducible in ANSI SQL, so the whole operator
-gets an exact DuckDB oracle (the same reason MinHash/SimHash use this
-hash, ``queries.py`` module doc). Walks that reach a sink (no out-edges)
-simply end early, like the reference's ``Repeat`` loop running out of
-moves (``step/Repeat.scala:100`` — a frontier row with no join match
-drops out).
+``(seed, start, replicate, step, candidate)`` — a fixed pseudo-random
+draw that is (a) uniform over neighbors in distribution, (b) independent
+across walks and steps, and (c) bit-reproducible in ANSI SQL, so the
+whole operator gets an exact DuckDB oracle (the same reason MinHash/
+SimHash use this hash, ``queries.py`` module doc). Walks that reach a
+sink (no out-edges) simply end early, like the reference's ``Repeat``
+loop running out of moves (``step/Repeat.scala:100`` — a frontier row
+with no join match drops out).
+
+Walk identity is the explicit ``(start, r)`` column pair, NOT a
+composite ``start * n_walks + r`` id: the engine's vertex ids are
+full-width signed xxhash64 values (``extract.py``), so the composite
+multiply overflows long for real graphs (caught by the spark-submit
+verify drive) and its div/pmod decode is wrong for negative ids.
 
 Scale shape: one step = frontier ⋈ edges equi-join on ``src`` (the edge
 table is repartitioned by ``src`` once and persisted; only the
 |walks|-row frontier shuffles per step) followed by a map-side-combinable
-``groupBy(walk_id).min(struct(h, dst))`` — no windows, no skew pileup
+``groupBy(start, r).min(struct(h, dst))`` — no windows, no skew pileup
 (the per-walk candidate set is the out-degree of one vertex, and the
 min-struct aggregation combines partials before the shuffle). Weighted /
 node2vec-biased sampling drops into the same plan by keying the argmin on
@@ -41,12 +47,13 @@ def random_walks(
     starts: DataFrame | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Returns ``(walk_id long, step int, vertex long)`` rows.
+    """Returns ``(start long, r int, step int, vertex long)`` rows.
 
-    One walk per (start vertex × ``n_walks``); ``walk_id = id * n_walks
-    + r`` so replicate walks draw independent hash streams. ``starts``
-    defaults to every vertex appearing in ``edges``. ``step`` 0 is the
-    start vertex; a walk shorter than ``walk_length`` hit a sink.
+    One walk per (start vertex × ``n_walks`` replicate); the hash
+    stream is keyed by ``(start, r)`` so replicate walks draw
+    independent draws. ``starts`` defaults to every vertex appearing in
+    ``edges``. ``step`` 0 is the start vertex; a walk shorter than
+    ``walk_length`` hit a sink.
     """
     num_partitions = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
@@ -67,11 +74,10 @@ def random_walks(
     frontier = starts.select(
         "id", F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("r")
     ).select(
-        (F.col("id") * n_walks + F.col("r")).alias("walk_id"),
-        F.col("id").alias("cur"),
+        F.col("id").alias("start"), "r", F.col("id").alias("cur")
     )
     out = frontier.select(
-        "walk_id", F.lit(0).alias("step"), F.col("cur").alias("vertex")
+        "start", "r", F.lit(0).alias("step"), F.col("cur").alias("vertex")
     )
     steps = [out]
 
@@ -79,27 +85,29 @@ def random_walks(
         cand = frontier.hint("shuffle_hash").join(
             e, frontier["cur"] == e["src"]
         ).select(
-            "walk_id",
+            "start",
+            "r",
             "dst",
             hash60(
                 F.concat_ws(
                     ":",
                     F.lit(seed),
-                    F.col("walk_id").cast("string"),
+                    F.col("start").cast("string"),
+                    F.col("r").cast("string"),
                     F.lit(str(k)),
                     F.col("dst").cast("string"),
                 )
             ).alias("h"),
         )
         frontier = (
-            cand.groupBy("walk_id")
+            cand.groupBy("start", "r")
             .agg(F.min(F.struct("h", "dst")).alias("m"))
-            .select("walk_id", F.col("m.dst").alias("cur"))
+            .select("start", "r", F.col("m.dst").alias("cur"))
             .localCheckpoint(eager=True)
         )
         steps.append(
             frontier.select(
-                "walk_id", F.lit(k).alias("step"),
+                "start", "r", F.lit(k).alias("step"),
                 F.col("cur").alias("vertex"),
             )
         )

@@ -2630,25 +2630,27 @@ def _walks_oracle(edges_sql: str, length: int, seed: str) -> str:
         f"WITH e0 AS ({edges_sql}),",
         "links AS (SELECT DISTINCT src, dst FROM e0),",
         "verts AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),",
-        "w0 AS (SELECT id AS walk_id, id AS cur FROM verts),",
+        "w0 AS (SELECT id AS start, CAST(0 AS INTEGER) AS r, id AS cur"
+        " FROM verts),",
     ]
     for k in range(1, length + 1):
         h = _hash60_sql(
-            f"'{seed}:' || f.walk_id || ':' || {k} || ':' || l.dst"
+            f"'{seed}:' || f.start || ':' || f.r || ':' || {k}"
+            " || ':' || l.dst"
         )
         parts.append(
-            f"w{k} AS (SELECT walk_id, dst AS cur FROM ("
-            f" SELECT f.walk_id, l.dst, row_number() OVER ("
-            f"  PARTITION BY f.walk_id ORDER BY {h}, l.dst) AS rn"
+            f"w{k} AS (SELECT start, r, dst AS cur FROM ("
+            f" SELECT f.start, f.r, l.dst, row_number() OVER ("
+            f"  PARTITION BY f.start, f.r ORDER BY {h}, l.dst) AS rn"
             f" FROM w{k - 1} f JOIN links l ON l.src = f.cur) WHERE rn = 1),"
         )
     parts[-1] = parts[-1].rstrip(",")
     sel = " UNION ALL ".join(
-        f"SELECT walk_id, {k} AS step, cur AS vertex FROM w{k}"
+        f"SELECT start, r, {k} AS step, cur AS vertex FROM w{k}"
         for k in range(length + 1)
     )
     parts.append(sel)
-    parts.append("ORDER BY walk_id, step")
+    parts.append("ORDER BY start, r, step")
     return "\n".join(parts)
 
 
@@ -2657,18 +2659,94 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic DeepWalk-style walks (operators/walks.py): one
     {WALK_LEN}-step walk per vertex of the hashed random directed graph;
     the successor is the out-neighbor minimizing the portable 60-bit
-    hash of (seed, walk_id, step, candidate), so the unrolled argmin
-    oracle reproduces every step exactly."""
+    hash of (seed, start, replicate, step, candidate), so the unrolled
+    argmin oracle reproduces every step exactly."""
     from .operators.walks import random_walks
 
     w = random_walks(
         spark, mod_edges(spark, sf_dir), walk_length=WALK_LEN,
         seed=WALK_SEED, num_partitions=_small_graph_parts(spark),
     )
-    return w.select("walk_id", "step", "vertex").orderBy("walk_id", "step")
+    return (w.select("start", "r", "step", "vertex")
+            .orderBy("start", "r", "step"))
 
 
 ORACLES["random_walks"] = _walks_oracle(MOD_EDGES_SQL, WALK_LEN, WALK_SEED)
+
+
+SIMRANK_LEN = 4
+SIMRANK_R = 4
+SIMRANK_SEED = "simr"
+
+
+def _simrank_oracle(edges_sql: str, length: int, n_walks: int,
+                    seed: str) -> str:
+    """Unrolled replay of ``operators/simrank.py``: R deterministic
+    reverse walks per vertex (hash-argmin successor, the random_walks
+    mechanism), coupled per replicate, first-meeting time, and the
+    literal C^t·1e6 score table — exact, no pow()/float anywhere."""
+    from .operators.simrank import score_table_e6
+
+    reps = " UNION ALL ".join(f"SELECT {r} AS r" for r in range(n_walks))
+    parts = [
+        f"WITH e0 AS ({edges_sql}),",
+        "rlinks AS (SELECT DISTINCT dst AS src, src AS dst FROM e0),",
+        "verts AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),",
+        "w0 AS (SELECT id AS start, rr.r, id AS cur"
+        f" FROM verts CROSS JOIN ({reps}) rr),",
+    ]
+    for k in range(1, length + 1):
+        h = _hash60_sql(
+            f"'{seed}:' || f.start || ':' || f.r || ':' || {k}"
+            " || ':' || l.dst"
+        )
+        parts.append(
+            f"w{k} AS (SELECT start, r, dst AS cur FROM ("
+            f" SELECT f.start, f.r, l.dst, row_number() OVER ("
+            f"  PARTITION BY f.start, f.r ORDER BY {h}, l.dst) AS rn"
+            f" FROM w{k - 1} f JOIN rlinks l ON l.src = f.cur) WHERE rn = 1),"
+        )
+    pos_sel = " UNION ALL ".join(
+        f"SELECT start, r, {k} AS step, cur AS vertex FROM w{k}"
+        for k in range(length + 1)
+    )
+    score_case = " ".join(
+        f"WHEN {t} THEN {s}"
+        for t, s in score_table_e6(length).items()
+    )
+    parts += [
+        f"pos AS (SELECT start AS v, r, step, vertex FROM ({pos_sel})),",
+        "tau AS (SELECT pa.v AS a, pb.v AS b, pa.r,"
+        " CAST(min(pa.step) AS BIGINT) AS t"
+        " FROM pos pa JOIN pos pb ON pa.r = pb.r AND pa.step = pb.step"
+        " AND pa.vertex = pb.vertex AND pa.v < pb.v GROUP BY 1, 2, 3)",
+        f"SELECT a, b, CAST(sum(CASE t {score_case} END) // {n_walks}"
+        " AS BIGINT) AS sim_e6",
+        "FROM tau GROUP BY a, b ORDER BY a, b",
+    ]
+    return "\n".join(parts)
+
+
+@register("simrank_pairs", None)  # oracle attached below
+def q_simrank_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled SimRank (operators/simrank.py — Fogaras–Rácz coupled
+    reverse-walk estimator, deterministic hash walks) over the hashed
+    random directed graph: {SIMRANK_R} replicates, horizon
+    {SIMRANK_LEN}; scores are C^τ averages in 1e-6 fixed point, exact
+    against the unrolled walk-replay oracle."""
+    from .operators.simrank import simrank_sampled
+
+    res = simrank_sampled(
+        spark, mod_edges(spark, sf_dir), walk_length=SIMRANK_LEN,
+        n_walks=SIMRANK_R, seed=SIMRANK_SEED,
+        num_partitions=_small_graph_parts(spark),
+    )
+    return res.orderBy("a", "b")
+
+
+ORACLES["simrank_pairs"] = _simrank_oracle(
+    MOD_EDGES_SQL, SIMRANK_LEN, SIMRANK_R, SIMRANK_SEED
+)
 
 
 COLOR_ROUNDS = 10

@@ -388,3 +388,15 @@ def test_trussness_spec(spark, tmp_path):
         spark, {"kind": "algorithm", "algorithm": "trussness",
                 "input": {"edges_parquet": path}}).collect()}
     assert got == {**{tuple(e): 2 for e in k4}, (3, 9): 0}
+
+
+def test_simrank_spec(spark, tmp_path):
+    path = str(tmp_path / "edges_sr")
+    # I(1)={9}=I(2): the coupled reverse walks meet at step 1 every
+    # replicate, so sim = C exactly; top_k ranks by sim_e6
+    edges_df(spark, [(9, 1), (9, 2), (1, 3), (7, 3)]).write.parquet(path)
+    got = run_job(
+        spark, {"kind": "algorithm", "algorithm": "simrank",
+                "params": {"walk_length": 3, "n_walks": 4},
+                "input": {"edges_parquet": path}, "top_k": 1}).collect()
+    assert [(r["a"], r["b"], r["sim_e6"]) for r in got] == [(1, 2, 600000)]

@@ -22,23 +22,23 @@ def simulate(pairs, length, n_walks=1, seed="walk"):
     rows = set()
     for v in verts:
         for r in range(n_walks):
-            wid = v * n_walks + r
             cur = v
-            rows.add((wid, 0, v))
+            rows.add((v, r, 0, v))
             for k in range(1, length + 1):
                 nbrs = adj.get(cur)
                 if not nbrs:
                     break
                 cur = min(
-                    nbrs, key=lambda d: (h60(f"{seed}:{wid}:{k}:{d}"), d)
+                    nbrs, key=lambda d: (h60(f"{seed}:{v}:{r}:{k}:{d}"), d)
                 )
-                rows.add((wid, k, cur))
+                rows.add((v, r, k, cur))
     return rows
 
 
 def _run(spark, pairs, **kw):
     df = random_walks(spark, edges_df(spark, pairs), num_partitions=4, **kw)
-    return {(r["walk_id"], r["step"], r["vertex"]) for r in df.collect()}
+    return {(r["start"], r["r"], r["step"], r["vertex"])
+            for r in df.collect()}
 
 
 def test_walks_match_simulator(spark):
@@ -52,8 +52,8 @@ def test_sink_truncates_walk(spark):
     got = _run(spark, pairs, walk_length=4)
     assert got == simulate(pairs, 4)
     # the walk from 0 records exactly steps 0..2 then stops
-    assert {(0, 0, 0), (0, 1, 1), (0, 2, 2)} <= got
-    assert not any(w == 0 and s > 2 for w, s, _ in got)
+    assert {(0, 0, 0, 0), (0, 0, 1, 1), (0, 0, 2, 2)} <= got
+    assert not any(v == 0 and s > 2 for v, r, s, _ in got)
 
 
 def test_multiple_walks_independent_streams(spark):
@@ -62,10 +62,23 @@ def test_multiple_walks_independent_streams(spark):
     want = simulate(pairs, 3, n_walks=3)
     assert got == want
     # replicate walks from vertex 0 should not all pick one neighbor
-    firsts = {v for w, s, v in got if w in (0, 1, 2) and s == 1}
+    firsts = {v for s0, r, s, v in got if s0 == 0 and s == 1}
     assert len(firsts) >= 2
 
 
 def test_self_loop_walkable(spark):
     got = _run(spark, [(7, 7)], walk_length=3)
-    assert got == {(7, k, 7) for k in range(4)}
+    assert got == {(7, 0, k, 7) for k in range(4)}
+
+
+def test_full_width_hash_ids_no_overflow(spark):
+    # the engine's real vertex ids are signed xxhash64 — replicate walks
+    # must not overflow or mis-decode (the old start*n_walks+r composite
+    # did both; caught by the spark-submit verify drive)
+    big = 2**62 + 11
+    pairs = [(-big, big), (big, -big)]
+    got = _run(spark, pairs, walk_length=2, n_walks=3)
+    assert {(s, r) for s, r, _, _ in got} == {
+        (v, r) for v in (-big, big) for r in range(3)
+    }
+    assert got == simulate(pairs, 2, n_walks=3)
