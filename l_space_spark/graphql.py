@@ -24,10 +24,12 @@ ActiveContext (``Decoder.scala:64-70``): ``{"knows": {"property":
 "knows", "reverse": True}}`` gives ``@reverse`` (``in_`` instead of
 ``out``) and aliasing of wire names onto property labels.
 
-Boundary (documented, parsed-then-rejected): projection-LEVEL limit/offset
-(clipping a by-traversal per traverser) — the reference parses them but its
-own decoder spec never exercises them; here they raise with a clear message
-rather than silently mis-clip.
+- ``{ knows(limit: n, offset: m) {...} }`` → projection-level clipping
+  (``Projection.scala:19-46`` parses these): the hop's reached resources
+  are clipped PER TRAVERSER before deeper hops. The DSL's clip steps
+  window-partition by the sub-traversal scope (which includes ``_tid``
+  inside a projection), so ``limit``/``skip``/``range_`` apply per start
+  node, deterministically ordered by the resource's typed identity.
 """
 
 from __future__ import annotations
@@ -200,12 +202,6 @@ def _leaf_paths(
 ) -> list[tuple[str, list[Projection]]]:
     """Flatten nested projections to (column_name, [chain of projections])
     — one output column per leaf field path."""
-    if p.limit is not None or p.offset is not None:
-        raise ValueError(
-            "projection-level limit/offset is outside the supported GraphQL "
-            "subset (apply clipping at the query level: '{ _(limit: n) "
-            "{ ... } }')"
-        )
     if not p.projections:
         return [(p.alias, [p])]
     out = []
@@ -247,6 +243,15 @@ def graphql_to_dataframe(graph, text: str,
                         sub = sub.has(prop, P.eqv(val))
                     prop, rev = _resolve(hop.field, context)
                     sub = sub.in_(prop) if rev else sub.out(prop)
+                    # projection-level clipping: per-traverser (the sub's
+                    # scope includes _tid), before any deeper hop
+                    if hop.limit is not None and hop.offset is not None:
+                        sub = sub.range_(hop.offset + 1,
+                                         hop.offset + hop.limit)
+                    elif hop.limit is not None:
+                        sub = sub.limit(hop.limit)
+                    elif hop.offset is not None:
+                        sub = sub.skip(hop.offset)
                 return sub
 
             fns.append(fn)

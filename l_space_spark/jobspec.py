@@ -56,6 +56,10 @@ repeat bodies) is ``{"steps": [...]}``::
                {"step": "where", "args": [{"steps": [{"step": "out"}]}]},
                {"step": "count"}]}
 
+A traversal spec may instead carry the reference's JSON-LD wire syntax
+under ``"jsonld"`` (a document typed ``https://ns.l-space.eu/librarian/
+Traversal``; see ``jsonld.py``) — it is decoded to the same step list.
+
 Every spec runs through ``run_job(spark, spec)`` → result DataFrame; the CLI
 wrapper lives in ``__spark_entry__.py`` (``--job``). Input tables may be
 ``*_parquet`` paths or a catalog ``table`` name (``spark.table``) — the
@@ -424,7 +428,14 @@ def _graph_from_input(spark: SparkSession, inp: dict):
 
 def _run_traversal(spark: SparkSession, spec: dict) -> DataFrame:
     g = _graph_from_input(spark, spec.get("input", {}))
-    steps = list(spec["steps"])
+    if "jsonld" in spec:
+        # the reference's JSON-LD wire syntax (Traversal.toNode /
+        # DecodeJsonLD.scala:134-146) — decoded to the same step list
+        from .jsonld import jsonld_to_steps
+
+        steps = jsonld_to_steps(spec["jsonld"])
+    else:
+        steps = list(spec["steps"])
     if not steps or steps[0]["step"] not in ("N", "E", "V"):
         raise ValueError("traversal must start with a scan step: N | E | V")
     scan = steps[0]

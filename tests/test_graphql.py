@@ -122,10 +122,47 @@ def test_reverse_context(spark):
     }
 
 
-def test_projection_level_clip_rejected(spark):
-    g, _ = _person_graph(spark)
-    with pytest.raises(ValueError, match="projection-level"):
-        graphql_to_dataframe(g, "{ knows(limit: 1) { name } }")
+def _fan_graph(spark):
+    """alice(1) knows bob(2), carol(3), dave(4); bob knows carol."""
+    persons = spark.createDataFrame(
+        [(1, "alice"), (2, "bob"), (3, "carol"), (4, "dave")],
+        "id long, name string",
+    )
+    props = Graph.melt_properties(persons, "id", str_cols=["name"])
+    knows = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3)], "src long, dst_id long"
+    ).select(
+        "src", F.lit("knows").alias("label"), F.lit("node").alias("dst_kind"),
+        "dst_id", F.lit(None).cast("string").alias("dst_str"),
+        F.lit(None).cast("double").alias("dst_dbl"),
+        F.lit(None).cast("long").alias("dst_lng"),
+        F.lit(None).cast("date").alias("dst_dt"),
+    )
+    return Graph(persons.select("id"), props.unionByName(knows))
+
+
+def test_projection_level_clip(spark):
+    """Projection-level limit/offset (Projection.scala:19-46) clips the
+    hop's reached resources PER TRAVERSER, ordered by resource identity
+    (node id), before deeper hops."""
+    g = _fan_graph(spark)
+    rows = {r["name"][0]: tuple(r["knows_name"]) for r in
+            graphql_to_dataframe(g, "{ name knows(limit: 2) { name } }")
+            .collect()}
+    # alice's three neighbors clipped to the two smallest ids (bob, carol);
+    # bob's single neighbor untouched
+    assert rows == {"alice": ("bob", "carol"), "bob": ("carol",),
+                    "carol": (), "dave": ()}
+    rows = {r["name"][0]: tuple(r["knows_name"]) for r in
+            graphql_to_dataframe(
+                g, "{ name knows(limit: 1, offset: 1) { name } }").collect()}
+    assert rows == {"alice": ("carol",), "bob": (), "carol": (), "dave": ()}
+    # offset alone drops the first reached resource per traverser
+    rows = {r["name"][0]: tuple(r["knows_name"]) for r in
+            graphql_to_dataframe(g, "{ name knows(offset: 1) { name } }")
+            .collect()}
+    assert rows == {"alice": ("carol", "dave"), "bob": (), "carol": (),
+                    "dave": ()}
 
 
 def test_jobspec_graphql_kind(spark, tmp_path):
