@@ -1453,6 +1453,82 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sig, bands=2, rows_per_band=4).orderBy("a", "b")
 
 
+def _dedup_cluster_sql() -> str:
+    mins = ", ".join(
+        f"min({_hash60_sql(f'{i}::VARCHAR || ' + chr(39) + ':' + chr(39) + ' || g')}) AS h{i}"
+        for i in range(MINHASH_K)
+    )
+    return f"""
+WITH RECURSIVE {_NGRAM_SQL},
+sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band,
+         md5(h0::VARCHAR || ',' || h1::VARCHAR || ',' || h2::VARCHAR || ',' || h3::VARCHAR) AS bkey
+  FROM sig
+  UNION ALL
+  SELECT doc_id, 1,
+         md5(h4::VARCHAR || ',' || h5::VARCHAR || ',' || h6::VARCHAR || ',' || h7::VARCHAR)
+  FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id
+),
+und AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+reach(id, comp) AS (
+  SELECT DISTINCT src, src FROM und
+  UNION
+  SELECT u.dst, r.comp FROM reach r JOIN und u ON u.src = r.id
+),
+cc AS (SELECT id, min(comp) AS canonical FROM reach GROUP BY id),
+alldocs AS (
+  SELECT d.doc_id, coalesce(cc.canonical, d.doc_id) AS canonical
+  FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+),
+csizes AS (SELECT canonical, count(*) AS cluster_size
+           FROM alldocs GROUP BY canonical)
+SELECT d.doc_id AS doc_id, d.canonical AS canonical, s.cluster_size AS cluster_size
+FROM alldocs d JOIN csizes s ON d.canonical = s.canonical
+ORDER BY doc_id
+""".strip()
+
+
+@register("dedup_cluster_canonical", _dedup_cluster_sql())
+def q_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERING — the step a training pipeline runs after
+    candidate generation: MinHash→LSH candidate pairs become an undirected
+    graph, hash-min connected components give the duplicate clusters, and
+    each document maps to its cluster's canonical (min doc_id) plus the
+    cluster size (keep-one-per-cluster policy = ``doc_id = canonical``).
+
+    Scale shape: pairs come from the banded equi-join (never all-pairs),
+    components iterate over |pairs| edges with |docs|-row state, and the
+    canonical is the component label itself (hash-min converges to the
+    min id) — no extra groupBy over the full corpus beyond the size count.
+    """
+    from .operators.components import connected_components
+    from .operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    d = load(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, "doc_id", "text", k=MINHASH_K, n=3)
+    pairs = lsh_candidate_pairs(sig, bands=2, rows_per_band=4)
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    res = connected_components(spark, edges, max_iters=50, resume=False,
+                               num_partitions=_small_graph_parts(spark))
+    comp = res.state.select(F.col("id").alias("doc_id"),
+                            F.col("component").alias("canonical"))
+    alldocs = (
+        d.select("doc_id").join(comp, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("canonical", F.col("doc_id")).alias("canonical"))
+    )
+    sizes = alldocs.groupBy("canonical").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return alldocs.join(sizes, "canonical").select(
+        "doc_id", "canonical", "cluster_size").orderBy("doc_id")
+
+
 def _simhash_sql() -> str:
     return f"""
 WITH toks AS (
