@@ -223,7 +223,8 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("id", "label").orderBy("id")
 
 
-def _labelprop_oracle(edges_sql: str, iters: int) -> str:
+def _labelprop_oracle(edges_sql: str, iters: int,
+                      final_select: str | None = None) -> str:
     parts = [
         f"WITH e0 AS MATERIALIZED ({edges_sql}),",
         "und AS MATERIALIZED (SELECT src, dst FROM e0 WHERE src <> dst"
@@ -244,12 +245,96 @@ def _labelprop_oracle(edges_sql: str, iters: int) -> str:
             f"l{k+1} AS MATERIALIZED (SELECT v.id, coalesce(b.label, v.label) AS label"
             f" FROM l{k} v LEFT JOIN best{k} b ON b.vid = v.id),",
         ]
-    parts[-1] = parts[-1].rstrip(",")
-    parts.append(f"SELECT id, label FROM l{iters} ORDER BY id")
+    if final_select is None:
+        parts[-1] = parts[-1].rstrip(",")
+        parts.append(f"SELECT id, label FROM l{iters} ORDER BY id")
+    else:
+        parts.append(final_select.replace("{L}", f"l{iters}"))
     return "\n".join(parts)
 
 
 ORACLES["label_propagation"] = _labelprop_oracle(CHAIN_EDGES_SQL, LP_ITERS)
+
+_LP_MODULARITY_FINAL = """
+deg AS (SELECT src AS id, count(*) AS deg FROM und GROUP BY src),
+lab AS (SELECT id, label FROM {L}),
+twom AS (SELECT count(*) AS two_m FROM und),
+intra AS (
+  SELECT a.label AS label, count(*) AS intra_msgs
+  FROM und u JOIN lab a ON u.src = a.id JOIN lab b ON u.dst = b.id
+  WHERE a.label = b.label GROUP BY a.label
+),
+comm AS (
+  SELECT l.label, count(*) AS n_members, sum(d.deg) AS deg_sum
+  FROM lab l JOIN deg d ON l.id = d.id GROUP BY l.label
+)
+SELECT c.label AS label,
+       CAST(c.n_members AS BIGINT) AS n_members,
+       CAST(c.deg_sum AS BIGINT) AS deg_sum,
+       CAST(coalesce(i.intra_msgs, 0) AS BIGINT) AS intra_msgs,
+       CAST(coalesce(i.intra_msgs, 0) * t.two_m
+            - c.deg_sum * c.deg_sum AS BIGINT) AS q_contrib_num,
+       CAST(t.two_m AS BIGINT) AS two_m
+FROM comm c LEFT JOIN intra i ON c.label = i.label CROSS JOIN twom t
+ORDER BY label
+""".strip()
+
+
+@register("lp_modularity",
+          _labelprop_oracle(CHAIN_EDGES_SQL, LP_ITERS,
+                            final_select=_LP_MODULARITY_FINAL))
+def q_lp_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation partition, in PURE
+    INTEGER arithmetic: per community c over the distinct symmetric
+    closure (2m = closure rows, d_c = degree sum, e_c = intra-community
+    closure rows), the contribution numerator is ``e_c*2m - d_c**2`` —
+    i.e. Q·(2m)² termwise — so the oracle comparison is exact with no
+    float rounding anywhere. Q itself = sum(q_contrib_num)/two_m².
+
+    Scale shape: two equi-joins of the closure against the |V|-row label
+    table plus combiner-backed groupBys; the only global is the 2m scalar
+    (one count, read on the driver like PageRank's dangling-mass scalar).
+    """
+    edges = chain_edges(spark, sf_dir)
+    res = label_propagation(spark, edges, max_iters=LP_ITERS,
+                            fixed_iters=True, resume=False,
+                            num_partitions=_small_graph_parts(spark))
+    lab = res.state.select("id", "label")
+    e = edges.where(F.col("src") != F.col("dst")).select("src", "dst")
+    und = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    two_m = und.count()
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg")) \
+             .withColumnRenamed("src", "id")
+    la = lab.select(F.col("id").alias("src"), F.col("label").alias("lsrc"))
+    lb = lab.select(F.col("id").alias("dst"), F.col("label").alias("ldst"))
+    intra = (
+        und.join(la, "src").join(lb, "dst")
+        .where(F.col("lsrc") == F.col("ldst"))
+        .groupBy(F.col("lsrc").alias("label"))
+        .agg(F.count(F.lit(1)).alias("intra_msgs"))
+    )
+    comm = (
+        lab.join(deg, "id")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_members"),
+             F.sum("deg").alias("deg_sum"))
+    )
+    return (
+        comm.join(intra, "label", "left")
+        .select(
+            "label", "n_members", "deg_sum",
+            F.coalesce("intra_msgs", F.lit(0)).alias("intra_msgs"),
+        )
+        .withColumn(
+            "q_contrib_num",
+            F.col("intra_msgs") * F.lit(two_m)
+            - F.col("deg_sum") * F.col("deg_sum"),
+        )
+        .withColumn("two_m", F.lit(two_m))
+        .orderBy("label")
+    )
 
 
 @register(
