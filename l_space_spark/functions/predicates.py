@@ -82,6 +82,27 @@ def _lit(v: Any) -> Column:
 class P:
     """Factory namespace mirroring the reference's ``P`` object."""
 
+    # --- variadic grouping (predicate/And.scala, Or.scala) --------------------
+    # Group constructors preserve arbitrary nesting — ``P.and_(P.or_(a, b), c)``
+    # is (a|b)&c, which the flat base+and+or dict shape cannot express.
+    @staticmethod
+    def and_(*preds: "Pred") -> Pred:
+        if not preds:
+            raise ValueError("P.and_ needs at least one predicate")
+        out = preds[0]
+        for p in preds[1:]:
+            out = out & p
+        return out
+
+    @staticmethod
+    def or_(*preds: "Pred") -> Pred:
+        if not preds:
+            raise ValueError("P.or_ needs at least one predicate")
+        out = preds[0]
+        for p in preds[1:]:
+            out = out | p
+        return out
+
     # --- equality (predicate/Eqv.scala, Neqv.scala) --------------------------
     @staticmethod
     def eqv(v: Any) -> Pred:

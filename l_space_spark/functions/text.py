@@ -107,12 +107,12 @@ def repetition_stats(df, id_col: str, text_col: str):
 
     def fp(num, den):
         # round-half-up in PURE INTEGER arithmetic: floor(num*1e4/den + 1/2)
-        # = (num*20000 + den) div (2*den).  No float division anywhere, so
-        # the value is bit-identical across engines/versions (a float
-        # formulation can flip floor() at exact-.5 boundaries depending on
-        # the engine's division/rounding path).
-        a = (num.cast("long") * 20000 + den).cast("long")
-        b = den.cast("long") * 2
+        # = (num*20000 + den) div (2*den).  The quotient is computed in
+        # decimal(38,0) — (a - pmod(a,b)) is an exact multiple of b, so the
+        # decimal division is an exact integer at any magnitude; a double
+        # '/' here would silently lose exactness past 2^53.
+        a = (num.cast("long") * 20000 + den).cast("decimal(38,0)")
+        b = (den.cast("long") * 2).cast("decimal(38,0)")
         return ((a - F.pmod(a, b)) / b).cast("long")
 
     return (

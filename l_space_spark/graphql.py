@@ -211,6 +211,17 @@ def _leaf_paths(
     return out
 
 
+def _clip(t, limit: int | None, offset: int | None):
+    """limit/offset → the DSL's range_/limit/skip (1-based inclusive range)."""
+    if limit is not None and offset is not None:
+        return t.range_(offset + 1, offset + limit)
+    if limit is not None:
+        return t.limit(limit)
+    if offset is not None:
+        return t.skip(offset)
+    return t
+
+
 def graphql_to_dataframe(graph, text: str,
                          context: dict | None = None) -> DataFrame:
     """Compile + run a GraphQL query against a ``traversal.Graph``.
@@ -224,12 +235,7 @@ def graphql_to_dataframe(graph, text: str,
         t = t.has(prop, P.eqv(val))
     # clipping BEFORE the (1:1 per traverser) projection — same row set as
     # the reference's project-then-clip, deterministic via _ord
-    if query.limit is not None and query.offset is not None:
-        t = t.range_(query.offset + 1, query.offset + query.limit)
-    elif query.limit is not None:
-        t = t.limit(query.limit)
-    elif query.offset is not None:
-        t = t.skip(query.offset)
+    t = _clip(t, query.limit, query.offset)
 
     names: list[str] = []
     fns = []
@@ -245,13 +251,7 @@ def graphql_to_dataframe(graph, text: str,
                     sub = sub.in_(prop) if rev else sub.out(prop)
                     # projection-level clipping: per-traverser (the sub's
                     # scope includes _tid), before any deeper hop
-                    if hop.limit is not None and hop.offset is not None:
-                        sub = sub.range_(hop.offset + 1,
-                                         hop.offset + hop.limit)
-                    elif hop.limit is not None:
-                        sub = sub.limit(hop.limit)
-                    elif hop.offset is not None:
-                        sub = sub.skip(hop.offset)
+                    sub = _clip(sub, hop.limit, hop.offset)
                 return sub
 
             fns.append(fn)

@@ -149,10 +149,11 @@ def _decode_pred(d: dict, ctx: dict[str, str]) -> dict:
         decoded = [_decode_pred(s, ctx) for s in subs]
         if not decoded:
             raise ValueError(f"empty {wire} predicate")
-        head, rest = decoded[0], decoded[1:]
-        if rest:
-            head.setdefault(wire.lower(), []).extend(rest)
-        return head
+        if len(decoded) == 1:
+            return decoded[0]
+        # group node — preserves nesting exactly (P.and_/P.or_ in jobspec);
+        # flattening into base+and+or keys mis-associates And(Or(..), ..)
+        return {"p": wire.lower(), "args": decoded}
     spec = _PRED_TO_SPEC.get(wire)
     if spec is None:
         raise ValueError(f"unknown predicate {wire!r}")
@@ -261,8 +262,10 @@ def _decode_step(d: dict, ctx: dict[str, str]) -> dict:
         args.append(str(_decode_value(key, ctx)))
         pred = props.get(LIB + f"step/{wire}/Predicate")
         if pred is not None:
-            pnodes = _as_list(pred)
-            args.append(_decode_pred(pnodes[0], ctx))
+            pnodes = [_decode_pred(p, ctx) for p in _as_list(pred)]
+            # multiple predicate nodes on one Has = conjunction
+            args.append(pnodes[0] if len(pnodes) == 1
+                        else {"p": "and", "args": pnodes})
     elif wire == "HasLabel":
         labels = props.get(LIB + "step/HasLabel/Label")
         if labels is None:
@@ -282,7 +285,9 @@ def _decode_step(d: dict, ctx: dict[str, str]) -> dict:
         pred = props.get(LIB + "step/Is/Predicate")
         if pred is None:
             raise ValueError("Is step missing Predicate")
-        args.append(_decode_pred(_as_list(pred)[0], ctx))
+        pnodes = [_decode_pred(p, ctx) for p in _as_list(pred)]
+        args.append(pnodes[0] if len(pnodes) == 1
+                    else {"p": "and", "args": pnodes})
     elif wire == "Coin":
         args.append(float(_scalar(props, "step/Coin/p", ctx)))
         seed = _scalar(props, "step/Coin/seed", ctx)
@@ -403,6 +408,10 @@ def _encode_value(v: Any) -> dict:
 def _encode_pred(p: dict) -> dict:
     name = p["p"]
     args = p.get("args", [])
+    if name in ("and", "or"):
+        # group node — children are predicate dicts, nesting preserved
+        return {"@type": f"0:p/{name.capitalize()}",
+                "0:p/value": [_encode_pred(q) for q in args]}
     wire = _SPEC_TO_PRED.get(name)
     if wire is None:
         raise ValueError(f"unknown predicate {name!r}")
@@ -410,20 +419,23 @@ def _encode_pred(p: dict) -> dict:
     if wire in _RANGE_PREDS:
         node["0:p/range/lower"] = _encode_value(args[0])
         node["0:p/range/upper"] = _encode_value(args[1])
-    elif wire in ("Intersect", "Disjoint", "Contains"):
+    elif wire in ("Intersect", "Disjoint"):
         vals = args[0] if len(args) == 1 and isinstance(args[0], list) else args
         node["0:p/collection/value"] = [_encode_value(v) for v in vals]
     elif wire == "Within":
         node["0:p/value"] = [_encode_value(v) for v in args]
     else:
+        # Contains is substring-on-scalar in this engine — scalar operand
         node["0:p/value"] = _encode_value(args[0])
-    combined = [node]
-    for conj in ("and", "or"):
-        if p.get(conj):
-            inner = [node] + [_encode_pred(q) for q in p[conj]]
-            combined = [{"@type": f"0:p/{conj.capitalize()}",
-                         "0:p/value": inner}]
-    return combined[0]
+    # legacy flat combinator keys: jobspec evaluates base & ands first, then
+    # | ors — encode in that association: Or(And(base, *ands), *ors)
+    if p.get("and"):
+        node = {"@type": "0:p/And",
+                "0:p/value": [node] + [_encode_pred(q) for q in p["and"]]}
+    if p.get("or"):
+        node = {"@type": "0:p/Or",
+                "0:p/value": [node] + [_encode_pred(q) for q in p["or"]]}
+    return node
 
 
 def _encode_traversal(steps: list[dict]) -> dict:

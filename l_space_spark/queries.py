@@ -3630,6 +3630,8 @@ _DRIVER_WINDOW: list[str] = [
     "kcore_members",
     # new in round 4
     "simrank_pairs",
+    "lp_modularity",
+    "dedup_cluster_canonical",
     # traversal / relational steps never driver-sampled before round 4
     "argminmax_per_group",
     "clip_range_tail",
@@ -3662,11 +3664,12 @@ _DRIVER_WINDOW: list[str] = [
     "predicate_suite",
     "join_group_topk",
     "window_topk_per_group",
-    "group_agg_q1",
     "dsl_traversal_nation",
     "dedup_exact_sha",
     "minhash_lsh_pairs",
-    "ann_lsh_topk",
+    # (group_agg_q1 and ann_lsh_topk rotated out for the two round-4
+    #  entries — their families stay covered by join_group_topk /
+    #  window_topk_per_group and minhash_lsh_pairs / ann_ivf_topk)
 ]
 
 

@@ -118,10 +118,77 @@ def test_roundtrip_predicates():
         {"p": "within", "args": ["a", "b", "c"]},
         {"p": "intersect", "args": [["a", "b"]]},
         {"p": "contains_prefix", "args": ["ab"]},
-        {"p": "eqv", "args": [1], "or": [{"p": "eqv", "args": [2]}]},
+        {"p": "contains", "args": ["spam"]},
+        # group combinators round-trip exactly, any nesting
+        {"p": "or", "args": [{"p": "eqv", "args": [1]},
+                             {"p": "eqv", "args": [2]}]},
+        {"p": "and", "args": [
+            {"p": "or", "args": [{"p": "eqv", "args": [1]},
+                                 {"p": "eqv", "args": [2]}]},
+            {"p": "gt", "args": [5]}]},
     ):
         steps = [{"step": "N"}, {"step": "is", "args": [pred]}]
         assert jsonld_to_steps(steps_to_jsonld(steps)) == steps
+
+
+def test_flat_combinator_keys_canonicalize_to_groups():
+    """The legacy flat base+and+or dict shape encodes with jobspec's
+    evaluation association — (base AND ands) OR ors — and decodes to the
+    equivalent nested group form (the flat shape cannot express nesting)."""
+    flat = {"p": "eqv", "args": [1],
+            "or": [{"p": "eqv", "args": [2]}],
+            "and": [{"p": "gt", "args": [5]}]}
+    steps = [{"step": "N"}, {"step": "is", "args": [flat]}]
+    out = jsonld_to_steps(steps_to_jsonld(steps))
+    assert out == [{"step": "N"}, {"step": "is", "args": [
+        {"p": "or", "args": [
+            {"p": "and", "args": [{"p": "eqv", "args": [1]},
+                                  {"p": "gt", "args": [5]}]},
+            {"p": "eqv", "args": [2]},
+        ]}]}]
+
+
+def test_wire_and_of_or_decodes_without_misassociation():
+    """Wire And(Or(eqv 1, eqv 2), Gt 5) must NOT flatten into the first
+    child's dict — jobspec would evaluate that as (1 AND >5) OR 2."""
+    doc = steps_to_jsonld([{"step": "N"}, {"step": "is", "args": [
+        {"p": "and", "args": [
+            {"p": "or", "args": [{"p": "eqv", "args": [1]},
+                                 {"p": "eqv", "args": [2]}]},
+            {"p": "gt", "args": [5]}]}]}])
+    steps = jsonld_to_steps(doc)
+    pred = steps[1]["args"][0]
+    assert pred["p"] == "and" and pred["args"][0]["p"] == "or"
+
+
+def test_has_multiple_predicate_nodes_conjoin():
+    """A wire Has carrying a LIST of predicate nodes is a conjunction —
+    none of the nodes may be silently dropped."""
+    doc = steps_to_jsonld([{"step": "N"},
+                           {"step": "has", "args": ["age",
+                                                    {"p": "gt", "args": [1]}]}])
+    node = doc["0:Traversal/steps"]["@value"][1]
+    node["0:step/Has/Predicate"] = [
+        node["0:step/Has/Predicate"],
+        {"@type": "0:p/Lt", "0:p/value": {"@value": 9, "@type": "@int"}},
+    ]
+    steps = jsonld_to_steps(doc)
+    assert steps[1]["args"][1] == {"p": "and", "args": [
+        {"p": "gt", "args": [1]}, {"p": "lt", "args": [9]}]}
+
+
+def test_group_predicate_evaluates_correctly(spark):
+    """jobspec executes the nested group with the right association:
+    (x==1 OR x==2) AND x>1 keeps only 2 — the old flattened decode
+    evaluated (x==1 AND x>1) OR x==2 ∪ wrong rows under other operands."""
+    from l_space_spark.jobspec import _decode_pred
+    pred = _decode_pred({"p": "and", "args": [
+        {"p": "or", "args": [{"p": "eqv", "args": [1]},
+                             {"p": "eqv", "args": [2]}]},
+        {"p": "gt", "args": [1]}]})
+    df = spark.range(0, 10)
+    got = sorted(r.id for r in df.filter(pred(F.col("id"))).collect())
+    assert got == [2]
 
 
 def test_unsupported_step_raises():
