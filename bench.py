@@ -111,7 +111,12 @@ def main() -> None:
     n_edges = links.count()
     iters = 10
     pr_wall = float("inf")
-    for _pass in range(2):  # best-of-2, same rationale as the query pass
+    # best-of-3 (queries stay best-of-2): this ~10 s measurement is the
+    # headline north-star number and this box's ambient variance has been
+    # observed to hold a 2× spread across back-to-back solo runs (15.7 s /
+    # 8.6 s with identical code+settings) — a third sample costs ~10 s and
+    # meaningfully tightens the driver-visible tail
+    for _pass in range(3):
         t0 = time.time()
         res = pagerank(spark, edges, tol=-1.0, max_iters=iters, resume=False,
                        num_partitions=q._small_graph_parts(spark))

@@ -163,13 +163,30 @@ def main() -> None:
     ap.add_argument("--processes", action="store_true",
                     help="local-cluster worker JVMs instead of local[N] "
                          "threads (N = each --cores level)")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="run each rung N times INTERLEAVED (lo,hi,lo,hi,…) "
+                         "and keep the per-rung best — the sandbox VM's "
+                         "ambient throughput drifts ~2x on minute scales, "
+                         "and a single lo/hi pair sampled minutes apart "
+                         "measures that drift, not the scaling; "
+                         "interleaving + min() cancels it")
     ap.add_argument("--out", default="BENCH/scaling.json")
     args = ap.parse_args()
 
     levels = [int(c) for c in args.cores.split(",")]
     runner = run_once_processes if args.processes else run_once
-    runs = [runner(c, args.edges, args.vertices, args.iters, args.impl)
-            for c in levels]
+    best: dict[int, dict] = {}
+    all_walls: dict[int, list] = {c: [] for c in levels}
+    for _rep in range(max(1, args.repeat)):
+        for c in levels:
+            r = runner(c, args.edges, args.vertices, args.iters, args.impl)
+            all_walls[c].append(r["wall_s"])
+            if c not in best or r["wall_s"] < best[c]["wall_s"]:
+                best[c] = r
+    runs = [best[c] for c in levels]
+    if args.repeat > 1:
+        for r in runs:
+            r["all_wall_s"] = all_walls[r["cores"]]
 
     lo, hi = runs[0], runs[-1]
     ratio = hi["edges_per_s"] / lo["edges_per_s"]

@@ -27,6 +27,7 @@ Four spec kinds:
     (params: n_sources, max_iters) · betweenness (params: n_sources,
     max_depth) · anf (params: max_t, k) · random_walks (params:
     walk_length, n_walks) · neighbor_jaccard (params: max_hub_degree) ·
+    resource_allocation (params: max_hub_degree) ·
     simrank (params: walk_length, n_walks, max_bucket).
     ``checkpoint_dir``+``resume`` make the run restartable (north rule); the
     result DataFrame is written to ``output`` (or shown when absent).
@@ -267,6 +268,15 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
         out = neighbor_jaccard(edges, **params)
         if spec.get("top_k"):
             out = out.orderBy(F.desc("jaccard_e6"), "u", "w").limit(
+                int(spec["top_k"])
+            )
+        return out
+    if algo == "resource_allocation":
+        from .operators.linkpred import resource_allocation
+
+        out = resource_allocation(edges, **params)
+        if spec.get("top_k"):
+            out = out.orderBy(F.desc("ra_e6"), "u", "w").limit(
                 int(spec["top_k"])
             )
         return out

@@ -3602,6 +3602,361 @@ def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# 12. Round-4 structural link-graph additions
+# =====================================================================
+
+
+@register(
+    "reciprocity_dyads",
+    f"""
+WITH e AS (
+  SELECT DISTINCT src, dst FROM ({MOD_EDGES_SQL}) WHERE src <> dst
+)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(CASE WHEN EXISTS (
+              SELECT 1 FROM e b WHERE b.src = e.dst AND b.dst = e.src)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocated,
+       CAST(sum(CASE WHEN EXISTS (
+              SELECT 1 FROM e b WHERE b.src = e.dst AND b.dst = e.src)
+            THEN 1 ELSE 0 END) / 2 AS BIGINT) AS n_mutual_dyads,
+       CAST(count(*) - sum(CASE WHEN EXISTS (
+              SELECT 1 FROM e b WHERE b.src = e.dst AND b.dst = e.src)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_asym_dyads
+FROM e
+""".strip(),
+)
+def q_reciprocity_dyads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-graph reciprocity / dyad census: how many distinct non-loop
+    edges have their reverse present (mutual dyads) vs not (asymmetric).
+    The classic link-graph health metric (Garlaschelli-Loffredo r), kept in
+    PURE INTEGER counts so the oracle is exact.
+
+    Scale shape: one distinct (shuffle on the edge key) + one self
+    LEFT SEMI join on the swapped key — both equi-joins on (src,dst); no
+    window, no driver loop.  At 100 TB both sides partition on the same
+    composite key, and AQE handles the skewed-hub buckets.
+    """
+    e = (
+        mod_edges(spark, sf_dir)
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    n_edges = e.count()
+    n_recip = recip.count()
+    return spark.createDataFrame(
+        [(n_edges, n_recip, n_recip // 2, n_edges - n_recip)],
+        "n_edges long, n_reciprocated long, n_mutual_dyads long, "
+        "n_asym_dyads long",
+    )
+
+
+_QUOTIENT_FINAL = """
+lab AS (SELECT id, label FROM {L}),
+pairs AS (
+  SELECT least(a.label, b.label) AS label_a,
+         greatest(a.label, b.label) AS label_b
+  FROM und u JOIN lab a ON u.src = a.id JOIN lab b ON u.dst = b.id
+)
+SELECT label_a, label_b,
+       CAST(count(*) AS BIGINT) AS closure_msgs
+FROM pairs GROUP BY label_a, label_b
+ORDER BY label_a, label_b
+""".strip()
+
+
+@register("quotient_graph",
+          _labelprop_oracle(CHAIN_EDGES_SQL, LP_ITERS,
+                            final_select=_QUOTIENT_FINAL))
+def q_quotient_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract the label-propagation partition into its quotient
+    (community-level) graph: one weighted edge per unordered community
+    pair, weight = symmetric-closure messages between them (label_a ==
+    label_b rows are the intra-community self-loops).  This is the
+    coarsening step every multilevel pipeline (Louvain, METIS-style
+    partitioning, graph summarization) runs after a clustering pass.
+
+    Scale shape: two |V|-row label-table equi-joins against the closure
+    (same shape as ``lp_modularity``) then ONE combiner-backed groupBy on
+    the canonical pair — the output is |communities|², orders of magnitude
+    smaller than the input, so the reduction is the ideal map-side-combine
+    case at 100 TB.
+    """
+    edges = chain_edges(spark, sf_dir)
+    res = label_propagation(spark, edges, max_iters=LP_ITERS,
+                            fixed_iters=True, resume=False,
+                            num_partitions=_small_graph_parts(spark))
+    lab = res.state.select("id", "label")
+    e = edges.where(F.col("src") != F.col("dst")).select("src", "dst")
+    und = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    la = lab.select(F.col("id").alias("src"), F.col("label").alias("lsrc"))
+    lb = lab.select(F.col("id").alias("dst"), F.col("label").alias("ldst"))
+    return (
+        und.join(la, "src").join(lb, "dst")
+        .select(F.least("lsrc", "ldst").alias("label_a"),
+                F.greatest("lsrc", "ldst").alias("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.count(F.lit(1)).alias("closure_msgs"))
+        .orderBy("label_a", "label_b")
+    )
+
+
+@register(
+    "resource_allocation_pairs",
+    f"""
+WITH e0 AS ({MOD_EDGES_SQL}),
+und AS (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM e0 WHERE src <> dst
+  UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)),
+deg AS (SELECT src, count(*) AS d FROM und GROUP BY src),
+hub AS (SELECT u.src, u.dst, 1000000 // g.d AS t
+        FROM und u JOIN deg g ON g.src = u.src)
+SELECT w1.dst AS u, w2.dst AS w,
+       CAST(count(*) AS BIGINT) AS common,
+       CAST(sum(w1.t) AS BIGINT) AS ra_e6
+FROM hub w1 JOIN hub w2 ON w1.src = w2.src AND w1.dst < w2.dst
+GROUP BY 1, 2 ORDER BY u, w
+""".strip(),
+)
+def q_resource_allocation_pairs(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Resource-allocation link prediction (operators/linkpred.py
+    ``resource_allocation``) over the hashed random graph: per candidate
+    pair, Σ 1/deg(hub) in PURE INTEGER e6 fixed point (``1000000 div d``
+    per wedge, summed) — exact across engines, no transcendental.
+    Complements ``neighbor_jaccard_pairs`` as the second classic
+    unsupervised predictor; same skew story (``max_hub_degree`` cap,
+    uncapped on this fixture)."""
+    from .operators.linkpred import resource_allocation
+
+    return (
+        resource_allocation(mod_edges(spark, sf_dir))
+        .select("u", "w", F.col("common").cast("long").alias("common"),
+                F.col("ra_e6").cast("long").alias("ra_e6"))
+        .orderBy("u", "w")
+    )
+
+
+@register(
+    "component_size_distribution",
+    f"""
+WITH RECURSIVE e0 AS ({CHAIN_EDGES_SQL}),
+und AS (
+  SELECT src, dst FROM e0 WHERE src <> dst
+  UNION
+  SELECT dst, src FROM e0 WHERE src <> dst
+),
+verts AS (SELECT DISTINCT src AS id FROM und),
+reach(id, comp) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT u.dst, r.comp FROM reach r JOIN und u ON u.src = r.id
+),
+cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+sizes AS (SELECT component, count(*) AS size FROM cc GROUP BY component)
+SELECT CAST(size AS BIGINT) AS size,
+       CAST(count(*) AS BIGINT) AS n_components
+FROM sizes GROUP BY size ORDER BY size
+""".strip(),
+)
+def q_component_size_distribution(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Component-size histogram — the web-graph macro-structure readout
+    (giant-component share, dust-component tail; Broder et al.'s bow-tie
+    analysis starts here).  Two combiner-backed groupBys over the CC
+    labelling: |V| rows → |components| rows → |distinct sizes| rows, a
+    pure reduction pyramid that only ever shrinks at 100×."""
+    edges = chain_edges(spark, sf_dir)
+    res = connected_components(spark, edges, max_iters=200, resume=False,
+                               num_partitions=_small_graph_parts(spark))
+    return (
+        res.state.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+        .orderBy("size")
+    )
+
+
+KATZ_K = 4          # truncation depth
+KATZ_INV_BETA = 20  # β = 1/20 — well under 1/λmax for every fixture
+
+
+def _katz_oracle(edges_sql: str, k: int, inv_beta: int) -> str:
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({edges_sql}),",
+        "links AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0"
+        " WHERE src <> dst),",
+        "verts AS MATERIALIZED (SELECT src AS id FROM links"
+        " UNION SELECT dst FROM links),",
+        "p0 AS MATERIALIZED (SELECT id, CAST(1 AS BIGINT) AS p FROM verts),",
+    ]
+    for j in range(k):
+        parts.append(
+            f"p{j+1} AS MATERIALIZED (SELECT l.dst AS id, sum(p.p) AS p"
+            f" FROM p{j} p JOIN links l ON l.src = p.id GROUP BY l.dst),"
+        )
+    terms = " + ".join(
+        f"coalesce((SELECT p FROM p{j} WHERE p{j}.id = v.id), 0)"
+        f" * {inv_beta ** (k - j)}"
+        for j in range(1, k + 1)
+    )
+    parts.append(
+        f"fin AS (SELECT v.id, CAST({terms} AS BIGINT) AS katz_num"
+        f" FROM verts v)"
+    )
+    parts.append("SELECT id, katz_num FROM fin ORDER BY katz_num DESC, id"
+                 " LIMIT 20")
+    return "\n".join(parts)
+
+
+@register("katz_top20", _katz_oracle(MOD_EDGES_SQL, KATZ_K, KATZ_INV_BETA))
+def q_katz_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated Katz centrality in PURE INTEGER path-count arithmetic:
+    with β = 1/20 and depth K, ``katz_num(v) = Σ_{j=1..K} 20^(K-j) ·
+    #paths(length j ending at v)`` — i.e. Katz·20^K termwise, exact in
+    bigints on both engines (Katz 1953; the damped-path cousin of
+    eigenvector centrality that PageRank normalizes by out-degree).
+
+    Scale shape: the path-count vector is |V| rows; each of the K rounds
+    is ONE equi-join against the src-keyed edge table plus a
+    combiner-backed sum — the same exchange-free inner loop as the
+    superstep algorithms, unrolled here because K is a small constant.
+    Term magnitudes are bounded by (λmax·20)^K per vertex — bigint-safe
+    for every fixture (≲1e13 at sf0.1) and monitored at scale by the
+    same overflow discipline as betweenness's e9 accumulation.
+    """
+    links = (
+        mod_edges(spark, sf_dir)
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    parts = _small_graph_parts(spark)
+    links = links.repartition(parts, "src").persist()
+    verts = (
+        links.select(F.col("src").alias("id"))
+        .union(links.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    p = verts.select("id", F.lit(1).cast("long").alias("p"))
+    acc = verts.select("id", F.lit(0).cast("long").alias("katz_num"))
+    for j in range(1, KATZ_K + 1):
+        p = (
+            links.join(p.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("p").alias("p"))
+        )
+        w = KATZ_INV_BETA ** (KATZ_K - j)
+        acc = (
+            acc.join(p, "id", "left")
+            .select(
+                "id",
+                (F.col("katz_num")
+                 + F.coalesce(F.col("p"), F.lit(0)) * F.lit(w))
+                .alias("katz_num"),
+            )
+        )
+        # keep the unrolled lineage shallow: the K joined stages would
+        # otherwise re-derive every prior p_j on each action
+        p = p.localCheckpoint(eager=False)
+    links.unpersist()
+    return acc.orderBy(F.col("katz_num").desc(), "id").limit(20)
+
+
+_SNAP_A_SQL = """
+SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate < TIMESTAMP '1998-01-01'
+""".strip()
+
+_SNAP_B_SQL = """
+SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+""".strip()
+
+
+@register(
+    "snapshot_diff",
+    f"""
+WITH a AS ({_SNAP_A_SQL}),
+b AS ({_SNAP_B_SQL}),
+d AS (
+  SELECT coalesce(a.src, b.src) AS src,
+         CASE WHEN a.src IS NULL THEN 'added'
+              WHEN b.src IS NULL THEN 'removed'
+              ELSE 'kept' END AS change
+  FROM a FULL OUTER JOIN b ON a.src = b.src AND a.dst = b.dst
+)
+SELECT src,
+       CAST(sum(CASE WHEN change = 'added'   THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_added,
+       CAST(sum(CASE WHEN change = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(sum(CASE WHEN change = 'kept'    THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept
+FROM d GROUP BY src ORDER BY src
+""".strip(),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-level diff between two graph snapshots (the link-graph
+    freshness primitive: which links appeared / disappeared between two
+    crawls).  Snapshots are the customer→supplier edge set derived from
+    two overlapping order-date windows; output is the per-source census of
+    added / removed / kept edges.
+
+    Scale shape: both snapshot scans carry a pushed-down date predicate
+    (partition-prunable on a date-partitioned lake layout), each distinct
+    and the FULL OUTER join all shuffle on the SAME (src,dst) key — one
+    exchange feeds all three — then a combiner-backed groupBy(src).  No
+    window, no driver loop; this is exactly the shape a 100-TB
+    two-snapshot diff wants.
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+
+    def snap(pred):
+        return (
+            o.where(pred)
+            .join(li, o.o_orderkey == li.l_orderkey)
+            .select((F.col("o_custkey") * 2).alias("src"),
+                    (F.col("l_suppkey") * 2 + 1).alias("dst"))
+            .distinct()
+        )
+
+    a = snap(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    b = snap(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+    d = (
+        a.withColumn("in_a", F.lit(1))
+        .join(b.withColumn("in_b", F.lit(1)),
+              ["src", "dst"], "full_outer")
+        .select(
+            "src",
+            F.when(F.col("in_a").isNull(), F.lit("added"))
+             .when(F.col("in_b").isNull(), F.lit("removed"))
+             .otherwise(F.lit("kept")).alias("change"),
+        )
+    )
+    return (
+        d.groupBy("src")
+        .agg(
+            F.sum(F.when(F.col("change") == "added", 1).otherwise(0))
+             .alias("n_added"),
+            F.sum(F.when(F.col("change") == "removed", 1).otherwise(0))
+             .alias("n_removed"),
+            F.sum(F.when(F.col("change") == "kept", 1).otherwise(0))
+             .alias("n_kept"),
+        )
+        .orderBy("src")
+    )
+
+
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
 # in iteration order.  Registration order above is historical (round 1 → 3),
 # so without reordering the round-2/3 algorithm family would never receive a
@@ -3632,6 +3987,11 @@ _DRIVER_WINDOW: list[str] = [
     "simrank_pairs",
     "lp_modularity",
     "dedup_cluster_canonical",
+    "reciprocity_dyads",
+    "quotient_graph",
+    "snapshot_diff",
+    "resource_allocation_pairs",
+    "component_size_distribution",
     # traversal / relational steps never driver-sampled before round 4
     "argminmax_per_group",
     "clip_range_tail",
@@ -3660,16 +4020,16 @@ _DRIVER_WINDOW: list[str] = [
     "connected_components",
     "label_propagation",
     "triangle_count",
-    "sssp_weighted",
     "predicate_suite",
-    "join_group_topk",
-    "window_topk_per_group",
     "dsl_traversal_nation",
-    "dedup_exact_sha",
-    "minhash_lsh_pairs",
-    # (group_agg_q1 and ann_lsh_topk rotated out for the two round-4
-    #  entries — their families stay covered by join_group_topk /
-    #  window_topk_per_group and minhash_lsh_pairs / ann_ivf_topk)
+    # (group_agg_q1, ann_lsh_topk, join_group_topk, window_topk_per_group,
+    #  dedup_exact_sha, sssp_weighted, minhash_lsh_pairs rotated out for
+    #  the seven round-4 entries — all seven were green in
+    #  CORRECTNESS_r03 and their families stay covered: join/group/topk
+    #  by snapshot_diff + quotient_graph + predicate_suite, window by
+    #  clip_range_tail/percentile_stats, dedup/similarity by
+    #  dedup_cluster_canonical + ann_ivf_topk, shortest-path/iterative by
+    #  bfs_repeat_path + harmonic/betweenness family)
 ]
 
 

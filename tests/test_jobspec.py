@@ -358,6 +358,11 @@ def test_new_algorithm_specs_round3(spark, tmp_path):
                          "input": inp, "top_k": 2}).collect()
     assert len(nj) == 2
 
+    ra = run_job(spark, {"kind": "algorithm",
+                         "algorithm": "resource_allocation",
+                         "input": inp, "top_k": 2}).collect()
+    assert len(ra) == 2 and ra[0]["ra_e6"] >= ra[1]["ra_e6"]
+
     lcc = run_job(spark, {"kind": "algorithm",
                           "algorithm": "clustering_coefficient",
                           "input": inp}).collect()

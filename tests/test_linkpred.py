@@ -60,3 +60,53 @@ def test_hub_cap_drops_celebrity_wedges(spark):
     assert got[(1, 99)][0] == 2
     uncapped = _run(spark, pairs)
     assert (3, 4) in uncapped
+
+
+# --- resource allocation ---------------------------------------------------
+
+from l_space_spark.operators.linkpred import resource_allocation  # noqa: E402
+
+
+def brute_ra(pairs, max_hub=None, min_common=1):
+    adj = {}
+    for s, d in pairs:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    hubs = {v for v in adj if max_hub is None or len(adj[v]) <= max_hub}
+    out = {}
+    for v in hubs:
+        ns = sorted(adj[v])
+        t = 1_000_000 // len(adj[v])
+        for i, u in enumerate(ns):
+            for w in ns[i + 1:]:
+                c, s = out.get((u, w), (0, 0))
+                out[(u, w)] = (c + 1, s + t)
+    return {k: v for k, v in out.items() if v[0] >= min_common}
+
+
+def _run_ra(spark, pairs, **kw):
+    return {(r["u"], r["w"]): (r["common"], r["ra_e6"])
+            for r in resource_allocation(edges_df(spark, pairs),
+                                         **kw).collect()}
+
+
+def test_ra_square_with_diagonal(spark):
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    got = _run_ra(spark, pairs)
+    assert got == brute_ra(pairs)
+    # 1 and 3 share hubs 0 (deg 3) and 2 (deg 3): 2*(1e6 div 3) = 666666
+    assert got[(1, 3)] == (2, 666_666)
+
+
+def test_ra_random_matches_brute(spark):
+    rng = random.Random(7)
+    pairs = [(rng.randrange(25), rng.randrange(25)) for _ in range(60)]
+    assert _run_ra(spark, pairs) == brute_ra(pairs)
+
+
+def test_ra_hub_cap(spark):
+    pairs = [(99, i) for i in range(10)] + [(0, 1), (1, 2)]
+    got = _run_ra(spark, pairs, max_hub_degree=5)
+    assert got == brute_ra(pairs, max_hub=5)
+    assert (3, 4) not in got
