@@ -107,12 +107,14 @@ def repetition_stats(df, id_col: str, text_col: str):
 
     def fp(num, den):
         # round-half-up in PURE INTEGER arithmetic: floor(num*1e4/den + 1/2)
-        # = (num*20000 + den) div (2*den).  The quotient is computed in
-        # decimal(38,0) — (a - pmod(a,b)) is an exact multiple of b, so the
-        # decimal division is an exact integer at any magnitude; a double
-        # '/' here would silently lose exactness past 2^53.
-        a = (num.cast("long") * 20000 + den).cast("decimal(38,0)")
-        b = (den.cast("long") * 2).cast("decimal(38,0)")
+        # = (num*20000 + den) div (2*den).  num is widened to decimal(38,0)
+        # BEFORE the *20000 so the product can't wrap in long arithmetic
+        # (Spark's non-ANSI long multiply wraps silently at ~4.6e14 here);
+        # (a - pmod(a,b)) is an exact multiple of b, so the decimal
+        # division is an exact integer at any magnitude — a double '/'
+        # would silently lose exactness past 2^53.
+        a = num.cast("decimal(38,0)") * 20000 + den.cast("decimal(38,0)")
+        b = den.cast("decimal(38,0)") * 2
         return ((a - F.pmod(a, b)) / b).cast("long")
 
     return (

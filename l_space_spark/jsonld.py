@@ -215,6 +215,16 @@ def _scalar(props: dict, key: str, ctx: dict[str, str], default=None):
     return default if v is None else _decode_value(v, ctx)
 
 
+def _required(props: dict, key: str, ctx: dict[str, str]):
+    """Like ``_scalar`` but a missing operand is a malformed document:
+    raise the module's promised ValueError instead of letting ``None``
+    leak into ``str()``/``int()`` (silent 'None' labels, TypeErrors)."""
+    v = _scalar(props, key, ctx)
+    if v is None:
+        raise ValueError(f"step missing required operand {key!r}")
+    return v
+
+
 def _as_list(v: Any) -> list:
     return v if isinstance(v, list) else [v]
 
@@ -289,26 +299,26 @@ def _decode_step(d: dict, ctx: dict[str, str]) -> dict:
         args.append(pnodes[0] if len(pnodes) == 1
                     else {"p": "and", "args": pnodes})
     elif wire == "Coin":
-        args.append(float(_scalar(props, "step/Coin/p", ctx)))
+        args.append(float(_required(props, "step/Coin/p", ctx)))
         seed = _scalar(props, "step/Coin/seed", ctx)
         if seed is not None:
             kwargs["seed"] = int(seed)
     elif wire in ("As", "Select"):
-        args.append(str(_scalar(props, f"step/{wire}/name", ctx)))
+        args.append(str(_required(props, f"step/{wire}/name", ctx)))
     elif wire == "Constant":
-        args.append(_scalar(props, "step/Constant/value", ctx))
+        args.append(_required(props, "step/Constant/value", ctx))
     elif wire == "Limit":
-        args.append(int(_scalar(props, "step/Limit/max", ctx)))
+        args.append(int(_required(props, "step/Limit/max", ctx)))
     elif wire == "Skip":
-        args.append(int(_scalar(props, "step/Skip/n", ctx)))
+        args.append(int(_required(props, "step/Skip/n", ctx)))
     elif wire == "Tail":
-        args.append(int(_scalar(props, "step/Tail/max", ctx)))
+        args.append(int(_required(props, "step/Tail/max", ctx)))
     elif wire == "Range":
         # reference Range(low, high) executes slice(low-1, high)
         # (SyncGuide.scala:471-473) = 1-based rows [low..high] — exactly
         # the DSL's range_(lo, hi), so low/high pass through unchanged
-        args.append(int(_scalar(props, "step/Range/low", ctx)))
-        args.append(int(_scalar(props, "step/Range/high", ctx)))
+        args.append(int(_required(props, "step/Range/low", ctx)))
+        args.append(int(_required(props, "step/Range/high", ctx)))
     elif wire in ("Where", "Not", "Local"):
         sub = _sub(props, f"step/{wire}/traversal", ctx)
         if sub is None:

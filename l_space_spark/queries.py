@@ -30,7 +30,7 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators.components import connected_components
+from .operators.components import connected_components, undirect
 from .operators.labelprop import label_propagation
 from .operators.pagerank import pagerank
 from .operators.triangles import triangle_count, triangles_per_vertex
@@ -300,10 +300,7 @@ def q_lp_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
                             fixed_iters=True, resume=False,
                             num_partitions=_small_graph_parts(spark))
     lab = res.state.select("id", "label")
-    e = edges.where(F.col("src") != F.col("dst")).select("src", "dst")
-    und = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    und = undirect(edges)
     two_m = und.count()
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg")) \
              .withColumnRenamed("src", "id")
@@ -3642,11 +3639,15 @@ def q_reciprocity_dyads(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
+        .persist()  # three readers below (count + both semi-join sides);
+        # both counts are actions HERE, so persist/unpersist bracket real
+        # work (unlike the lazy-handoff entries)
     )
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     recip = e.join(rev, ["src", "dst"], "left_semi")
     n_edges = e.count()
     n_recip = recip.count()
+    e.unpersist()
     return spark.createDataFrame(
         [(n_edges, n_recip, n_recip // 2, n_edges - n_recip)],
         "n_edges long, n_reciprocated long, n_mutual_dyads long, "
@@ -3690,10 +3691,7 @@ def q_quotient_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                             fixed_iters=True, resume=False,
                             num_partitions=_small_graph_parts(spark))
     lab = res.state.select("id", "label")
-    e = edges.where(F.col("src") != F.col("dst")).select("src", "dst")
-    und = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    und = undirect(edges)
     la = lab.select(F.col("id").alias("src"), F.col("label").alias("lsrc"))
     lb = lab.select(F.col("id").alias("dst"), F.col("label").alias("ldst"))
     return (
@@ -3865,7 +3863,10 @@ def q_katz_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         # keep the unrolled lineage shallow: the K joined stages would
         # otherwise re-derive every prior p_j on each action
         p = p.localCheckpoint(eager=False)
-    links.unpersist()
+    # NO unpersist here: the return is lazy (the action runs in the caller),
+    # so an eager unpersist would undo the persist before any round reads
+    # it — the ContextCleaner reclaims it, same handoff as the other
+    # persist-carrying entries (ngram_jaccard_pairs, triangles_per_vertex)
     return acc.orderBy(F.col("katz_num").desc(), "id").limit(20)
 
 
@@ -4034,6 +4035,16 @@ _DRIVER_WINDOW: list[str] = [
 
 
 def _window_order(names) -> list[str]:
+    # a stale window name would SILENTLY shrink the driver's 50-slot
+    # sample (the next registration-order entry fills the slot) — fail
+    # loud instead so a rename/removal can't unpin an entry unnoticed.
+    # Checked against QUERIES (not ``names``): a window entry may
+    # legitimately be absent from ORACLES (the rows-only contract).
+    stale = [n for n in _DRIVER_WINDOW if n not in QUERIES]
+    if stale:
+        raise AssertionError(
+            f"_DRIVER_WINDOW names not in the catalog: {stale}"
+        )
     head = [n for n in _DRIVER_WINDOW if n in names]
     return head + [n for n in names if n not in set(head)]
 

@@ -177,3 +177,19 @@ def test_delete_where_table_preserves_bucketing_and_companion(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS dwt_bkt")
         spark.sql("DROP TABLE IF EXISTS dwt_bkt__by_dst")
+
+
+def test_driver_window_rejects_stale_names():
+    """A renamed/removed catalog entry must fail LOUD, not silently
+    shrink the driver's 50-slot correctness sample."""
+    import pytest
+
+    from l_space_spark import queries as q
+
+    q._DRIVER_WINDOW.append("no_such_entry_xyz")
+    try:
+        with pytest.raises(AssertionError, match="no_such_entry_xyz"):
+            q.queries()
+    finally:
+        q._DRIVER_WINDOW.remove("no_such_entry_xyz")
+    assert list(q.queries())[:len(q._DRIVER_WINDOW)] == q._DRIVER_WINDOW

@@ -254,3 +254,19 @@ def test_context_prefix_expansion():
         '"@type":"@vector(' + LIB + 'Step)"}}'
     )
     assert jsonld_to_steps(doc) == [{"step": "N"}, {"step": "count"}]
+
+
+def test_missing_operands_raise_valueerror():
+    """Malformed documents (step present, operand absent) must raise the
+    module's promised ValueError — not decode to str(None) labels or
+    crash with int(None) TypeErrors."""
+    import pytest
+
+    for bad in ({"@type": "0:step/As"}, {"@type": "0:step/Limit"},
+                {"@type": "0:step/Skip"}, {"@type": "0:step/Tail"},
+                {"@type": "0:step/Range"}, {"@type": "0:step/Coin"},
+                {"@type": "0:step/Constant"}):
+        doc = steps_to_jsonld([{"step": "N"}])
+        doc["0:Traversal/steps"]["@value"].append(bad)
+        with pytest.raises(ValueError, match="required operand|missing"):
+            jsonld_to_steps(doc)
