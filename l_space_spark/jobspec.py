@@ -27,7 +27,7 @@ Four spec kinds:
     (params: n_sources, max_iters) · betweenness (params: n_sources,
     max_depth) · anf (params: max_t, k) · random_walks (params:
     walk_length, n_walks) · neighbor_jaccard (params: max_hub_degree) ·
-    resource_allocation (params: max_hub_degree) ·
+    resource_allocation (params: max_hub_degree) · bowtie ·
     simrank (params: walk_length, n_walks, max_bucket).
     ``checkpoint_dir``+``resume`` make the run restartable (north rule); the
     result DataFrame is written to ``output`` (or shown when absent).
@@ -271,6 +271,15 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
                 int(spec["top_k"])
             )
         return out
+    if algo == "bowtie":
+        from .operators.bowtie import bowtie_classes
+
+        if spec.get("top_k"):
+            raise ValueError(
+                "top_k is not meaningful for 'bowtie' (classes are "
+                "categorical, not ranked)"
+            )
+        return bowtie_classes(spark, edges, **params)
     if algo == "resource_allocation":
         from .operators.linkpred import resource_allocation
 

@@ -171,14 +171,19 @@ def strongly_connected_components(
             n_nxt = nxt.count()
             if n_nxt == n_core:
                 break  # trim fixpoint reached
+            # localCheckpoint (NOT bare persist): the next pass derives
+            # has_out/has_in AND the following slice from this one, so an
+            # un-truncated plan is referenced ~5x per pass and the logical
+            # tree grows EXPONENTIALLY in trim depth — a deep trim tail
+            # (sparse digraph, E/V ≈ 1.4, ~30 passes) blew a 4 GiB driver
+            # on plan strings alone before this truncation
             e_nxt = (
                 e_core.join(
                     nxt.withColumnRenamed("id", "src"), "src", "semi"
                 )
                 .join(nxt.withColumnRenamed("id", "dst"), "dst", "semi")
-                .persist()
+                .localCheckpoint(eager=True)
             )
-            e_nxt.count()
             if e_core is not e_act:
                 e_core.unpersist()
             e_core = e_nxt

@@ -38,10 +38,12 @@ from .sources import (
     CHAIN_EDGES_SQL,
     CUSTOMER_SUPPLIER_EDGES_SQL,
     MOD_EDGES_SQL,
+    SPARSE_DIGRAPH_SQL,
     chain_edges,
     customer_supplier_edges,
     load,
     mod_edges,
+    sparse_digraph_edges,
 )
 from .traversal import Graph, P
 
@@ -3779,6 +3781,76 @@ def q_component_size_distribution(spark: SparkSession,
         .agg(F.count(F.lit(1)).alias("n_components"))
         .orderBy("size")
     )
+
+
+BOWTIE_ORACLE_SQL = """
+WITH RECURSIVE e0 AS ({EDGES}),
+links AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+-- NOTE: inside a WITH RECURSIVE block DuckDB treats UNION in the
+-- NON-recursive CTEs with bag semantics, so every set below is built
+-- with UNION ALL + an explicit outer DISTINCT
+verts AS (SELECT DISTINCT id FROM (
+  SELECT src AS id FROM links UNION ALL SELECT dst FROM links)),
+reach(a, b) AS (
+  SELECT src, dst FROM links
+  UNION
+  SELECT r.a, l.dst FROM reach r JOIN links l ON l.src = r.b
+),
+scc AS (
+  SELECT v.id, least(v.id, coalesce(min(m.other), v.id)) AS scc
+  FROM verts v LEFT JOIN (
+    SELECT r1.a AS id, r1.b AS other
+    FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a) m
+  ON m.id = v.id GROUP BY v.id
+),
+corepick AS (
+  SELECT scc FROM (SELECT scc, count(*) AS n FROM scc GROUP BY scc)
+  ORDER BY n DESC, scc ASC LIMIT 1
+),
+core AS (SELECT id FROM scc WHERE scc = (SELECT scc FROM corepick)),
+fwd AS (SELECT DISTINCT id FROM (
+  SELECT id FROM core
+  UNION ALL SELECT r.b FROM reach r JOIN core c ON r.a = c.id)),
+bwd AS (SELECT DISTINCT id FROM (
+  SELECT id FROM core
+  UNION ALL SELECT r.a FROM reach r JOIN core c ON r.b = c.id)),
+outs AS (SELECT id FROM fwd WHERE id NOT IN (SELECT id FROM core)),
+ins  AS (SELECT id FROM bwd WHERE id NOT IN (SELECT id FROM core)),
+fromin AS (SELECT DISTINCT id FROM (
+  SELECT id FROM ins
+  UNION ALL SELECT r.b FROM reach r JOIN ins i ON r.a = i.id)),
+toout  AS (SELECT DISTINCT id FROM (
+  SELECT id FROM outs
+  UNION ALL SELECT r.a FROM reach r JOIN outs o ON r.b = o.id))
+SELECT v.id,
+  CASE WHEN v.id IN (SELECT id FROM core) THEN 'core'
+       WHEN v.id IN (SELECT id FROM ins) THEN 'in'
+       WHEN v.id IN (SELECT id FROM outs) THEN 'out'
+       WHEN v.id IN (SELECT id FROM fromin)
+            AND v.id IN (SELECT id FROM toout) THEN 'tube'
+       WHEN v.id IN (SELECT id FROM fromin)
+            OR v.id IN (SELECT id FROM toout) THEN 'tendril'
+       ELSE 'disconnected' END AS cls
+FROM verts v ORDER BY v.id
+""".strip()
+
+
+@register("bowtie_classes",
+          BOWTIE_ORACLE_SQL.replace("{EDGES}", SPARSE_DIGRAPH_SQL))
+def q_bowtie_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bow-tie decomposition (operators/bowtie.py — Broder et al.'s
+    web-graph macro structure: core/in/out/tube/tendril/disconnected per
+    vertex) over the sparse hashed digraph, whose constant 1024-vertex
+    universe keeps the transitive-closure oracle bounded at V² rows at
+    any sf while sitting near the percolation threshold at the driver's
+    sf0.01 gate scale (real IN/OUT/tendril structure, not one giant
+    SCC)."""
+    from .operators.bowtie import bowtie_classes
+
+    return bowtie_classes(
+        spark, sparse_digraph_edges(spark, sf_dir),
+        num_partitions=_small_graph_parts(spark),
+    ).orderBy("id")
 
 
 KATZ_K = 4          # truncation depth

@@ -167,6 +167,41 @@ SELECT {_h_sql("c")}, {_h_sql("d")} FROM customer
 """.strip()
 
 
+SPARSE_N = 1024
+
+
+def _h_sparse_sql(tag: str) -> str:
+    return (
+        f"(('0x' || substr(md5('{tag}:' || c_custkey::VARCHAR), 1, 15))::BIGINT"
+        f" % {SPARSE_N})"
+    )
+
+
+def sparse_digraph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic SPARSE random digraph: ONE hashed edge per customer
+    row on a {SPARSE_N}-vertex universe — near the directed-percolation
+    threshold at the sf0.01 gate scale (E/V ≈ 1.5: a small giant SCC
+    with real IN/OUT/tendril structure, the regime bow-tie analysis is
+    about); dust-dominated at sf0.001, denser at larger sf. The constant vertex cap bounds any transitive-closure
+    oracle at SPARSE_N² rows regardless of scale."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    n = F.lit(SPARSE_N)
+
+    def h(tag: str) -> F.Column:
+        key = F.concat(F.lit(f"{tag}:"), F.col("c_custkey").cast("string"))
+        return F.pmod(
+            F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long"), n
+        )
+
+    return c.select(h("bt_s").alias("src"), h("bt_d").alias("dst"))
+
+
+SPARSE_DIGRAPH_SQL = f"""
+SELECT {_h_sparse_sql("bt_s")} AS src, {_h_sparse_sql("bt_d")} AS dst
+FROM customer
+""".strip()
+
+
 def write_bucketed_edges(
     edges: DataFrame,
     table: str,

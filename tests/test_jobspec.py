@@ -363,6 +363,12 @@ def test_new_algorithm_specs_round3(spark, tmp_path):
                          "input": inp, "top_k": 2}).collect()
     assert len(ra) == 2 and ra[0]["ra_e6"] >= ra[1]["ra_e6"]
 
+    bt = {r["id"]: r["cls"] for r in run_job(
+        spark, {"kind": "algorithm", "algorithm": "bowtie",
+                "input": inp}).collect()}
+    assert set(bt.values()) <= {"core", "in", "out", "tube", "tendril",
+                                "disconnected"} and "core" in bt.values()
+
     lcc = run_job(spark, {"kind": "algorithm",
                           "algorithm": "clustering_coefficient",
                           "input": inp}).collect()
