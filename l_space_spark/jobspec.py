@@ -27,7 +27,9 @@ Four spec kinds:
     (params: n_sources, max_iters) · betweenness (params: n_sources,
     max_depth) · anf (params: max_t, k) · random_walks (params:
     walk_length, n_walks) · neighbor_jaccard (params: max_hub_degree) ·
-    resource_allocation (params: max_hub_degree) · bowtie ·
+    resource_allocation (params: max_hub_degree) · adamic_adar
+    (params: max_hub_degree) · rectangle_count (params: max_hub_degree) ·
+    bowtie · dag_levels (params: fixed_iters) ·
     simrank (params: walk_length, n_walks, max_bucket).
     ``checkpoint_dir``+``resume`` make the run restartable (north rule); the
     result DataFrame is written to ``output`` (or shown when absent).
@@ -142,6 +144,7 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
     from .operators.pagerank import pagerank
     from .operators.scc import strongly_connected_components
     from .operators.sssp import sssp
+    from .operators.toposort import dag_levels
     from .operators.triangles import (
         clustering_coefficient, triangle_list, triangles_per_vertex,
     )
@@ -168,6 +171,7 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
         "scc": strongly_connected_components,
         "mis": maximal_independent_set,
         "coloring": greedy_coloring,
+        "dag_levels": dag_levels,
     }
     if ckpt and (algo in supersteps
                  or algo in ("harmonic_centrality", "pagerank_incremental",
@@ -206,6 +210,7 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
                 "hits": F.desc("auth"),
                 "sssp": F.asc_nulls_last("dist"),
                 "kcore": F.desc("core_deg"),
+                "dag_levels": F.desc("level"),
             }
             if algo not in ranked:
                 raise ValueError(
@@ -289,6 +294,24 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
                 int(spec["top_k"])
             )
         return out
+    if algo == "adamic_adar":
+        from .operators.linkpred import adamic_adar
+
+        out = adamic_adar(edges, **params)
+        if spec.get("top_k"):
+            out = out.orderBy(F.desc("aa_e6"), "u", "w").limit(
+                int(spec["top_k"])
+            )
+        return out
+    if algo == "rectangle_count":
+        from .operators.graphstats import rectangle_count
+
+        if spec.get("top_k"):
+            raise ValueError(
+                "top_k is not meaningful for 'rectangle_count' (the "
+                "result is one scalar row)"
+            )
+        return rectangle_count(edges, **params)
     if algo == "simrank":
         from .operators.simrank import simrank_sampled
 

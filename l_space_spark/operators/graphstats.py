@@ -56,6 +56,55 @@ def bipartite_project(
     )
 
 
+def rectangle_count(
+    edges: DataFrame,
+    max_hub_degree: int | None = None,
+) -> DataFrame:
+    """One row ``(rectangles BIGINT)``: the number of 4-cycles (C4
+    subgraphs) of the undirected simple graph — the quadrilateral
+    companion to ``triangle_count`` and the standard second moment of
+    local clustering (chords do not disqualify a quadrilateral).
+
+    Identity: every 4-cycle ``u-v-w-x`` is determined by a diagonal
+    pair ``{u, w}`` plus an unordered choice of two of their common
+    neighbors, and each cycle owns exactly TWO diagonals, so
+    ``C4 = ½ · Σ_{u<w} C(codeg(u,w), 2)`` — all integer arithmetic
+    (``c(c-1)`` is always even, and the diagonal double-count makes the
+    outer sum even), hence an exact cross-engine oracle with no fixed
+    point.
+
+    Plan shape: the same hub wedge equi-join as ``linkpred`` (two
+    closure copies sharing their ``src``), one combiner-backed groupBy
+    for the co-degree table, one scalar aggregate — never an explicit
+    4-tuple enumeration. Skew: wedge fan-out is Σ deg², bounded by the
+    same ``max_hub_degree`` cap as the link predictors (a capped run
+    counts only rectangles whose BOTH opposite corners of one diagonal
+    respect the cap — a documented approximation for hub-heavy graphs;
+    the exact-oracle catalog entry runs uncapped on the small fixture).
+    """
+    und = undirect(edges)
+    hub = und
+    if max_hub_degree is not None:
+        deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        ok = deg.where(F.col("d") <= max_hub_degree).select("src")
+        hub = und.join(ok, "src", "semi")
+    w1 = hub.select(F.col("src").alias("v"), F.col("dst").alias("u"))
+    w2 = hub.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    codeg = (
+        w1.join(w2, "v")
+        .where(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # integer div throughout (never a double): c(c-1) is even per term
+    # and the diagonal double-count makes the total even, so both
+    # divisions are exact — and the sum stays in BIGINT at any scale
+    return codeg.agg(
+        F.expr("coalesce(sum(c * (c - 1) div 2), 0) div 2")
+        .cast("long").alias("rectangles")
+    )
+
+
 def degree_assortativity(edges: DataFrame) -> DataFrame:
     """One row ``(r_e6 long)``: Newman's degree assortativity of the
     undirected simple graph at e6 fixed point (NULL when degenerate —

@@ -3942,6 +3942,160 @@ def q_katz_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acc.orderBy(F.col("katz_num").desc(), "id").limit(20)
 
 
+@register(
+    "adamic_adar_pairs",
+    f"""
+WITH e0 AS ({MOD_EDGES_SQL}),
+und AS (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM e0 WHERE src <> dst
+  UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)),
+deg AS (SELECT src, count(*) AS d FROM und GROUP BY src),
+hub AS (SELECT u.src, u.dst,
+               CAST(floor(1000000.0 / ln(g.d) + 0.5) AS BIGINT) AS t
+        FROM und u JOIN deg g ON g.src = u.src WHERE g.d >= 2)
+SELECT w1.dst AS u, w2.dst AS w,
+       CAST(count(*) AS BIGINT) AS common,
+       CAST(sum(w1.t) AS BIGINT) AS aa_e6
+FROM hub w1 JOIN hub w2 ON w1.src = w2.src AND w1.dst < w2.dst
+GROUP BY 1, 2 ORDER BY u, w
+""".strip(),
+)
+def q_adamic_adar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (operators/linkpred.py
+    ``adamic_adar``) over the hashed random graph: per candidate pair,
+    Σ 1/ln(deg(hub)) with the per-hub term collapsed to an integer e6
+    fixed point BEFORE the wedge sum — cross-engine exact (JVM
+    ``Math.log`` vs libm ``ln`` probed term-identical for every
+    d ≤ 200000). Completes the classic unsupervised-predictor trio with
+    ``neighbor_jaccard_pairs`` and ``resource_allocation_pairs``; same
+    wedge equi-join and ``max_hub_degree`` skew story (uncapped on this
+    fixture)."""
+    from .operators.linkpred import adamic_adar
+
+    return (
+        adamic_adar(mod_edges(spark, sf_dir))
+        .select("u", "w", F.col("common").cast("long").alias("common"),
+                F.col("aa_e6").cast("long").alias("aa_e6"))
+        .orderBy("u", "w")
+    )
+
+
+@register(
+    "rectangle_count",
+    f"""
+WITH e0 AS ({MOD_EDGES_SQL}),
+und AS (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM e0 WHERE src <> dst
+  UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)),
+codeg AS (SELECT w1.dst AS u, w2.dst AS w, count(*) AS c
+          FROM und w1 JOIN und w2 ON w1.src = w2.src AND w1.dst < w2.dst
+          GROUP BY 1, 2)
+SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) // 2 AS BIGINT) AS rectangles
+FROM codeg
+""".strip(),
+)
+def q_rectangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-cycle census (operators/graphstats.py ``rectangle_count``) of
+    the hashed random graph — ``C4 = ½ Σ_(u<w) C(codeg(u,w), 2)``, the
+    diagonal identity, in pure integer arithmetic (both divisions are
+    provably exact). Quadrilateral companion to ``triangle_count``; the
+    plan is the linkpred wedge equi-join + one combiner-backed groupBy +
+    one scalar aggregate, never a 4-tuple enumeration."""
+    from .operators.graphstats import rectangle_count
+
+    return rectangle_count(mod_edges(spark, sf_dir))
+
+
+TOPO_ITERS = 32
+
+
+def _build_order_oracle(edges_sql: str, iters: int) -> str:
+    # SCC via recursive-CTE mutual reachability (the scc_members /
+    # bowtie_classes shape), then the longest-path relaxation unrolled
+    # exactly ``iters`` times — matching the Spark side's fixed_iters
+    # contract, so the two sides agree at ANY depth by construction.
+    parts = [
+        f"WITH RECURSIVE e0 AS ({edges_sql}),",
+        "links AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),",
+        # bag-semantics note: see BOWTIE_ORACLE_SQL — UNION ALL + DISTINCT
+        "verts AS (SELECT DISTINCT id FROM ("
+        "SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0)),",
+        "reach(a, b) AS ("
+        " SELECT src, dst FROM links"
+        " UNION"
+        " SELECT r.a, l.dst FROM reach r JOIN links l ON l.src = r.b),",
+        "scc AS MATERIALIZED ("
+        " SELECT v.id, least(v.id, coalesce(min(m.other), v.id)) AS scc"
+        " FROM verts v LEFT JOIN ("
+        "  SELECT r1.a AS id, r1.b AS other"
+        "  FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a) m"
+        " ON m.id = v.id GROUP BY v.id),",
+        "cverts AS MATERIALIZED (SELECT DISTINCT scc AS id FROM scc),",
+        "clinks AS MATERIALIZED (SELECT DISTINCT a.scc AS src, b.scc AS dst"
+        " FROM links l JOIN scc a ON a.id = l.src JOIN scc b ON b.id = l.dst"
+        " WHERE a.scc <> b.scc),",
+        "l0 AS (SELECT id, CAST(0 AS BIGINT) AS level FROM cverts),",
+    ]
+    for k in range(iters):
+        parts += [
+            f"m{k} AS MATERIALIZED (SELECT c.dst AS id, max(p.level) + 1 AS lv"
+            f" FROM l{k} p JOIN clinks c ON c.src = p.id GROUP BY c.dst),",
+            f"l{k + 1} AS MATERIALIZED (SELECT v.id,"
+            f" CAST(coalesce(m.lv, 0) AS BIGINT) AS level"
+            f" FROM cverts v LEFT JOIN m{k} m ON m.id = v.id),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT s.id, s.scc, l.level"
+        f" FROM scc s JOIN l{iters} l ON l.id = s.scc ORDER BY s.id"
+    )
+    return "\n".join(parts)
+
+
+@register("build_order_levels",
+          _build_order_oracle(SPARSE_DIGRAPH_SQL, TOPO_ITERS))
+def q_build_order_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel build order of a cyclic dependency graph — THE dependency
+    question on a repo→repo import graph: contract each strongly
+    connected component (dependency knot) to one node
+    (operators/scc.py), layer the acyclic-by-construction condensation
+    by longest path (operators/toposort.py ``dag_levels``), and every
+    repo inherits its component's build stage: ``(id, scc, level)`` —
+    everything at level k builds concurrently once levels < k are done.
+    Runs on the sparse hashed digraph (same fixture + tractability
+    rationale as ``bowtie_classes``); fixed TOPO_ITERS relaxations so
+    the unrolled-CTE oracle compares exactly at any depth."""
+    from .operators.scc import strongly_connected_components
+    from .operators.toposort import dag_levels
+
+    edges = sparse_digraph_edges(spark, sf_dir)
+    parts = _small_graph_parts(spark)
+    lab = strongly_connected_components(
+        spark, edges, resume=False, num_partitions=parts,
+    ).state
+    sa = lab.select(F.col("id").alias("src"), F.col("scc").alias("sa"))
+    sb = lab.select(F.col("id").alias("dst"), F.col("scc").alias("sb"))
+    cond = (
+        edges.join(sa, "src").join(sb, "dst")
+        .where(F.col("sa") != F.col("sb"))
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+        .distinct()
+    )
+    cverts = lab.select(F.col("scc").alias("id")).distinct()
+    lev = dag_levels(
+        spark, cond, vertices=cverts, max_iters=TOPO_ITERS,
+        fixed_iters=True, resume=False, num_partitions=parts,
+        materialize_every=4,
+    ).state
+    return (
+        lab.join(lev.withColumnRenamed("id", "scc"), "scc")
+        .select(F.col("id").cast("long").alias("id"),
+                F.col("scc").cast("long").alias("scc"),
+                F.col("level").cast("long").alias("level"))
+        .orderBy("id")
+    )
+
+
 _SNAP_A_SQL = """
 SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -4093,8 +4247,12 @@ _DRIVER_WINDOW: list[str] = [
     "connected_components",
     "label_propagation",
     "triangle_count",
-    "predicate_suite",
-    "dsl_traversal_nation",
+    # late round-4 additions — never driver-sampled; they take the last two
+    # slots from predicate_suite + dsl_traversal_nation (both driver-green
+    # in CORRECTNESS_r03, their families still in-window via
+    # coalesce_choose/intersect_except + graphql_nation)
+    "bowtie_classes",
+    "katz_top20",
     # (group_agg_q1, ann_lsh_topk, join_group_topk, window_topk_per_group,
     #  dedup_exact_sha, sssp_weighted, minhash_lsh_pairs rotated out for
     #  the seven round-4 entries — all seven were green in

@@ -63,3 +63,61 @@ def test_assortativity_random_matches_twin(spark):
     pairs = [(rng.randrange(20), rng.randrange(20)) for _ in range(45)]
     r = degree_assortativity(edges_df(spark, pairs)).collect()[0]["r_e6"]
     assert r == assort_twin(pairs)
+
+
+# --- rectangle count ---------------------------------------------------------
+
+from itertools import combinations  # noqa: E402
+
+from l_space_spark.operators.graphstats import rectangle_count  # noqa: E402
+
+
+def brute_rectangles(pairs):
+    adj = defaultdict(set)
+    for s, d in pairs:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    total = 0
+    for u, w in combinations(sorted(adj), 2):
+        c = len(adj[u] & adj[w])
+        total += c * (c - 1) // 2
+    assert total % 2 == 0
+    return total // 2
+
+
+def _rect(spark, pairs, **kw):
+    return rectangle_count(edges_df(spark, pairs), **kw).collect()[0][
+        "rectangles"]
+
+
+def test_single_square(spark):
+    assert _rect(spark, [(0, 1), (1, 2), (2, 3), (3, 0)]) == 1
+
+
+def test_chorded_square_still_one_plus_none_new(spark):
+    # a chord adds triangles, not rectangles: still exactly one C4
+    assert _rect(spark, [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]) == 1
+
+
+def test_k4_has_three_rectangles(spark):
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert _rect(spark, k4) == 3 == brute_rectangles(k4)
+
+
+def test_triangle_has_none(spark):
+    assert _rect(spark, [(0, 1), (1, 2), (2, 0)]) == 0
+
+
+def test_random_matches_brute(spark):
+    rng = random.Random(11)
+    pairs = [(rng.randrange(20), rng.randrange(20)) for _ in range(70)]
+    assert _rect(spark, pairs) == brute_rectangles(pairs)
+
+
+def test_hub_cap_bounds_wedges(spark):
+    # celebrity 99 closes rectangles through itself; capped run drops them
+    pairs = [(99, i) for i in range(6)] + [(0, 1), (1, 2), (2, 3), (3, 0)]
+    assert _rect(spark, pairs) == brute_rectangles(pairs)
+    capped = _rect(spark, pairs, max_hub_degree=4)
+    assert capped < _rect(spark, pairs)

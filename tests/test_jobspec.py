@@ -411,3 +411,44 @@ def test_simrank_spec(spark, tmp_path):
                 "params": {"walk_length": 3, "n_walks": 4},
                 "input": {"edges_parquet": path}, "top_k": 1}).collect()
     assert [(r["a"], r["b"], r["sim_e6"]) for r in got] == [(1, 2, 600000)]
+
+
+def test_round4_algorithm_specs(spark, tmp_path):
+    # adamic_adar / rectangle_count / dag_levels over the wire match the
+    # direct operator calls
+    from l_space_spark.operators.graphstats import rectangle_count
+    from l_space_spark.operators.linkpred import adamic_adar
+    from l_space_spark.operators.toposort import dag_levels
+
+    path = _edges_parquet(spark, tmp_path)
+    edges = spark.read.parquet(path)
+
+    spec = {"kind": "algorithm", "algorithm": "adamic_adar",
+            "input": {"edges_parquet": path}, "top_k": 5}
+    got = [tuple(r) for r in run_job(spark, spec).collect()]
+    want = [tuple(r) for r in adamic_adar(edges)
+            .orderBy(F.desc("aa_e6"), "u", "w").limit(5).collect()]
+    assert got == want
+
+    spec = {"kind": "algorithm", "algorithm": "rectangle_count",
+            "input": {"edges_parquet": path}}
+    assert (run_job(spark, spec).collect()[0]["rectangles"]
+            == rectangle_count(edges).collect()[0]["rectangles"])
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="rectangle_count"):
+        run_job(spark, {"kind": "algorithm", "algorithm": "rectangle_count",
+                        "input": {"edges_parquet": path}, "top_k": 3})
+
+    # dag_levels needs a DAG: orient the fixture low→high
+    dag_path = str(tmp_path / "dag_edges")
+    edges.selectExpr("least(src, dst) AS src", "greatest(src, dst) AS dst")\
+        .where("src <> dst").write.parquet(dag_path)
+    spec = {"kind": "algorithm", "algorithm": "dag_levels",
+            "input": {"edges_parquet": dag_path},
+            "params": {"max_iters": 30}, "top_k": 3}
+    got = [tuple(r) for r in run_job(spark, spec).collect()]
+    want = [tuple(r) for r in
+            dag_levels(spark, spark.read.parquet(dag_path), max_iters=30,
+                       resume=False)
+            .state.orderBy(F.desc("level"), "id").limit(3).collect()]
+    assert got == want

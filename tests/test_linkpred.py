@@ -110,3 +110,63 @@ def test_ra_hub_cap(spark):
     got = _run_ra(spark, pairs, max_hub_degree=5)
     assert got == brute_ra(pairs, max_hub=5)
     assert (3, 4) not in got
+
+
+# --- adamic-adar -------------------------------------------------------------
+
+from l_space_spark.operators.linkpred import adamic_adar  # noqa: E402
+
+
+def brute_aa(pairs, max_hub=None, min_common=1):
+    adj = {}
+    for s, d in pairs:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    import math
+    hubs = {v for v in adj
+            if len(adj[v]) >= 2
+            and (max_hub is None or len(adj[v]) <= max_hub)}
+    out = {}
+    for v in hubs:
+        t = math.floor(1e6 / math.log(len(adj[v])) + 0.5)
+        ns = sorted(adj[v])
+        for i, u in enumerate(ns):
+            for w in ns[i + 1:]:
+                c, s = out.get((u, w), (0, 0))
+                out[(u, w)] = (c + 1, s + t)
+    return {k: v for k, v in out.items() if v[0] >= min_common}
+
+
+def _run_aa(spark, pairs, **kw):
+    return {(r["u"], r["w"]): (r["common"], r["aa_e6"])
+            for r in adamic_adar(edges_df(spark, pairs), **kw).collect()}
+
+
+def test_aa_square_with_diagonal(spark):
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    got = _run_aa(spark, pairs)
+    assert got == brute_aa(pairs)
+    # 1 and 3 share hubs 0 (deg 3) and 2 (deg 3): 2/ln(3)
+    import math
+    t3 = math.floor(1e6 / math.log(3) + 0.5)
+    assert got[(1, 3)] == (2, 2 * t3)
+
+
+def test_aa_degree1_hub_contributes_nothing(spark):
+    # hub 5 has degree 1 → excluded by definition (and owns no wedges)
+    pairs = [(5, 0), (0, 1), (0, 2)]
+    got = _run_aa(spark, pairs)
+    assert set(got) == {(1, 2), (1, 5), (2, 5)}  # all via hub 0 (deg 3)
+
+
+def test_aa_random_matches_brute(spark):
+    rng = random.Random(7)
+    pairs = [(rng.randrange(25), rng.randrange(25)) for _ in range(60)]
+    assert _run_aa(spark, pairs) == brute_aa(pairs)
+
+
+def test_aa_hub_cap(spark):
+    pairs = [(99, i) for i in range(10)] + [(0, 1), (1, 2)]
+    assert _run_aa(spark, pairs, max_hub_degree=5) == brute_aa(pairs,
+                                                               max_hub=5)
