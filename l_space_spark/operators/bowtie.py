@@ -60,14 +60,19 @@ def bowtie_classes(
     if num_partitions:
         links = links.repartition(num_partitions, "src")
     links = links.persist()
+    # localCheckpoint (not persist): verts feeds the RETURNED plan, so a
+    # persist could never be freed before the caller materializes; the
+    # checkpoint truncates lineage and its blocks are reclaimed by the
+    # ContextCleaner when the result is dropped
     verts = (
         links.select(F.col("src").alias("id"))
         .union(links.select(F.col("dst").alias("id")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     if verts.limit(1).count() == 0:  # self-loop-only / empty input
+        links.unpersist()
         return spark.createDataFrame([], "id long, cls string")
 
     scc = strongly_connected_components(
@@ -100,6 +105,9 @@ def bowtie_classes(
     in_set = bwd.join(core, "id", "anti").localCheckpoint(eager=True)
     from_in = reached(in_set, "src", "dst")    # in ∪ reachable-from-in
     to_out = reached(out_set, "dst", "src")    # out ∪ reaches-out
+    # all consumers of links (scc + the four fixpoints) are checkpoint-
+    # truncated above — the returned plan never re-reads it
+    links.unpersist()
 
     cls = (
         verts

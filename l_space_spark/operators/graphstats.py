@@ -76,18 +76,23 @@ def rectangle_count(
     Plan shape: the same hub wedge equi-join as ``linkpred`` (two
     closure copies sharing their ``src``), one combiner-backed groupBy
     for the co-degree table, one scalar aggregate — never an explicit
-    4-tuple enumeration. Skew: wedge fan-out is Σ deg², bounded by the
-    same ``max_hub_degree`` cap as the link predictors (a capped run
-    counts only rectangles whose BOTH opposite corners of one diagonal
-    respect the cap — a documented approximation for hub-heavy graphs;
-    the exact-oracle catalog entry runs uncapped on the small fixture).
+    4-tuple enumeration. Skew: wedge fan-out is Σ deg², bounded by
+    ``max_hub_degree`` as a VERTEX-INDUCED-SUBGRAPH cap: every edge
+    touching an over-cap vertex is dropped, so a capped run returns the
+    EXACT rectangle count of the subgraph induced on vertices with
+    degree ≤ cap (a one-sided edge cap would let a rectangle qualify
+    through only one of its two diagonals, making the incidence sum odd
+    and the final integer halving lossy). The exact-oracle catalog
+    entry runs uncapped on the small fixture.
     """
     und = undirect(edges)
     hub = und
     if max_hub_degree is not None:
         deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         ok = deg.where(F.col("d") <= max_hub_degree).select("src")
-        hub = und.join(ok, "src", "semi")
+        hub = und.join(ok, "src", "semi").join(
+            ok.withColumnRenamed("src", "dst"), "dst", "semi"
+        )
     w1 = hub.select(F.col("src").alias("v"), F.col("dst").alias("u"))
     w2 = hub.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     codeg = (

@@ -184,8 +184,11 @@ def strongly_connected_components(
                 .join(nxt.withColumnRenamed("id", "dst"), "dst", "semi")
                 .localCheckpoint(eager=True)
             )
-            if e_core is not e_act:
-                e_core.unpersist()
+            # checkpointed slices have no CacheManager entry to unpersist;
+            # rebinding e_core drops the only reference, so each pass's
+            # blocks are reclaimed asynchronously by the ContextCleaner —
+            # the accepted cost of the plan truncation above (blocks
+            # shrink monotonically with the trimmed slice)
             e_core = e_nxt
             core, n_core = nxt, n_nxt
         trimmed = active.join(core, "id", "anti").select(
@@ -216,9 +219,7 @@ def strongly_connected_components(
         new_state = new_state.localCheckpoint(eager=True)
         e_fwd.unpersist()
         e_bwd.unpersist()
-        if e_core is not e_act:
-            e_core.unpersist()
-        e_act.unpersist()
+        e_act.unpersist()  # e_core is either e_act or checkpoint-backed
         return new_state
 
     def remaining(old: DataFrame, new: DataFrame) -> float:

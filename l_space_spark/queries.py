@@ -4261,6 +4261,10 @@ _DRIVER_WINDOW: list[str] = [
     #  clip_range_tail/percentile_stats, dedup/similarity by
     #  dedup_cluster_canonical + ann_ivf_topk, shortest-path/iterative by
     #  bfs_repeat_path + harmonic/betweenness family)
+    # ROUND-5 TODO: after CORRECTNESS_r04, the only never-driver-sampled
+    # entries are adamic_adar_pairs, rectangle_count, build_order_levels
+    # (added after the r4 window was frozen) — rotate them in for r5,
+    # swapping out three entries that go green in CORRECTNESS_r04.
 ]
 
 

@@ -126,6 +126,28 @@ FROM customer WHERE c_custkey % 3 = 0
 
 
 MOD_N = 100
+SPARSE_N = 1024
+
+
+def _hash_col(tag: str, mod: int):
+    """Portable hashed endpoint, Spark side: first 15 hex digits of
+    ``md5('<tag>:' || c_custkey)`` mod ``mod``. MUST stay the exact twin
+    of ``_hash_sql`` (same tag prefix, hex width, modulus): the two are
+    the single source of Spark/DuckDB fixture parity."""
+    key = F.concat(F.lit(f"{tag}:"), F.col("c_custkey").cast("string"))
+    return F.pmod(
+        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long"),
+        F.lit(mod),
+    )
+
+
+def _hash_sql(tag: str, mod: int) -> str:
+    """DuckDB twin of ``_hash_col`` (15 hex digits < 2^60, so the left
+    operand is nonnegative and ``%`` == pmod)."""
+    return (
+        f"(('0x' || substr(md5('{tag}:' || c_custkey::VARCHAR), 1, 15))::BIGINT"
+        f" % {mod})"
+    )
 
 
 def mod_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,64 +162,39 @@ def mod_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     gets exercised.
     """
     c = load(spark, sf_dir, "customer").select("c_custkey")
-    n = F.lit(MOD_N)
 
-    def h(tag: str) -> F.Column:
-        key = F.concat(F.lit(f"{tag}:"), F.col("c_custkey").cast("string"))
-        return F.pmod(
-            F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long"), n
-        )
+    def h(tag: str):
+        return _hash_col(tag, MOD_N)
 
     return c.select(h("a").alias("src"), h("b").alias("dst")).unionByName(
         c.select(h("c").alias("src"), h("d").alias("dst"))
     )
 
 
-def _h_sql(tag: str) -> str:
-    return (
-        f"(('0x' || substr(md5('{tag}:' || c_custkey::VARCHAR), 1, 15))::BIGINT"
-        f" % {MOD_N})"
-    )
-
-
 MOD_EDGES_SQL = f"""
-SELECT {_h_sql("a")} AS src, {_h_sql("b")} AS dst FROM customer
+SELECT {_hash_sql("a", MOD_N)} AS src, {_hash_sql("b", MOD_N)} AS dst FROM customer
 UNION ALL
-SELECT {_h_sql("c")}, {_h_sql("d")} FROM customer
+SELECT {_hash_sql("c", MOD_N)}, {_hash_sql("d", MOD_N)} FROM customer
 """.strip()
-
-
-SPARSE_N = 1024
-
-
-def _h_sparse_sql(tag: str) -> str:
-    return (
-        f"(('0x' || substr(md5('{tag}:' || c_custkey::VARCHAR), 1, 15))::BIGINT"
-        f" % {SPARSE_N})"
-    )
 
 
 def sparse_digraph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic SPARSE random digraph: ONE hashed edge per customer
-    row on a {SPARSE_N}-vertex universe — near the directed-percolation
-    threshold at the sf0.01 gate scale (E/V ≈ 1.5: a small giant SCC
-    with real IN/OUT/tendril structure, the regime bow-tie analysis is
-    about); dust-dominated at sf0.001, denser at larger sf. The constant vertex cap bounds any transitive-closure
-    oracle at SPARSE_N² rows regardless of scale."""
+    row on a SPARSE_N(=1024)-vertex universe — near the directed-
+    percolation threshold at the sf0.01 gate scale (E/V ≈ 1.5: a small
+    giant SCC with real IN/OUT/tendril structure, the regime bow-tie
+    analysis is about); dust-dominated at sf0.001, denser at larger sf.
+    The constant vertex cap bounds any transitive-closure oracle at
+    SPARSE_N² rows regardless of scale."""
     c = load(spark, sf_dir, "customer").select("c_custkey")
-    n = F.lit(SPARSE_N)
-
-    def h(tag: str) -> F.Column:
-        key = F.concat(F.lit(f"{tag}:"), F.col("c_custkey").cast("string"))
-        return F.pmod(
-            F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long"), n
-        )
-
-    return c.select(h("bt_s").alias("src"), h("bt_d").alias("dst"))
+    return c.select(
+        _hash_col("bt_s", SPARSE_N).alias("src"),
+        _hash_col("bt_d", SPARSE_N).alias("dst"),
+    )
 
 
 SPARSE_DIGRAPH_SQL = f"""
-SELECT {_h_sparse_sql("bt_s")} AS src, {_h_sparse_sql("bt_d")} AS dst
+SELECT {_hash_sql("bt_s", SPARSE_N)} AS src, {_hash_sql("bt_d", SPARSE_N)} AS dst
 FROM customer
 """.strip()
 

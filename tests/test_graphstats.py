@@ -115,9 +115,45 @@ def test_random_matches_brute(spark):
     assert _rect(spark, pairs) == brute_rectangles(pairs)
 
 
-def test_hub_cap_bounds_wedges(spark):
-    # celebrity 99 closes rectangles through itself; capped run drops them
+def induced_under_cap(pairs, cap):
+    """Edge list of the subgraph induced on vertices with degree <= cap —
+    the documented semantics of a capped rectangle_count run."""
+    adj = defaultdict(set)
+    for s, d in pairs:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    ok = {v for v in adj if len(adj[v]) <= cap}
+    return [(s, d) for s, d in pairs if s in ok and d in ok and s != d]
+
+
+def test_hub_cap_is_induced_subgraph_count(spark):
+    # celebrity 99 closes rectangles through itself; capped run counts
+    # exactly the rectangles of the under-cap induced subgraph
     pairs = [(99, i) for i in range(6)] + [(0, 1), (1, 2), (2, 3), (3, 0)]
     assert _rect(spark, pairs) == brute_rectangles(pairs)
     capped = _rect(spark, pairs, max_hub_degree=4)
+    assert capped == brute_rectangles(induced_under_cap(pairs, 4))
     assert capped < _rect(spark, pairs)
+
+
+def test_hub_cap_one_sided_diagonal_regression(spark):
+    # square 0-1-2-3 with vertex 1 hub-inflated past the cap: only the
+    # {0,2} diagonal's corner pair would survive a one-sided edge cap,
+    # making the incidence sum odd (=1) and `div 2` silently return 0 in
+    # a way that misread as "1 rectangle counted". Induced-subgraph
+    # semantics drop vertex 1 entirely: exactly 0 rectangles, and the
+    # count equals the brute force of the induced subgraph.
+    pairs = ([(0, 1), (1, 2), (2, 3), (3, 0)]
+             + [(1, k) for k in range(10, 14)])
+    capped = _rect(spark, pairs, max_hub_degree=3)
+    assert capped == brute_rectangles(induced_under_cap(pairs, 3)) == 0
+
+
+def test_hub_cap_random_matches_induced_brute(spark):
+    rng = random.Random(29)
+    pairs = [(rng.randrange(15), rng.randrange(15)) for _ in range(60)]
+    for cap in (3, 5, 8):
+        assert _rect(spark, pairs, max_hub_degree=cap) == brute_rectangles(
+            induced_under_cap(pairs, cap)
+        )
