@@ -489,3 +489,41 @@ def test_walks_edge_cache_reused_without_exchange(spark):
         ), plan
     finally:
         e.unpersist()
+
+
+def test_wedge_join_linkpred_family_plans(spark):
+    """The wedge-join candidate generators (Adamic-Adar, rectangle
+    census) must stay bucketed EQUI-joins on the wedge center with a
+    map-side-combined (partial + final) aggregate on the pair/co-degree
+    groupBy — an all-pairs BroadcastNestedLoopJoin/CartesianProduct here
+    is the O(N²) scale-killer, and losing the partial aggregate would
+    ship every wedge row through the shuffle un-combined."""
+    from l_space_spark.queries import q_adamic_adar_pairs, q_rectangle_count
+
+    for df in (q_adamic_adar_pairs(spark, SF_DIR),
+               q_rectangle_count(spark, SF_DIR)):
+        plan = _plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "partial_count" in plan, plan
+
+
+def test_dag_levels_link_cache_no_per_round_exchange(spark):
+    """dag_levels' per-superstep join must reuse the src-hashed link
+    cache without re-exchanging it (the pagerank/components discipline:
+    only the |V|-row level table shuffles per round)."""
+    import re
+
+    from l_space_spark.operators.toposort import dag_levels
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)] + [(0, 20), (10, 30)],
+        "src long, dst long",
+    )
+    res = dag_levels(spark, edges, max_iters=3, fixed_iters=True,
+                     resume=False, num_partitions=4, materialize_every=99)
+    plan = _plan(res.state)
+    # the cached links side must never sit directly under an Exchange
+    assert not re.search(
+        r"Exchange[^\n]*\n[\s:+|-]*InMemoryTableScan", plan
+    ), plan
