@@ -28,7 +28,8 @@ Four spec kinds:
     max_depth) · anf (params: max_t, k) · random_walks (params:
     walk_length, n_walks) · neighbor_jaccard (params: max_hub_degree) ·
     resource_allocation (params: max_hub_degree) · adamic_adar
-    (params: max_hub_degree) · rectangle_count (params: max_hub_degree) ·
+    (params: max_hub_degree) · preferential_attachment (params:
+    max_hub_degree) · rectangle_count (params: max_hub_degree) ·
     bowtie · dag_levels (params: fixed_iters) ·
     simrank (params: walk_length, n_walks, max_bucket).
     ``checkpoint_dir``+``resume`` make the run restartable (north rule); the
@@ -300,6 +301,15 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
         out = adamic_adar(edges, **params)
         if spec.get("top_k"):
             out = out.orderBy(F.desc("aa_e6"), "u", "w").limit(
+                int(spec["top_k"])
+            )
+        return out
+    if algo == "preferential_attachment":
+        from .operators.linkpred import preferential_attachment
+
+        out = preferential_attachment(edges, **params)
+        if spec.get("top_k"):
+            out = out.orderBy(F.desc("pa"), "u", "w").limit(
                 int(spec["top_k"])
             )
         return out

@@ -4096,6 +4096,112 @@ def q_build_order_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "preferential_attachment_pairs",
+    f"""
+WITH e0 AS ({MOD_EDGES_SQL}),
+und AS (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM e0 WHERE src <> dst
+  UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)),
+deg AS (SELECT src, count(*) AS d FROM und GROUP BY src),
+common AS (SELECT w1.dst AS u, w2.dst AS w, count(*) AS common
+           FROM und w1 JOIN und w2 ON w1.src = w2.src AND w1.dst < w2.dst
+           GROUP BY 1, 2)
+SELECT c.u, c.w, CAST(c.common AS BIGINT) AS common,
+       CAST(du.d * dw.d AS BIGINT) AS pa
+FROM common c JOIN deg du ON du.src = c.u JOIN deg dw ON dw.src = c.w
+ORDER BY u, w
+""".strip(),
+)
+def q_preferential_attachment_pairs(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Preferential-attachment link prediction (operators/linkpred.py
+    ``preferential_attachment``) over the hashed random graph: exact
+    BIGINT degree product per wedge-generated candidate pair —
+    completes the classic unsupervised quartet (Jaccard / RA / AA / PA)
+    with zero fixed-point arithmetic. Same wedge equi-join candidate
+    universe and ``max_hub_degree`` skew story as the other three
+    (uncapped on this fixture)."""
+    from .operators.linkpred import preferential_attachment
+
+    return (
+        preferential_attachment(mod_edges(spark, sf_dir))
+        .select("u", "w", F.col("common").cast("long").alias("common"),
+                F.col("pa").cast("long").alias("pa"))
+        .orderBy("u", "w")
+    )
+
+
+_LP_CONDUCTANCE_FINAL = """
+lab AS (SELECT id, label FROM {L}),
+twom AS (SELECT count(*) AS two_m FROM und),
+vol AS (
+  SELECT a.label, count(*) AS vol,
+         count(*) FILTER (WHERE a.label <> b.label) AS cut_msgs
+  FROM und u JOIN lab a ON u.src = a.id JOIN lab b ON u.dst = b.id
+  GROUP BY a.label
+)
+SELECT v.label AS label,
+       CAST(v.vol AS BIGINT) AS vol,
+       CAST(v.cut_msgs AS BIGINT) AS cut_msgs,
+       CAST(CASE WHEN least(v.vol, t.two_m - v.vol) = 0 THEN 0
+            ELSE (1000000 * v.cut_msgs) // least(v.vol, t.two_m - v.vol)
+            END AS BIGINT) AS phi_e6
+FROM vol v CROSS JOIN twom t
+ORDER BY label
+""".strip()
+
+
+@register("lp_conductance",
+          _labelprop_oracle(CHAIN_EDGES_SQL, LP_ITERS,
+                            final_select=_LP_CONDUCTANCE_FINAL))
+def q_lp_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance of the label-propagation partition, in
+    PURE INTEGER arithmetic: over the distinct symmetric closure, each
+    community's ``vol`` (closure rows leaving its members), ``cut_msgs``
+    (those landing outside the community — each undirected cut edge
+    counted once per side it leaves), and
+    ``phi = cut / min(vol, 2m - vol)`` as an e6 fixed point via integer
+    division (``1000000*cut div minvol``) — exact across engines. The
+    partition-quality companion to ``lp_modularity`` (low conductance =
+    well-separated community); the degenerate single-community case
+    (min = 0) reports 0.
+
+    Scale shape: ONE closure⋈labels⋈labels equi-join chain + a
+    combiner-backed groupBy; the only global is the 2m scalar broadcast
+    by a 1-row cross join (the PageRank dangling-mass discipline).
+    """
+    edges = chain_edges(spark, sf_dir)
+    res = label_propagation(spark, edges, max_iters=LP_ITERS,
+                            fixed_iters=True, resume=False,
+                            num_partitions=_small_graph_parts(spark))
+    lab = res.state.select("id", "label")
+    und = undirect(edges)
+    la = lab.select(F.col("id").alias("src"), F.col("label").alias("lsrc"))
+    lb = lab.select(F.col("id").alias("dst"), F.col("label").alias("ldst"))
+    vol = (
+        und.join(la, "src").join(lb, "dst")
+        .groupBy(F.col("lsrc").alias("label"))
+        .agg(F.count(F.lit(1)).alias("vol"),
+             F.sum(F.when(F.col("lsrc") != F.col("ldst"), 1)
+                   .otherwise(0)).alias("cut_msgs"))
+    )
+    two_m = und.agg(F.count(F.lit(1)).alias("two_m"))
+    minvol = F.least(F.col("vol"), F.col("two_m") - F.col("vol"))
+    return (
+        vol.crossJoin(F.broadcast(two_m))
+        .select(
+            "label",
+            F.col("vol").cast("long").alias("vol"),
+            F.col("cut_msgs").cast("long").alias("cut_msgs"),
+            F.when(minvol == 0, F.lit(0)).otherwise(
+                F.expr("(1000000 * cut_msgs) div least(vol, two_m - vol)")
+            ).cast("long").alias("phi_e6"),
+        )
+        .orderBy("label")
+    )
+
+
 _SNAP_A_SQL = """
 SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -4262,9 +4368,10 @@ _DRIVER_WINDOW: list[str] = [
     #  dedup_cluster_canonical + ann_ivf_topk, shortest-path/iterative by
     #  bfs_repeat_path + harmonic/betweenness family)
     # ROUND-5 TODO: after CORRECTNESS_r04, the only never-driver-sampled
-    # entries are adamic_adar_pairs, rectangle_count, build_order_levels
-    # (added after the r4 window was frozen) — rotate them in for r5,
-    # swapping out three entries that go green in CORRECTNESS_r04.
+    # entries are adamic_adar_pairs, rectangle_count, build_order_levels,
+    # preferential_attachment_pairs, lp_conductance (added after the r4
+    # window was frozen) — rotate them in for r5, swapping out entries
+    # that go green in CORRECTNESS_r04.
 ]
 
 

@@ -430,6 +430,15 @@ def test_round4_algorithm_specs(spark, tmp_path):
             .orderBy(F.desc("aa_e6"), "u", "w").limit(5).collect()]
     assert got == want
 
+    from l_space_spark.operators.linkpred import preferential_attachment
+
+    spec = {"kind": "algorithm", "algorithm": "preferential_attachment",
+            "input": {"edges_parquet": path}, "top_k": 5}
+    got = [tuple(r) for r in run_job(spark, spec).collect()]
+    want = [tuple(r) for r in preferential_attachment(edges)
+            .orderBy(F.desc("pa"), "u", "w").limit(5).collect()]
+    assert got == want
+
     spec = {"kind": "algorithm", "algorithm": "rectangle_count",
             "input": {"edges_parquet": path}}
     assert (run_job(spark, spec).collect()[0]["rectangles"]

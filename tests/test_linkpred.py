@@ -170,3 +170,60 @@ def test_aa_hub_cap(spark):
     pairs = [(99, i) for i in range(10)] + [(0, 1), (1, 2)]
     assert _run_aa(spark, pairs, max_hub_degree=5) == brute_aa(pairs,
                                                                max_hub=5)
+
+
+# --- preferential attachment -------------------------------------------------
+
+from l_space_spark.operators.linkpred import preferential_attachment  # noqa: E402
+
+
+def brute_pa(pairs, max_hub=None, min_common=1):
+    adj = {}
+    for s, d in pairs:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    hubs = {v for v in adj if max_hub is None or len(adj[v]) <= max_hub}
+    out = {}
+    cand = set()
+    for v in hubs:
+        ns = sorted(adj[v])
+        for i, u in enumerate(ns):
+            for w in ns[i + 1:]:
+                cand.add((u, w))
+    for u, w in cand:
+        common = len({v for v in adj[u] & adj[w] if v in hubs})
+        if common >= min_common:
+            # degree from the FULL graph, cap bounds generation only
+            out[(u, w)] = (common, len(adj[u]) * len(adj[w]))
+    return out
+
+
+def _run_pa(spark, pairs, **kw):
+    return {(r["u"], r["w"]): (r["common"], r["pa"])
+            for r in preferential_attachment(
+                edges_df(spark, pairs), **kw).collect()}
+
+
+def test_pa_square_with_diagonal(spark):
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    got = _run_pa(spark, pairs)
+    assert got == brute_pa(pairs)
+    # deg(1)=2, deg(3)=2 -> pa 4 on the (1,3) candidate
+    assert got[(1, 3)] == (2, 4)
+
+
+def test_pa_random_matches_brute(spark):
+    rng = random.Random(17)
+    pairs = [(rng.randrange(25), rng.randrange(25)) for _ in range(60)]
+    assert _run_pa(spark, pairs) == brute_pa(pairs)
+
+
+def test_pa_hub_cap_bounds_generation_not_degree(spark):
+    # celebrity 99 over the cap: no candidates THROUGH it, but where it
+    # survives as an endpoint its full degree still enters the product
+    pairs = [(99, i) for i in range(10)] + [(0, 1), (1, 2)]
+    got = _run_pa(spark, pairs, max_hub_degree=5)
+    assert got == brute_pa(pairs, max_hub=5)
+    assert (3, 4) not in got
+    assert got[(1, 99)] == (2, 3 * 10)  # deg(1)={0,2,99}=3, deg(99)=10
