@@ -49,6 +49,36 @@ from pyspark.sql import functions as F
 from ..plans.superstep import SuperstepResult, SuperstepRunner
 
 
+def _level_step(links: DataFrame, verts: DataFrame):
+    """The per-round relaxation, factored out so tests can pin its
+    physical plan directly (the post-run state is a checkpoint leaf
+    whose plan shows nothing): ``links`` and ``verts`` must arrive
+    cached and hash-partitioned on ``src`` resp. ``id``."""
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        msgs = (
+            links.join(
+                state.hint("shuffle_hash")
+                .select(F.col("id").alias("src"), "level"),
+                "src",
+            )
+            .groupBy("dst")
+            .agg((F.max("level") + F.lit(1)).alias("lv"))
+            .select(F.col("dst").alias("id"), "lv")
+        )
+        return verts.join(msgs.hint("shuffle_hash"), "id", "left").select(
+            "id", F.coalesce("lv", F.lit(0)).cast("long").alias("level")
+        )
+
+    return step
+
+
+def _total_level(df: DataFrame) -> int:
+    return df.agg(
+        F.coalesce(F.sum("level"), F.lit(0)).alias("t")
+    ).collect()[0]["t"]
+
+
 def dag_levels(
     spark: SparkSession,
     edges: DataFrame,
@@ -87,20 +117,8 @@ def dag_levels(
 
     init = verts.select("id", F.lit(0).cast("long").alias("level"))
 
-    def step(state: DataFrame, i: int) -> DataFrame:
-        msgs = (
-            links.join(
-                state.hint("shuffle_hash")
-                .select(F.col("id").alias("src"), "level"),
-                "src",
-            )
-            .groupBy("dst")
-            .agg((F.max("level") + F.lit(1)).alias("lv"))
-            .select(F.col("dst").alias("id"), "lv")
-        )
-        return verts.join(msgs.hint("shuffle_hash"), "id", "left").select(
-            "id", F.coalesce("lv", F.lit(0)).cast("long").alias("level")
-        )
+    step = _level_step(links, verts)
+    memo: dict = {"total": None}
 
     def raised(old: DataFrame, new: DataFrame) -> float:
         # levels are pointwise monotone nondecreasing, so the total-level
@@ -108,12 +126,15 @@ def dag_levels(
         # round instead of a |V|⋈|V| comparison join (the 1M-vertex probe
         # measured the join metric at ~2× the superstep itself). Σlevel ≤
         # |V|·depth ≤ |V|² stays far inside BIGINT at any realistic scale.
-        def total(df: DataFrame) -> int:
-            return df.agg(
-                F.coalesce(F.sum("level"), F.lit(0)).alias("t")
-            ).collect()[0]["t"]
-
-        return float(total(new) - total(old))
+        # One-slot memo: old's total IS last round's new total — seed it
+        # lazily (resume can start mid-run) and carry it forward, halving
+        # the metric jobs.
+        if memo["total"] is None:
+            memo["total"] = _total_level(old)
+        new_total = _total_level(new)
+        delta = float(new_total - memo["total"])
+        memo["total"] = new_total
+        return delta
 
     runner = SuperstepRunner(
         spark,

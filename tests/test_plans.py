@@ -511,19 +511,33 @@ def test_wedge_join_linkpred_family_plans(spark):
 def test_dag_levels_link_cache_no_per_round_exchange(spark):
     """dag_levels' per-superstep join must reuse the src-hashed link
     cache without re-exchanging it (the pagerank/components discipline:
-    only the |V|-row level table shuffles per round)."""
+    only the |V|-row level table shuffles per round). Pinned on the
+    REAL step builder (``_level_step``) applied to an un-checkpointed
+    state — the post-run ``res.state`` is a localCheckpoint leaf whose
+    plan shows nothing."""
     import re
 
-    from l_space_spark.operators.toposort import dag_levels
+    from l_space_spark.operators.toposort import _level_step
 
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(40)] + [(0, 20), (10, 30)],
         "src long, dst long",
     )
-    res = dag_levels(spark, edges, max_iters=3, fixed_iters=True,
-                     resume=False, num_partitions=4, materialize_every=99)
-    plan = _plan(res.state)
-    # the cached links side must never sit directly under an Exchange
-    assert not re.search(
-        r"Exchange[^\n]*\n[\s:+|-]*InMemoryTableScan", plan
-    ), plan
+    links = edges.repartition(4, "src").persist()
+    verts = (edges.select(F.col("src").alias("id"))
+             .unionByName(edges.select(F.col("dst").alias("id")))
+             .distinct().repartition(4, "id").persist())
+    try:
+        links.count(), verts.count()
+        state = verts.select(
+            "id", F.lit(0).cast("long").alias("level")
+        ).localCheckpoint(eager=True)
+        plan = _plan(_level_step(links, verts)(state, 0))
+        assert "InMemoryTableScan" in plan, plan
+        # neither cached side may sit directly under an Exchange
+        assert not re.search(
+            r"Exchange[^\n]*\n[\s:+|-]*InMemoryTableScan", plan
+        ), plan
+    finally:
+        links.unpersist()
+        verts.unpersist()
