@@ -30,7 +30,8 @@ Four spec kinds:
     resource_allocation (params: max_hub_degree) · adamic_adar
     (params: max_hub_degree) · preferential_attachment (params:
     max_hub_degree) · rectangle_count (params: max_hub_degree) ·
-    bowtie · dag_levels (params: fixed_iters) ·
+    bowtie · dag_levels (params: fixed_iters) · wl (params:
+    fixed_iters) ·
     simrank (params: walk_length, n_walks, max_bucket).
     ``checkpoint_dir``+``resume`` make the run restartable (north rule); the
     result DataFrame is written to ``output`` (or shown when absent).
@@ -146,6 +147,7 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
     from .operators.scc import strongly_connected_components
     from .operators.sssp import sssp
     from .operators.toposort import dag_levels
+    from .operators.wl import wl_refinement
     from .operators.triangles import (
         clustering_coefficient, triangle_list, triangles_per_vertex,
     )
@@ -173,6 +175,7 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
         "mis": maximal_independent_set,
         "coloring": greedy_coloring,
         "dag_levels": dag_levels,
+        "wl": wl_refinement,
     }
     if ckpt and (algo in supersteps
                  or algo in ("harmonic_centrality", "pagerank_incremental",

@@ -4202,6 +4202,59 @@ def q_lp_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WL_ITERS = 3
+
+
+def _wl_oracle(edges_sql: str, iters: int) -> str:
+    from .operators.wl import SUMMAND_MOD
+
+    parts = [
+        f"WITH e0 AS ({edges_sql}),",
+        "und AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM e0 WHERE src <> dst"
+        " UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)),",
+        "c0 AS MATERIALIZED (SELECT src AS id,"
+        " CAST(count(*) AS BIGINT) AS color FROM und GROUP BY src),",
+    ]
+    for k in range(iters):
+        recolor = _hash60_sql(
+            "p.color::VARCHAR || ':' || m.s::VARCHAR || ':' || m.c::VARCHAR"
+        )
+        parts += [
+            f"m{k} AS MATERIALIZED (SELECT u.dst AS id,"
+            f" sum({_hash60_sql('c.color::VARCHAR')} % {SUMMAND_MOD}) AS s,"
+            f" count(*) AS c"
+            f" FROM und u JOIN c{k} c ON c.id = u.src GROUP BY u.dst),",
+            f"c{k + 1} AS MATERIALIZED (SELECT p.id, {recolor} AS color"
+            f" FROM c{k} p JOIN m{k} m ON m.id = p.id),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT id, color FROM c{iters} ORDER BY id")
+    return "\n".join(parts)
+
+
+@register("wl_colors", _wl_oracle(MOD_EDGES_SQL, WL_ITERS))
+def q_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weisfeiler-Lehman structural colors (operators/wl.py
+    ``wl_refinement``) of the hashed random graph after WL_ITERS fixed
+    refinement rounds — the classic graph-ML vertex fingerprint and
+    structural-equivalence detector. The neighbor multiset is encoded
+    additively (``hash60(color) mod 10^9`` summed + count) so the
+    per-round plan is the PageRank superstep shape (combiner-backed,
+    hub-safe, |V|-row shuffle only) and the unrolled-CTE DuckDB oracle
+    compares exactly — no sorted-list collection anywhere."""
+    from .operators.wl import wl_refinement
+
+    res = wl_refinement(spark, mod_edges(spark, sf_dir),
+                        max_iters=WL_ITERS, fixed_iters=True, resume=False,
+                        num_partitions=_small_graph_parts(spark))
+    return (
+        res.state.select(F.col("id").cast("long").alias("id"),
+                         F.col("color").cast("long").alias("color"))
+        .orderBy("id")
+    )
+
+
 _SNAP_A_SQL = """
 SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -4369,7 +4422,7 @@ _DRIVER_WINDOW: list[str] = [
     #  bfs_repeat_path + harmonic/betweenness family)
     # ROUND-5 TODO: after CORRECTNESS_r04, the only never-driver-sampled
     # entries are adamic_adar_pairs, rectangle_count, build_order_levels,
-    # preferential_attachment_pairs, lp_conductance (added after the r4
+    # preferential_attachment_pairs, lp_conductance, wl_colors (added after the r4
     # window was frozen) — rotate them in for r5, swapping out entries
     # that go green in CORRECTNESS_r04.
 ]

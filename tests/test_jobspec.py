@@ -430,6 +430,18 @@ def test_round4_algorithm_specs(spark, tmp_path):
             .orderBy(F.desc("aa_e6"), "u", "w").limit(5).collect()]
     assert got == want
 
+    from l_space_spark.operators.wl import wl_refinement
+
+    spec = {"kind": "algorithm", "algorithm": "wl",
+            "input": {"edges_parquet": path}, "resume": False,
+            "params": {"max_iters": 2, "fixed_iters": True}}
+    got = {(r["id"], r["color"]) for r in run_job(spark, spec).collect()}
+    want = {(r["id"], r["color"])
+            for r in wl_refinement(spark, edges, max_iters=2,
+                                   fixed_iters=True,
+                                   resume=False).state.collect()}
+    assert got == want
+
     from l_space_spark.operators.linkpred import preferential_attachment
 
     spec = {"kind": "algorithm", "algorithm": "preferential_attachment",
