@@ -541,3 +541,33 @@ def test_dag_levels_link_cache_no_per_round_exchange(spark):
     finally:
         links.unpersist()
         verts.unpersist()
+
+
+def test_wl_recolor_no_per_round_edge_exchange(spark):
+    """WL's per-round recolor must reuse the src-hashed closure cache
+    without re-exchanging it, and the multiset aggregate must be
+    map-side combined (partial_sum/partial_count before the shuffle) —
+    losing either re-ships |E| rows per round."""
+    import re
+
+    from l_space_spark.operators.wl import _recolor_step
+    from l_space_spark.operators.components import undirect
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 50) for i in range(120)], "src long, dst long"
+    )
+    links = undirect(edges).repartition(4, "src").persist()
+    try:
+        links.count()
+        state = (links.groupBy("src").agg(F.count(F.lit(1)).alias("color"))
+                 .select(F.col("src").alias("id"),
+                         F.col("color").cast("long"))
+                 .localCheckpoint(eager=True))
+        plan = _plan(_recolor_step(links)(state, 0))
+        assert "InMemoryTableScan" in plan, plan
+        assert "partial_sum" in plan and "partial_count" in plan, plan
+        assert not re.search(
+            r"Exchange[^\n]*\n[\s:+|-]*InMemoryTableScan", plan
+        ), plan
+    finally:
+        links.unpersist()

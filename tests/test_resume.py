@@ -126,3 +126,36 @@ def test_time_limit_budget(spark):
     )
     assert res.timed_out and res.iterations == 1
     assert res.state.agg(F.max("x")).first()[0] == 1
+
+
+def test_dag_levels_and_wl_resume(spark, tmp_path):
+    """The two round-4 superstep operators inherit kill-and-resume from
+    SuperstepRunner: interrupt by deleting trailing checkpoints, resume,
+    identical final state."""
+    import shutil
+
+    from l_space_spark.operators.toposort import dag_levels
+    from l_space_spark.operators.wl import wl_refinement
+
+    # a 7-deep chain plus shortcuts: several rounds of real work
+    pairs = [(i, i + 1) for i in range(7)] + [(0, 3), (2, 6), (1, 5)]
+    e = edges_df(spark, pairs)
+
+    for name, run in (
+        ("dag", lambda **kw: dag_levels(spark, e, max_iters=6,
+                                        fixed_iters=True,
+                                        num_partitions=4, **kw)),
+        ("wl", lambda **kw: wl_refinement(spark, e, max_iters=4,
+                                          fixed_iters=True,
+                                          num_partitions=4, **kw)),
+    ):
+        want = {tuple(r) for r in run(resume=False).state.collect()}
+        ck = str(tmp_path / f"ck_{name}")
+        run(checkpoint_dir=ck, resume=False)
+        for i in (3, 4, 5):
+            d = os.path.join(ck, f"state_{i:05d}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        resumed = run(checkpoint_dir=ck, resume=True)
+        assert resumed.resumed_from == 2, name
+        assert {tuple(r) for r in resumed.state.collect()} == want, name
