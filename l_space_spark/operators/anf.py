@@ -155,18 +155,21 @@ def neighborhood_function(
         checkpoint_dir=checkpoint_dir,
         config={"algo": "anf", "k": k, **(config_extra or {})},
     )
-    result = runner.run(init, step, metric_fn=round_total, resume=resume)
+    try:
+        result = runner.run(init, step, metric_fn=round_total, resume=resume)
 
-    # label totals by the rounds THIS run actually executed: a resumed
-    # run starts at resumed_from + 1 and its first measured total is
-    # N(resumed_from + 2); earlier points live in the prior run's output
-    first_t = 1 if result.resumed_from is None else result.resumed_from + 2
-    rows = [(t, n) for t, n in zip(
-        range(first_t, first_t + len(exact_totals)), exact_totals)]
-    if result.resumed_from is None:
-        rows = [(0, verts.count() * 1000)] + rows
-    totals = spark.createDataFrame(rows, "t int, total_e3 long")
-    e.unpersist()
+        # label totals by the rounds THIS run actually executed: a
+        # resumed run starts at resumed_from + 1 and its first measured
+        # total is N(resumed_from + 2); earlier points live in the
+        # prior run's output
+        first_t = 1 if result.resumed_from is None else result.resumed_from + 2
+        rows = [(t, n) for t, n in zip(
+            range(first_t, first_t + len(exact_totals)), exact_totals)]
+        if result.resumed_from is None:
+            rows = [(0, verts.count() * 1000)] + rows
+        totals = spark.createDataFrame(rows, "t int, total_e3 long")
+    finally:
+        e.unpersist()
     return totals, result
 
 

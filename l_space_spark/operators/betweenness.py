@@ -59,97 +59,98 @@ def betweenness_sampled(
         edges.select("src", "dst").where(F.col("src") != F.col("dst"))
         .distinct().repartition(num_partitions, "src").persist()
     )
-    verts = edges.select(F.col("src").alias("id")).unionByName(
-        edges.select(F.col("dst").alias("id"))
-    ).distinct().localCheckpoint(eager=True)
-    # sample from the SELF-LOOP-FREE universe: a self-loop-only vertex
-    # has an empty BFS and would silently occupy a sample slot,
-    # shrinking the effective source count (the harmonic-centrality
-    # pitfall, centrality.py) — the bc output still covers all of verts
-    sample_verts = e.select(F.col("src").alias("id")).unionByName(
-        e.select(F.col("dst").alias("id"))
-    ).distinct()
+    try:
+        verts = edges.select(F.col("src").alias("id")).unionByName(
+            edges.select(F.col("dst").alias("id"))
+        ).distinct().localCheckpoint(eager=True)
+        # sample from the SELF-LOOP-FREE universe: a self-loop-only vertex
+        # has an empty BFS and would silently occupy a sample slot,
+        # shrinking the effective source count (the harmonic-centrality
+        # pitfall, centrality.py) — the bc output still covers all of verts
+        sample_verts = e.select(F.col("src").alias("id")).unionByName(
+            e.select(F.col("dst").alias("id"))
+        ).distinct()
 
-    w = Window.orderBy(
-        hash60(F.concat_ws(":", F.lit(seed), F.col("id").cast("string"))),
-        "id",
-    )
-    sources = (
-        sample_verts.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= n_sources)
-        .select(F.col("id").alias("s"))
-    )
-
-    # forward: levels[l] = (s, v, sigma) at exact hop distance l
-    f = sources.select("s", F.col("s").alias("v"),
-                       F.lit(1).cast("long").alias("sigma"))
-    f = f.localCheckpoint(eager=True)
-    levels = [f]
-    visited = f.select("s", "v").localCheckpoint(eager=True)
-    for _ in range(max_depth):
-        cand = (
-            f.hint("shuffle_hash").join(e, f["v"] == e["src"])
-            .groupBy("s", F.col("dst").alias("nv"))
-            .agg(F.sum("sigma").alias("sigma"))
+        w = Window.orderBy(
+            hash60(F.concat_ws(":", F.lit(seed), F.col("id").cast("string"))),
+            "id",
         )
-        f = (
-            cand.join(
-                visited,
-                (cand["s"] == visited["s"]) & (cand["nv"] == visited["v"]),
-                "anti",
+        sources = (
+            sample_verts.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= n_sources)
+            .select(F.col("id").alias("s"))
+        )
+
+        # forward: levels[l] = (s, v, sigma) at exact hop distance l
+        f = sources.select("s", F.col("s").alias("v"),
+                           F.lit(1).cast("long").alias("sigma"))
+        f = f.localCheckpoint(eager=True)
+        levels = [f]
+        visited = f.select("s", "v").localCheckpoint(eager=True)
+        for _ in range(max_depth):
+            cand = (
+                f.hint("shuffle_hash").join(e, f["v"] == e["src"])
+                .groupBy("s", F.col("dst").alias("nv"))
+                .agg(F.sum("sigma").alias("sigma"))
             )
-            .select("s", F.col("nv").alias("v"), "sigma")
-            .localCheckpoint(eager=True)
-        )
-        if f.isEmpty():
-            break
-        levels.append(f)
-        visited = visited.unionByName(f.select("s", "v")) \
-            .localCheckpoint(eager=True)
-
-    # backward: delta in e9 fixed point, deepest level contributes 0
-    deltas = [None] * len(levels)
-    deltas[-1] = levels[-1].select(
-        "s", "v", F.lit(0).cast("long").alias("delta")
-    )
-    for l in range(len(levels) - 2, 0, -1):
-        nxt = levels[l + 1].join(deltas[l + 1], ["s", "v"]).select(
-            "s", F.col("v").alias("w"),
-            F.col("sigma").alias("sigma_w"), "delta",
-        )
-        terms = (
-            levels[l].alias("fv")
-            .join(e, F.col("fv.v") == e["src"])
-            .join(
-                nxt.alias("nx"),
-                (F.col("nx.s") == F.col("fv.s"))
-                & (F.col("nx.w") == e["dst"]),
+            f = (
+                cand.join(
+                    visited,
+                    (cand["s"] == visited["s"]) & (cand["nv"] == visited["v"]),
+                    "anti",
+                )
+                .select("s", F.col("nv").alias("v"), "sigma")
+                .localCheckpoint(eager=True)
             )
-            .select(
-                F.col("fv.s").alias("s"), F.col("fv.v").alias("v"),
-                F.expr(f"(fv.sigma * ({E9} + delta)) div sigma_w")
-                .alias("term"),
-            )
-            .groupBy("s", "v")
-            .agg(F.sum("term").alias("dsum"))
-        )
-        deltas[l] = (
-            levels[l].join(terms, ["s", "v"], "left")
-            .select("s", "v",
-                    F.coalesce("dsum", F.lit(0)).cast("long").alias("delta"))
-            .localCheckpoint(eager=True)
-        )
+            if f.isEmpty():
+                break
+            levels.append(f)
+            visited = visited.unionByName(f.select("s", "v")) \
+                .localCheckpoint(eager=True)
 
-    contrib = None
-    for d in deltas[1:]:
-        contrib = d if contrib is None else contrib.unionByName(d)
-    if contrib is None:  # depth 0 / no expansion: everything scores 0
-        out = verts.select("id", F.lit(0).cast("long").alias("bc_e9"))
-        e.unpersist()
+        # backward: delta in e9 fixed point, deepest level contributes 0
+        deltas = [None] * len(levels)
+        deltas[-1] = levels[-1].select(
+            "s", "v", F.lit(0).cast("long").alias("delta")
+        )
+        for l in range(len(levels) - 2, 0, -1):
+            nxt = levels[l + 1].join(deltas[l + 1], ["s", "v"]).select(
+                "s", F.col("v").alias("w"),
+                F.col("sigma").alias("sigma_w"), "delta",
+            )
+            terms = (
+                levels[l].alias("fv")
+                .join(e, F.col("fv.v") == e["src"])
+                .join(
+                    nxt.alias("nx"),
+                    (F.col("nx.s") == F.col("fv.s"))
+                    & (F.col("nx.w") == e["dst"]),
+                )
+                .select(
+                    F.col("fv.s").alias("s"), F.col("fv.v").alias("v"),
+                    F.expr(f"(fv.sigma * ({E9} + delta)) div sigma_w")
+                    .alias("term"),
+                )
+                .groupBy("s", "v")
+                .agg(F.sum("term").alias("dsum"))
+            )
+            deltas[l] = (
+                levels[l].join(terms, ["s", "v"], "left")
+                .select("s", "v",
+                        F.coalesce("dsum", F.lit(0)).cast("long").alias("delta"))
+                .localCheckpoint(eager=True)
+            )
+
+        contrib = None
+        for d in deltas[1:]:
+            contrib = d if contrib is None else contrib.unionByName(d)
+        if contrib is None:  # depth 0 / no expansion: everything scores 0
+            out = verts.select("id", F.lit(0).cast("long").alias("bc_e9"))
+            return out
+        bc = contrib.groupBy("v").agg(F.sum("delta").alias("bc_e9"))
+        out = verts.join(bc, verts["id"] == bc["v"], "left").select(
+            "id", F.coalesce("bc_e9", F.lit(0)).cast("long").alias("bc_e9")
+        ).localCheckpoint(eager=True)
         return out
-    bc = contrib.groupBy("v").agg(F.sum("delta").alias("bc_e9"))
-    out = verts.join(bc, verts["id"] == bc["v"], "left").select(
-        "id", F.coalesce("bc_e9", F.lit(0)).cast("long").alias("bc_e9")
-    ).localCheckpoint(eager=True)
-    e.unpersist()
-    return out
+    finally:
+        e.unpersist()

@@ -75,39 +75,41 @@ def bowtie_classes(
         links.unpersist()
         return spark.createDataFrame([], "id long, cls string")
 
-    scc = strongly_connected_components(
-        spark, links, resume=False, num_partitions=num_partitions
-    ).state.select("id", "scc")
-    # largest SCC, deterministic tie-break on the component id
-    top = (
-        scc.groupBy("scc").agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), F.col("scc").asc())
-        .limit(1)
-        .collect()
-    )
-    core_id = top[0]["scc"]
-    core = scc.where(F.col("scc") == F.lit(core_id)).select("id")
+    try:
+        scc = strongly_connected_components(
+            spark, links, resume=False, num_partitions=num_partitions
+        ).state.select("id", "scc")
+        # largest SCC, deterministic tie-break on the component id
+        top = (
+            scc.groupBy("scc").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("scc").asc())
+            .limit(1)
+            .collect()
+        )
+        core_id = top[0]["scc"]
+        core = scc.where(F.col("scc") == F.lit(core_id)).select("id")
 
-    def reached(seed: DataFrame, a: str, b: str) -> DataFrame:
-        out = _propagate_min(_flag(verts, seed), links, a, b, max_iters)
-        # truncate lineage: each fixpoint's logical plan otherwise feeds
-        # the NEXT propagation's seed and the final 5-way classification
-        # join, and the composed plan tree grows multiplicatively (AQE
-        # re-plans + explain-string building blew the driver heap on the
-        # un-truncated version at sf0.01)
-        return (out.where(F.col("lab") == 0).select("id")
-                .localCheckpoint(eager=True))
+        def reached(seed: DataFrame, a: str, b: str) -> DataFrame:
+            out = _propagate_min(_flag(verts, seed), links, a, b, max_iters)
+            # truncate lineage: each fixpoint's logical plan otherwise feeds
+            # the NEXT propagation's seed and the final 5-way classification
+            # join, and the composed plan tree grows multiplicatively (AQE
+            # re-plans + explain-string building blew the driver heap on the
+            # un-truncated version at sf0.01)
+            return (out.where(F.col("lab") == 0).select("id")
+                    .localCheckpoint(eager=True))
 
-    core = core.localCheckpoint(eager=True)
-    fwd = reached(core, "src", "dst")          # core ∪ out
-    bwd = reached(core, "dst", "src")          # core ∪ in
-    out_set = fwd.join(core, "id", "anti").localCheckpoint(eager=True)
-    in_set = bwd.join(core, "id", "anti").localCheckpoint(eager=True)
-    from_in = reached(in_set, "src", "dst")    # in ∪ reachable-from-in
-    to_out = reached(out_set, "dst", "src")    # out ∪ reaches-out
-    # all consumers of links (scc + the four fixpoints) are checkpoint-
-    # truncated above — the returned plan never re-reads it
-    links.unpersist()
+        core = core.localCheckpoint(eager=True)
+        fwd = reached(core, "src", "dst")          # core ∪ out
+        bwd = reached(core, "dst", "src")          # core ∪ in
+        out_set = fwd.join(core, "id", "anti").localCheckpoint(eager=True)
+        in_set = bwd.join(core, "id", "anti").localCheckpoint(eager=True)
+        from_in = reached(in_set, "src", "dst")    # in ∪ reachable-from-in
+        to_out = reached(out_set, "dst", "src")    # out ∪ reaches-out
+    finally:
+        # all consumers of links (scc + the four fixpoints) are checkpoint-
+        # truncated above — the returned plan never re-reads it
+        links.unpersist()
 
     cls = (
         verts

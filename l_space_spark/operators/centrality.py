@@ -116,10 +116,13 @@ def multi_source_bfs(
                 "sources": seed_digest, "n_sources": len(seed_ids),
                 **(config_extra or {})},
     )
-    result = runner.run(
-        init, step, metric_fn=None if fixed_iters else changed, resume=resume
-    )
-    e.unpersist()
+    try:
+        result = runner.run(
+            init, step, metric_fn=None if fixed_iters else changed,
+            resume=resume,
+        )
+    finally:
+        e.unpersist()
     return result
 
 

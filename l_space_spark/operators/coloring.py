@@ -130,9 +130,11 @@ def greedy_coloring(
         config={"algo": "coloring", "seed": seed,
                 **(config_extra or {})},
     )
-    result = runner.run(
-        init, step, metric_fn=None if fixed_iters else uncolored,
-        resume=resume,
-    )
-    und.unpersist()
+    try:
+        result = runner.run(
+            init, step, metric_fn=None if fixed_iters else uncolored,
+            resume=resume,
+        )
+    finally:
+        und.unpersist()
     return result

@@ -174,11 +174,13 @@ def connected_components(
         config={"algo": "connected_components", "impl": impl,
                 **(config_extra or {})},
     )
-    result = runner.run(init, step, metric_fn=changed_count, resume=resume)
-    und.unpersist()
-    vertices.unpersist()
-    if csr_blocks is not None:
-        csr_blocks.unpersist()
+    try:
+        result = runner.run(init, step, metric_fn=changed_count, resume=resume)
+    finally:
+        und.unpersist()
+        vertices.unpersist()
+        if csr_blocks is not None:
+            csr_blocks.unpersist()
     return result
 
 

@@ -90,9 +90,11 @@ def coreness(
         checkpoint_dir=checkpoint_dir,
         config={"algo": "coreness", **(config_extra or {})},
     )
-    result = runner.run(
-        init, step, metric_fn=None if fixed_iters else changed,
-        resume=resume,
-    )
-    und.unpersist()
+    try:
+        result = runner.run(
+            init, step, metric_fn=None if fixed_iters else changed,
+            resume=resume,
+        )
+    finally:
+        und.unpersist()
     return result

@@ -1,5 +1,6 @@
-"""Whole-graph structure operators: bipartite projection and degree
-assortativity.
+"""Whole-graph structure operators: bipartite projection, degree
+assortativity, 4-cycle census, rich-club curve, local bridges, and the
+edge-embeddedness histogram.
 
 ``bipartite_project`` folds a bipartite edge table (e.g. the
 customer→supplier graph the TPC-H extraction yields) into a weighted
@@ -107,6 +108,93 @@ def rectangle_count(
     return codeg.agg(
         F.expr("coalesce(sum(c * (c - 1) div 2), 0) div 2")
         .cast("long").alias("rectangles")
+    )
+
+
+def rich_club(edges: DataFrame, ks: tuple = (1, 2, 4, 8, 16)) -> DataFrame:
+    """Rich-club coefficient curve: for each degree threshold k, the
+    edge density among vertices of degree > k —
+    ``phi(k) = 2·E_{>k} / (N_{>k}·(N_{>k}−1))``, the standard
+    hub-interconnection diagnostic (Zhou & Mondragón 2004). Returns
+    ``(k int, n_gt long, e_gt long, phi_e6 long)`` rows, one per k,
+    phi_e6 NULL when fewer than two qualifying vertices.
+
+    Exact cross-engine arithmetic: the density is an INTEGER division
+    ``(2000000·E) div (N·(N−1))`` — no doubles anywhere. Plan shape:
+    one degree aggregate (|V| rows), two degree joins onto the
+    canonical edge set, then a constant |ks|-way explode feeding two
+    combiner-backed counts — linear in |E| at any scale, no per-k
+    rescan of the edge table."""
+    und = undirect(edges)
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    canon = und.where(F.col("src") < F.col("dst"))
+    m = (
+        canon.join(deg.withColumnRenamed("src", "a_v")
+                   .withColumnRenamed("d", "da"),
+                   F.col("src") == F.col("a_v"))
+        .join(deg.withColumnRenamed("src", "b_v")
+              .withColumnRenamed("d", "db"),
+              F.col("dst") == F.col("b_v"))
+        .select(F.least("da", "db").alias("m"))
+    )
+    karr = F.array(*[F.lit(int(k)) for k in sorted(set(ks))])
+    kdf_e = m.select(F.explode(karr).alias("k"), "m")
+    e_gt = (
+        kdf_e.groupBy("k")
+        .agg(F.sum(F.when(F.col("m") > F.col("k"), 1).otherwise(0))
+             .cast("long").alias("e_gt"))
+    )
+    kdf_n = deg.select(F.explode(karr).alias("k"), "d")
+    n_gt = (
+        kdf_n.groupBy("k")
+        .agg(F.sum(F.when(F.col("d") > F.col("k"), 1).otherwise(0))
+             .cast("long").alias("n_gt"))
+    )
+    return (
+        n_gt.join(e_gt, "k")
+        .select(
+            "k", "n_gt", "e_gt",
+            F.when(
+                F.col("n_gt") >= 2,
+                F.expr("(2000000 * e_gt) div (n_gt * (n_gt - 1))"),
+            ).cast("long").alias("phi_e6"),
+        )
+    )
+
+
+def local_bridges(edges: DataFrame) -> DataFrame:
+    """Canonical edges ``(a, b)`` whose endpoints share NO common
+    neighbor — Granovetter's local bridges (span > 2): removing one
+    strictly lengthens the a↔b distance, so these are exactly the
+    weak-tie edges that carry non-redundant connectivity. Equivalently
+    the 0-support edges, so the kernel is the degree-ordered oriented
+    wedge join from ``ktruss.edge_support`` (skew-bounded, O(Σdeg²) on
+    the low-degree endpoint side) followed by a support == 0 filter —
+    never an adjacency-list intersection per edge."""
+    from .ktruss import edge_support
+    from .triangles import _canonical
+
+    return (
+        edge_support(_canonical(edges))
+        .where(F.col("support") == 0)
+        .select("a", "b")
+    )
+
+
+def embeddedness_distribution(edges: DataFrame) -> DataFrame:
+    """``(support long, n_edges long)``: how many edges sit in exactly
+    ``support`` triangles — the edge-embeddedness histogram (the edge
+    analog of the clustering-coefficient distribution, the standard
+    strong/weak-tie profile). Same ``edge_support`` kernel as
+    ``local_bridges``; the histogram itself is one combiner-backed
+    groupBy over |E| rows."""
+    from .ktruss import edge_support
+    from .triangles import _canonical
+
+    return (
+        edge_support(_canonical(edges))
+        .groupBy(F.col("support").cast("long").alias("support"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     )
 
 

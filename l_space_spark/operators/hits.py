@@ -106,9 +106,12 @@ def hits(
         config={"algo": "hits", "fixed_iters": max_iters if fixed_iters else None,
                 **(config_extra or {})},
     )
-    result = runner.run(
-        init, step, metric_fn=None if fixed_iters else l1_delta, resume=resume
-    )
-    links.unpersist()
-    vertices.unpersist()
+    try:
+        result = runner.run(
+            init, step, metric_fn=None if fixed_iters else l1_delta,
+            resume=resume,
+        )
+    finally:
+        links.unpersist()
+        vertices.unpersist()
     return result

@@ -83,8 +83,11 @@ def kcore(
         config={"algo": "kcore", "k": k, **(config_extra or {}),
                 "fixed_iters": max_iters if fixed_iters else None},
     )
-    result = runner.run(
-        init, step, metric_fn=None if fixed_iters else removed, resume=resume
-    )
-    canon.unpersist()
+    try:
+        result = runner.run(
+            init, step, metric_fn=None if fixed_iters else removed,
+            resume=resume,
+        )
+    finally:
+        canon.unpersist()
     return result

@@ -164,11 +164,14 @@ def label_propagation(
         config={"algo": "label_propagation", "fixed": fixed_iters,
                 "impl": impl, **(config_extra or {})},
     )
-    result = runner.run(
-        init, step, metric_fn=None if fixed_iters else changed_count, resume=resume
-    )
-    und.unpersist()
-    vertices.unpersist()
-    if csr_blocks is not None:
-        csr_blocks.unpersist()
+    try:
+        result = runner.run(
+            init, step, metric_fn=None if fixed_iters else changed_count,
+            resume=resume,
+        )
+    finally:
+        und.unpersist()
+        vertices.unpersist()
+        if csr_blocks is not None:
+            csr_blocks.unpersist()
     return result

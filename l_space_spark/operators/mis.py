@@ -125,6 +125,8 @@ def maximal_independent_set(
         checkpoint_dir=checkpoint_dir,
         config={"algo": "mis", "seed": seed, **(config_extra or {})},
     )
-    result = runner.run(init, step, metric_fn=remaining, resume=resume)
-    und.unpersist()
+    try:
+        result = runner.run(init, step, metric_fn=remaining, resume=resume)
+    finally:
+        und.unpersist()
     return result

@@ -492,16 +492,19 @@ def pagerank(
         },
         time_limit_s=time_limit_s,
     )
-    result = runner.run(
-        init, step, metric_fn=None if fixed_iters else l1_delta, resume=resume
-    )
-    links.unpersist()
-    dangling.unpersist()
-    vertices.unpersist()
-    if verts_tp is not None:
-        verts_tp.unpersist()
-    if csr_blocks is not None:
-        csr_blocks.unpersist()
+    try:
+        result = runner.run(
+            init, step, metric_fn=None if fixed_iters else l1_delta,
+            resume=resume,
+        )
+    finally:
+        links.unpersist()
+        dangling.unpersist()
+        vertices.unpersist()
+        if verts_tp is not None:
+            verts_tp.unpersist()
+        if csr_blocks is not None:
+            csr_blocks.unpersist()
     return result
 
 

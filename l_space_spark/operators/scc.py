@@ -232,6 +232,8 @@ def strongly_connected_components(
         checkpoint_dir=checkpoint_dir,
         config={"algo": "scc", **(config_extra or {})},
     )
-    result = runner.run(init, step, metric_fn=remaining, resume=resume)
-    e.unpersist()
+    try:
+        result = runner.run(init, step, metric_fn=remaining, resume=resume)
+    finally:
+        e.unpersist()
     return result

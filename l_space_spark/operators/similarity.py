@@ -475,6 +475,8 @@ def ivf_train_kmeans(
         spark, max_iters=max_iters, tol=tol, checkpoint_dir=checkpoint_dir,
         config={"algo": "ivf_kmeans", "k": n_centroids},
     )
-    result = runner.run(init, step, metric_fn=shift, resume=resume)
-    base.unpersist()
+    try:
+        result = runner.run(init, step, metric_fn=shift, resume=resume)
+    finally:
+        base.unpersist()
     return result

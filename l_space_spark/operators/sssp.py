@@ -100,10 +100,12 @@ def sssp(
                 "weight_col": weight_col, "fixed": fixed_iters,
                 **(config_extra or {})},
     )
-    result = runner.run(
-        init, step, metric_fn=None if fixed_iters else changed_count,
-        resume=resume,
-    )
-    e.unpersist()
-    vertices.unpersist()
+    try:
+        result = runner.run(
+            init, step, metric_fn=None if fixed_iters else changed_count,
+            resume=resume,
+        )
+    finally:
+        e.unpersist()
+        vertices.unpersist()
     return result

@@ -147,9 +147,12 @@ def dag_levels(
         # fixed-iteration runs may fuse k rounds per materialization
         materialize_every=materialize_every,
     )
-    result = runner.run(
-        init, step, metric_fn=None if fixed_iters else raised, resume=resume
-    )
-    links.unpersist()
-    verts.unpersist()
+    try:
+        result = runner.run(
+            init, step, metric_fn=None if fixed_iters else raised,
+            resume=resume,
+        )
+    finally:
+        links.unpersist()
+        verts.unpersist()
     return result

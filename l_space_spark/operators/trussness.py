@@ -114,10 +114,12 @@ def trussness(
         checkpoint_dir=checkpoint_dir,
         config={"algo": "trussness", **(config_extra or {})},
     )
-    result = runner.run(
-        init, step, metric_fn=None if fixed_iters else changed,
-        resume=resume,
-    )
-    tri.unpersist()
-    canon.unpersist()
+    try:
+        result = runner.run(
+            init, step, metric_fn=None if fixed_iters else changed,
+            resume=resume,
+        )
+    finally:
+        tri.unpersist()
+        canon.unpersist()
     return result

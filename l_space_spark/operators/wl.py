@@ -139,9 +139,11 @@ def wl_refinement(
                 "fixed_iters": max_iters if fixed_iters else None},
         materialize_every=materialize_every,
     )
-    result = runner.run(
-        init, step, metric_fn=None if fixed_iters else new_splits,
-        resume=resume,
-    )
-    links.unpersist()
+    try:
+        result = runner.run(
+            init, step, metric_fn=None if fixed_iters else new_splits,
+            resume=resume,
+        )
+    finally:
+        links.unpersist()
     return result

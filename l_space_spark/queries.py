@@ -4343,6 +4343,112 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RICH_CLUB_KS = (2, 4, 8, 16, 32, 64)
+_RICH_CLUB_KS_SQL = ", ".join(str(k) for k in RICH_CLUB_KS)
+
+
+@register(
+    "rich_club_curve",
+    f"""
+WITH e0 AS ({MOD_EDGES_SQL}),
+und AS (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM e0 WHERE src <> dst
+  UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)),
+deg AS (SELECT src AS v, count(*) AS d FROM und GROUP BY 1),
+ks AS (SELECT unnest([{_RICH_CLUB_KS_SQL}]) AS k),
+em AS (SELECT least(da.d, db.d) AS m
+       FROM und u JOIN deg da ON da.v = u.src JOIN deg db ON db.v = u.dst
+       WHERE u.src < u.dst),
+nv AS (SELECT ks.k, CAST(count(deg.v) AS BIGINT) AS n_gt
+       FROM ks LEFT JOIN deg ON deg.d > ks.k GROUP BY 1),
+ne AS (SELECT ks.k, CAST(count(em.m) AS BIGINT) AS e_gt
+       FROM ks LEFT JOIN em ON em.m > ks.k GROUP BY 1)
+SELECT CAST(nv.k AS INT) AS k, n_gt, e_gt,
+       CAST(CASE WHEN n_gt >= 2
+                 THEN (2000000 * e_gt) // (n_gt * (n_gt - 1))
+            END AS BIGINT) AS phi_e6
+FROM nv JOIN ne ON ne.k = nv.k ORDER BY k
+""".strip(),
+)
+def q_rich_club_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient curve (operators/graphstats.py
+    ``rich_club``) of the hashed random graph: edge density among
+    vertices of degree > k for six thresholds, at e6 fixed point via
+    pure integer division — the hub-interconnection diagnostic for a
+    link graph (do high-degree repos import each other?). High
+    thresholds that leave <2 qualifying vertices yield NULL, exercising
+    the degenerate branch at small SF."""
+    from .operators.graphstats import rich_club
+
+    return rich_club(mod_edges(spark, sf_dir), ks=RICH_CLUB_KS).orderBy("k")
+
+
+@register(
+    "local_bridges",
+    f"""
+WITH e0 AS ({MOD_EDGES_SQL}),
+und AS (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM e0 WHERE src <> dst
+  UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)),
+canon AS (SELECT src AS a, dst AS b FROM und WHERE src < dst)
+SELECT a, b FROM canon c
+WHERE NOT EXISTS (
+  SELECT 1 FROM und n1 JOIN und n2 ON n2.dst = n1.dst
+  WHERE n1.src = c.a AND n2.src = c.b)
+ORDER BY a, b
+""".strip(),
+)
+def q_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granovetter local bridges (operators/graphstats.py
+    ``local_bridges``): edges whose endpoints share no common neighbor
+    — the weak ties carrying non-redundant connectivity. Kernel is the
+    degree-ordered oriented wedge join (``ktruss.edge_support``) with a
+    support == 0 filter, so the plan is the skew-bounded triangle shape,
+    not a per-edge adjacency intersection; the oracle states the same
+    predicate as NOT EXISTS over the symmetric closure."""
+    from .operators.graphstats import local_bridges
+
+    return (
+        local_bridges(mod_edges(spark, sf_dir))
+        .select(F.col("a").cast("long"), F.col("b").cast("long"))
+        .orderBy("a", "b")
+    )
+
+
+@register(
+    "embeddedness_distribution",
+    f"""
+WITH e0 AS ({MOD_EDGES_SQL}),
+und AS (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM e0 WHERE src <> dst
+  UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)),
+canon AS (SELECT src AS a, dst AS b FROM und WHERE src < dst),
+sup AS (
+  SELECT c.a, c.b, CAST(count(n1.dst) AS BIGINT) AS support
+  FROM canon c
+  LEFT JOIN (und n1 JOIN und n2 ON n2.dst = n1.dst)
+    ON n1.src = c.a AND n2.src = c.b
+  GROUP BY c.a, c.b)
+SELECT support, CAST(count(*) AS BIGINT) AS n_edges
+FROM sup GROUP BY support ORDER BY support
+""".strip(),
+)
+def q_embeddedness_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-embeddedness histogram (operators/graphstats.py
+    ``embeddedness_distribution``): number of edges in exactly
+    ``support`` triangles — the strong/weak-tie profile of the link
+    graph and the sanity companion to ``local_bridges`` (its rows are
+    the support=0 bucket). Spark side counts triangles per edge via the
+    oriented wedge join; the oracle recounts common neighbors directly
+    over the symmetric closure."""
+    from .operators.graphstats import embeddedness_distribution
+
+    return (
+        embeddedness_distribution(mod_edges(spark, sf_dir))
+        .orderBy("support")
+    )
+
+
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
 # in iteration order.  Registration order above is historical (round 1 → 3),
 # so without reordering the round-2/3 algorithm family would never receive a
@@ -4422,9 +4528,10 @@ _DRIVER_WINDOW: list[str] = [
     #  bfs_repeat_path + harmonic/betweenness family)
     # ROUND-5 TODO: after CORRECTNESS_r04, the only never-driver-sampled
     # entries are adamic_adar_pairs, rectangle_count, build_order_levels,
-    # preferential_attachment_pairs, lp_conductance, wl_colors (added after the r4
-    # window was frozen) — rotate them in for r5, swapping out entries
-    # that go green in CORRECTNESS_r04.
+    # preferential_attachment_pairs, lp_conductance, wl_colors,
+    # rich_club_curve, local_bridges, embeddedness_distribution (added
+    # after the r4 window was frozen) — rotate them in for r5, swapping
+    # out entries that go green in CORRECTNESS_r04.
 ]
 
 

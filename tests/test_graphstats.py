@@ -157,3 +157,93 @@ def test_hub_cap_random_matches_induced_brute(spark):
         assert _rect(spark, pairs, max_hub_degree=cap) == brute_rectangles(
             induced_under_cap(pairs, cap)
         )
+
+
+# ---- rich club / local bridges / embeddedness ----
+
+def rich_club_twin(pairs, ks):
+    adj = defaultdict(set)
+    for s, d in pairs:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    out = {}
+    for k in ks:
+        vs = {v for v in adj if len(adj[v]) > k}
+        n = len(vs)
+        e = sum(1 for a in vs for b in adj[a] if b in vs and a < b)
+        phi = (2_000_000 * e) // (n * (n - 1)) if n >= 2 else None
+        out[k] = (n, e, phi)
+    return out
+
+
+def test_rich_club_star_plus_clique(spark):
+    # K4 on 0-3 plus leaves 10..14 hung off vertex 0
+    pairs = ([(a, b) for a in range(4) for b in range(a + 1, 4)]
+             + [(0, i) for i in range(10, 15)])
+    from l_space_spark.operators.graphstats import rich_club
+    got = {r["k"]: (r["n_gt"], r["e_gt"], r["phi_e6"]) for r in
+           rich_club(edges_df(spark, pairs), ks=(1, 2, 3, 8)).collect()}
+    assert got == rich_club_twin(pairs, (1, 2, 3, 8))
+    # k=2: the K4 vertices (deg 3,3,3,8) form a complete rich club
+    assert got[2] == (4, 6, 1_000_000)
+    # k=8: vertex 0 has degree exactly 8, so STRICT > leaves nobody
+    assert got[8] == (0, 0, None)
+    # k=3: only vertex 0 (degree 8) qualifies -> degenerate NULL
+    assert got[3] == (1, 0, None)
+
+
+def test_rich_club_random_matches_twin(spark):
+    rnd = random.Random(7)
+    pairs = [(rnd.randrange(30), rnd.randrange(30)) for _ in range(120)]
+    ks = (1, 2, 4, 8)
+    from l_space_spark.operators.graphstats import rich_club
+    got = {r["k"]: (r["n_gt"], r["e_gt"], r["phi_e6"]) for r in
+           rich_club(edges_df(spark, pairs), ks=ks).collect()}
+    assert got == rich_club_twin(pairs, ks)
+
+
+def bridges_twin(pairs):
+    adj = defaultdict(set)
+    for s, d in pairs:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    return {(a, b) for a in adj for b in adj[a]
+            if a < b and not (adj[a] & adj[b])}
+
+
+def test_local_bridges_barbell(spark):
+    # two triangles joined by one bridge edge (3, 10)
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3),
+             (10, 11), (11, 12), (12, 10), (3, 10)]
+    from l_space_spark.operators.graphstats import local_bridges
+    got = {(r["a"], r["b"]) for r in
+           local_bridges(edges_df(spark, pairs)).collect()}
+    assert got == bridges_twin(pairs) == {(2, 3), (3, 10)}
+
+
+def test_local_bridges_and_embeddedness_random(spark):
+    rnd = random.Random(11)
+    pairs = [(rnd.randrange(25), rnd.randrange(25)) for _ in range(70)]
+    from l_space_spark.operators.graphstats import (
+        embeddedness_distribution, local_bridges)
+    got = {(r["a"], r["b"]) for r in
+           local_bridges(edges_df(spark, pairs)).collect()}
+    want = bridges_twin(pairs)
+    assert got == want
+    # histogram: support-0 bucket == bridge count; totals == |E|
+    adj = defaultdict(set)
+    for s, d in pairs:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    hist = defaultdict(int)
+    for a in adj:
+        for b in adj[a]:
+            if a < b:
+                hist[len(adj[a] & adj[b])] += 1
+    dist = {r["support"]: r["n_edges"] for r in
+            embeddedness_distribution(edges_df(spark, pairs)).collect()}
+    assert dist == dict(hist)
+    assert dist.get(0, 0) == len(want)
