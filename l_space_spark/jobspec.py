@@ -148,6 +148,7 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
     from .operators.sssp import sssp
     from .operators.toposort import dag_levels
     from .operators.wl import wl_refinement
+    from .operators.louvain import louvain_communities
     from .operators.triangles import (
         clustering_coefficient, triangle_list, triangles_per_vertex,
     )
@@ -176,6 +177,7 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
         "coloring": greedy_coloring,
         "dag_levels": dag_levels,
         "wl": wl_refinement,
+        "louvain": louvain_communities,
     }
     if ckpt and (algo in supersteps
                  or algo in ("harmonic_centrality", "pagerank_incremental",

@@ -1,0 +1,220 @@
+"""Louvain phase-1 community detection — synchronized modularity-gain
+moves in exact integer arithmetic.
+
+The local-move phase of Louvain (Blondel et al. 2008 §2): every vertex
+repeatedly adopts the neighboring community with the best modularity
+gain. The sequential algorithm visits vertices one at a time; that
+order is inherently serial, so the distributed variant here moves
+vertices SYNCHRONOUSLY from the previous round's snapshot, restricted
+to one id-parity class per round (even ids move in even rounds, odd in
+odd) — the standard semi-synchronous trick that prevents the two
+endpoints of an edge from swapping into each other's old communities in
+the same round (Prat-Pérez et al.; the same alternation labelprop uses
+against bipartite oscillation). On top of parity, the ANCHORED-TARGET
+rule: an active vertex may only join a community that currently holds
+at least one inactive member (staying is always allowed). Inactive
+members cannot move, so a join target can never fully vacate within the
+round — this deterministically kills the remaining synchronized
+label-chase (two singleton communities adopting each other's labels
+forever; see the K4 fixture in tests/test_louvain.py). Deterministic by
+construction: no randomness, ties broken by smallest community id.
+
+Gain arithmetic, cross-engine exact: moving v into community C (volumes
+taken from the snapshot, v's own degree excluded from its current
+community) changes modularity by ``k_{v,C}/m − k_v·Σtot'_C/(2m²)`` plus
+terms constant over C, so the argmax over candidates is the argmax of
+
+    score(v, C) = 2m·k_{v,C} − k_v·Σtot'_C        (all BIGINTs)
+
+where ``2m`` = closure row count, ``k_{v,C}`` = v's neighbors inside C,
+``Σtot'_C`` = snapshot volume of C minus k_v when C is v's current
+community. No doubles anywhere, so the unrolled-CTE DuckDB oracle
+compares EXACTLY. Overflow bound: ``2m·deg_max < 2^63`` — holds through
+~10^9-edge graphs with 10^9-degree hubs; monitored, same discipline as
+betweenness's e9 accumulation.
+
+Scale shape: per round one |E|-row equi-join (neighbor communities,
+against the once-hashed closure cache) feeding a combiner-backed
+``groupBy(src, com)``, one |V|-row volume aggregate, and one
+``max_by``-style struct argmax — never a per-vertex window sort, no
+driver loop; only |V|-row tables shuffle per round. The candidate set
+is v's NEIGHBOR communities only (plus staying), exactly Louvain's
+rule, so a hub's candidate fan-out is its degree, bounded by the same
+orientation/salting story as the wedge family.
+
+Convergence: metric = number of vertices that changed community
+(monotone in practice but not guaranteed — synchronized local moves can
+cycle, hence the ``max_iters`` cap; ``fixed_iters`` replays exactly
+``max_iters`` rounds, the oracle-comparable mode). Phase 2 (community
+contraction) is the existing ``quotient_graph`` composed on the output.
+
+Reference analog: none — the reference has no community machinery; its
+nearest idiom is client-side grouping after repeated ``out()`` moves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.superstep import SuperstepResult, SuperstepRunner
+from .components import undirect
+
+
+def _move_step(links: DataFrame, degs: DataFrame, m2: int):
+    """Per-round synchronized local move, factored for plan pinning:
+    ``links`` (symmetric closure) and ``degs`` (id, d) must arrive
+    cached and hash-partitioned on their join keys."""
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        # the state arrives materialized by the runner's per-round
+        # localCheckpoint, so re-referencing it below is a cached read
+        st = state
+        active = F.expr(f"(id & 1) = {i % 2}")
+        # only the active parity class moves this round: the whole
+        # candidate/score pipeline is computed for that half only (the
+        # |E|-row join probes halve — measured 28.5 -> 10.4 s/round at
+        # 1M V / 8M E, BENCH/louvain_probe.json, identical output); the
+        # inactive half passes through unchanged
+        actv = st.where(active)
+        # anch marks communities holding >=1 INACTIVE member this round:
+        # an active vertex may only join an anchored community (or stay),
+        # so a join target can never fully vacate within the round — the
+        # deterministic guard against synchronized label-chasing (two
+        # singleton communities adopting each other's labels forever,
+        # the K4 oscillation in tests/test_louvain.py). Volumes still
+        # aggregate over the FULL snapshot.
+        vol = (
+            st.join(degs.hint("shuffle_hash"), "id")
+            .groupBy("com").agg(
+                F.sum("d").alias("vol"),
+                F.max(
+                    F.when(F.expr(f"(id & 1) != {i % 2}"), 1).otherwise(0)
+                ).alias("anch"),
+            )
+        )
+        nbr = (
+            links.where(F.expr(f"(src & 1) = {i % 2}"))
+            .join(
+                st.hint("shuffle_hash")
+                .select(F.col("id").alias("dst"), F.col("com").alias("c")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"), "c")
+            .agg(F.count(F.lit(1)).cast("long").alias("kvc"))
+        )
+        cand = (
+            nbr.unionByName(
+                actv.select("id", F.col("com").alias("c"),
+                            F.lit(0).cast("long").alias("kvc"))
+            )
+            .groupBy("id", "c").agg(F.max("kvc").alias("kvc"))
+        )
+        scored = (
+            cand.join(actv.hint("shuffle_hash"), "id")
+            .join(degs.hint("shuffle_hash"), "id")
+            .join(vol.withColumnRenamed("com", "c").hint("shuffle_hash"),
+                  "c")
+            .where((F.col("anch") == 1) | (F.col("c") == F.col("com")))
+            .select(
+                "id",
+                F.col("c").alias("cc"),
+                (
+                    F.lit(m2) * F.col("kvc")
+                    - F.col("d")
+                    * (F.col("vol")
+                       - F.when(F.col("c") == F.col("com"), F.col("d"))
+                       .otherwise(F.lit(0)))
+                ).alias("score"),
+            )
+        )
+        best = (
+            scored.groupBy("id")
+            .agg(F.max(F.struct(F.col("score"),
+                                (-F.col("cc")).alias("nc"))).alias("b"))
+        )
+        return best.select("id", (-F.col("b.nc")).alias("com")).unionByName(
+            st.where(~active)
+        )
+
+    return step
+
+
+def louvain_communities(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iters: int = 12,
+    fixed_iters: bool = False,
+    checkpoint_dir: str | None = None,
+    num_partitions: int | None = None,
+    resume: bool = True,
+    config_extra: dict | None = None,
+) -> SuperstepResult:
+    """Returns SuperstepResult with state ``(id long, com long)`` — the
+    phase-1 Louvain community of every non-isolated vertex of the
+    undirected simple graph (init: singleton communities). In metric
+    mode the run stops after two CONSECUTIVE zero-move rounds — one
+    zero round is NOT convergence, because only one parity class moves
+    per round and the other class gets its turn next; ``fixed_iters``
+    replays exactly ``max_iters`` rounds (the oracle-comparable mode,
+    parity-resume-safe because the runner passes the GLOBAL round
+    index)."""
+    num_partitions = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    links = (
+        undirect(edges)
+        .repartition(num_partitions, "dst")
+        .persist()
+    )
+    degs = (
+        links.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .select(F.col("src").alias("id"), "d")
+        .repartition(num_partitions, "id")
+        .persist()
+    )
+    m2 = links.count()  # = 2m; also materializes both caches
+    degs.count()
+    init = degs.select("id", F.col("id").cast("long").alias("com"))
+
+    step = _move_step(links, degs, m2)
+
+    # only one parity class moves per round, so a single zero-move round
+    # does NOT mean convergence (the other class gets its turn next
+    # round): stop on two CONSECUTIVE zero rounds. After a resume the
+    # previous round's count is unknown — seed it as 1 so the first
+    # resumed round can never stop spuriously (costs at most one extra
+    # no-op round).
+    memo: dict = {"prev": None}
+
+    def moved(old: DataFrame, new: DataFrame) -> float:
+        o = old.select("id", F.col("com").alias("oc"))
+        now = float(
+            new.join(o, "id").where(F.col("com") != F.col("oc")).count()
+        )
+        prev = memo["prev"] if memo["prev"] is not None else 1.0
+        memo["prev"] = now
+        return now + prev
+
+    runner = SuperstepRunner(
+        spark,
+        max_iters=max_iters,
+        tol=0.0,
+        checkpoint_dir=checkpoint_dir,
+        config={"algo": "louvain", "m2": m2, **(config_extra or {}),
+                "fixed_iters": max_iters if fixed_iters else None},
+        # per-round materialization is REQUIRED: the step references the
+        # state four times (volumes, tallies, stay-candidates, passthrough)
+        # and unions the inactive half back in, so a lazily fused round
+        # would re-derive the prior round 4x — no materialize_every knob
+    )
+    try:
+        result = runner.run(
+            init, step, metric_fn=None if fixed_iters else moved,
+            resume=resume,
+        )
+    finally:
+        links.unpersist()
+        degs.unpersist()
+    return result

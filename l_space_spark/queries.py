@@ -4343,6 +4343,86 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LOUVAIN_ITERS = 6
+
+
+def _louvain_oracle(edges_sql: str, iters: int) -> str:
+    # unrolled synchronized local-move rounds, mirroring
+    # operators/louvain.py EXACTLY: integer score
+    # 2m·k_{v,C} − k_v·Σtot'_C, argmax broken by smallest community id,
+    # id-parity alternation (even ids move in even rounds), anchored-
+    # target eligibility (may only join a community holding an inactive
+    # member, or stay)
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({edges_sql}),",
+        "und AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM e0 WHERE src <> dst"
+        " UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)),",
+        "deg AS MATERIALIZED (SELECT src AS id,"
+        " CAST(count(*) AS BIGINT) AS d FROM und GROUP BY src),",
+        "mm AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM und),",
+        "s0 AS MATERIALIZED (SELECT id, CAST(id AS BIGINT) AS com"
+        " FROM deg),",
+    ]
+    for k in range(iters):
+        parts += [
+            f"vol{k} AS MATERIALIZED (SELECT s.com, sum(d.d) AS vol,"
+            f" max(CASE WHEN (s.id & 1) <> {k % 2} THEN 1 ELSE 0 END)"
+            f" AS anch"
+            f" FROM s{k} s JOIN deg d ON d.id = s.id GROUP BY s.com),",
+            f"nbr{k} AS (SELECT u.src AS id, s.com AS c,"
+            f" CAST(count(*) AS BIGINT) AS kvc"
+            f" FROM und u JOIN s{k} s ON s.id = u.dst GROUP BY 1, 2),",
+            f"cand{k} AS (SELECT id, c, max(kvc) AS kvc FROM ("
+            f"SELECT id, c, kvc FROM nbr{k}"
+            f" UNION ALL SELECT id, com AS c, CAST(0 AS BIGINT) AS kvc"
+            f" FROM s{k}) GROUP BY 1, 2),",
+            f"sc{k} AS (SELECT cd.id, s.com, cd.c,"
+            f" mm.m2 * cd.kvc - d.d * (v.vol -"
+            f" CASE WHEN cd.c = s.com THEN d.d ELSE 0 END) AS score"
+            f" FROM cand{k} cd JOIN s{k} s ON s.id = cd.id"
+            f" JOIN deg d ON d.id = cd.id"
+            f" JOIN vol{k} v ON v.com = cd.c CROSS JOIN mm"
+            f" WHERE v.anch = 1 OR cd.c = s.com),",
+            f"best{k} AS (SELECT id, com, c FROM ("
+            f"SELECT id, com, c, row_number() OVER (PARTITION BY id"
+            f" ORDER BY score DESC, c ASC) AS rn FROM sc{k}) WHERE rn = 1),",
+            f"s{k + 1} AS MATERIALIZED (SELECT id,"
+            f" CASE WHEN (id & 1) = {k % 2} THEN c ELSE com END AS com"
+            f" FROM best{k}),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT id, com FROM s{iters} ORDER BY id")
+    return "\n".join(parts)
+
+
+@register("louvain_communities", _louvain_oracle(MOD_EDGES_SQL,
+                                                 LOUVAIN_ITERS))
+def q_louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain phase-1 communities (operators/louvain.py
+    ``louvain_communities``) of the hashed random graph after
+    LOUVAIN_ITERS synchronized local-move rounds — modularity-gain
+    community detection, the quality step beyond plain label
+    propagation (``label_propagation`` / ``lp_modularity``). Gains are
+    compared in exact BIGINT cross-multiplication (2m·k_vC − k_v·Σtot'),
+    moves alternate by id parity, ties break to the smallest community
+    id — fully deterministic, so the unrolled-CTE DuckDB oracle matches
+    exactly. Per round: one |E|-row equi-join against the once-hashed
+    closure + combiner-backed groupBys + a struct argmax; no per-vertex
+    window over the full inbox."""
+    from .operators.louvain import louvain_communities
+
+    res = louvain_communities(spark, mod_edges(spark, sf_dir),
+                              max_iters=LOUVAIN_ITERS, fixed_iters=True,
+                              resume=False,
+                              num_partitions=_small_graph_parts(spark))
+    return (
+        res.state.select(F.col("id").cast("long").alias("id"),
+                         F.col("com").cast("long").alias("com"))
+        .orderBy("id")
+    )
+
+
 RICH_CLUB_KS = (2, 4, 8, 16, 32, 64)
 _RICH_CLUB_KS_SQL = ", ".join(str(k) for k in RICH_CLUB_KS)
 
@@ -4529,7 +4609,8 @@ _DRIVER_WINDOW: list[str] = [
     # ROUND-5 TODO: after CORRECTNESS_r04, the only never-driver-sampled
     # entries are adamic_adar_pairs, rectangle_count, build_order_levels,
     # preferential_attachment_pairs, lp_conductance, wl_colors,
-    # rich_club_curve, local_bridges, embeddedness_distribution (added
+    # rich_club_curve, local_bridges, embeddedness_distribution,
+    # louvain_communities (added
     # after the r4 window was frozen) — rotate them in for r5, swapping
     # out entries that go green in CORRECTNESS_r04.
 ]

@@ -473,3 +473,19 @@ def test_round4_algorithm_specs(spark, tmp_path):
                        resume=False)
             .state.orderBy(F.desc("level"), "id").limit(3).collect()]
     assert got == want
+
+
+def test_louvain_spec(spark, tmp_path):
+    from l_space_spark.operators.louvain import louvain_communities
+
+    path = _edges_parquet(spark, tmp_path)
+    edges = spark.read.parquet(path)
+    spec = {"kind": "algorithm", "algorithm": "louvain",
+            "input": {"edges_parquet": path}, "resume": False,
+            "params": {"max_iters": 3, "fixed_iters": True}}
+    got = {(r["id"], r["com"]) for r in run_job(spark, spec).collect()}
+    want = {(r["id"], r["com"])
+            for r in louvain_communities(spark, edges, max_iters=3,
+                                         fixed_iters=True,
+                                         resume=False).state.collect()}
+    assert got == want

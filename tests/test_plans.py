@@ -571,3 +571,42 @@ def test_wl_recolor_no_per_round_edge_exchange(spark):
         ), plan
     finally:
         links.unpersist()
+
+
+def test_louvain_step_no_per_round_edge_exchange(spark):
+    """Louvain's per-round move must reuse the dst-hashed closure cache
+    without re-exchanging it, with every aggregate map-side combined
+    (partial_count for neighbor-community tallies, partial_sum for
+    volumes, partial_max for the argmax) — losing the cache reuse
+    re-ships |E| rows per round."""
+    import re
+
+    from l_space_spark.operators.louvain import _move_step
+    from l_space_spark.operators.components import undirect
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 50) for i in range(120)], "src long, dst long"
+    )
+    links = undirect(edges).repartition(4, "dst").persist()
+    degs = (links.groupBy("src")
+            .agg(F.count(F.lit(1)).cast("long").alias("d"))
+            .select(F.col("src").alias("id"), "d")
+            .repartition(4, "id").persist())
+    try:
+        m2 = links.count()
+        degs.count()
+        state = degs.select(
+            "id", F.col("id").cast("long").alias("com")
+        ).localCheckpoint(eager=True)
+        plan = _plan(_move_step(links, degs, m2)(state, 0))
+        assert "InMemoryTableScan" in plan, plan
+        for frag in ("partial_count", "partial_sum", "partial_max"):
+            assert frag in plan, (frag, plan)
+        assert not re.search(
+            r"Exchange[^\n]*\n[\s:+|-]*InMemoryTableScan", plan
+        ), plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        links.unpersist()
+        degs.unpersist()
