@@ -4346,7 +4346,8 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 LOUVAIN_ITERS = 6
 
 
-def _louvain_oracle(edges_sql: str, iters: int) -> str:
+def _louvain_oracle(edges_sql: str, iters: int,
+                    final_select: str | None = None) -> str:
     # unrolled synchronized local-move rounds, mirroring
     # operators/louvain.py EXACTLY: integer score
     # 2m·k_{v,C} − k_v·Σtot'_C, argmax broken by smallest community id,
@@ -4391,8 +4392,11 @@ def _louvain_oracle(edges_sql: str, iters: int) -> str:
             f" CASE WHEN (id & 1) = {k % 2} THEN c ELSE com END AS com"
             f" FROM best{k}),",
         ]
-    parts[-1] = parts[-1].rstrip(",")
-    parts.append(f"SELECT id, com FROM s{iters} ORDER BY id")
+    if final_select is None:
+        parts[-1] = parts[-1].rstrip(",")
+        parts.append(f"SELECT id, com FROM s{iters} ORDER BY id")
+    else:
+        parts.append(final_select.replace("{L}", f"s{iters}"))
     return "\n".join(parts)
 
 
@@ -4420,6 +4424,84 @@ def q_louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         res.state.select(F.col("id").cast("long").alias("id"),
                          F.col("com").cast("long").alias("com"))
         .orderBy("id")
+    )
+
+
+# the modularity readout CTEs reuse the louvain oracle's existing und /
+# deg(id, d) tables — NOT _LP_MODULARITY_FINAL, whose own `deg` CTE
+# would collide with the louvain prologue's
+_LOUVAIN_MODULARITY_FINAL = """
+lab AS (SELECT id, com AS label FROM {L}),
+twom AS (SELECT count(*) AS two_m FROM und),
+intra AS (
+  SELECT a.label AS label, count(*) AS intra_msgs
+  FROM und u JOIN lab a ON u.src = a.id JOIN lab b ON u.dst = b.id
+  WHERE a.label = b.label GROUP BY a.label
+),
+comm AS (
+  SELECT l.label, count(*) AS n_members, sum(d.d) AS deg_sum
+  FROM lab l JOIN deg d ON l.id = d.id GROUP BY l.label
+)
+SELECT c.label AS label,
+       CAST(c.n_members AS BIGINT) AS n_members,
+       CAST(c.deg_sum AS BIGINT) AS deg_sum,
+       CAST(coalesce(i.intra_msgs, 0) AS BIGINT) AS intra_msgs,
+       CAST(coalesce(i.intra_msgs, 0) * t.two_m
+            - c.deg_sum * c.deg_sum AS BIGINT) AS q_contrib_num,
+       CAST(t.two_m AS BIGINT) AS two_m
+FROM comm c LEFT JOIN intra i ON c.label = i.label CROSS JOIN twom t
+ORDER BY label
+""".strip()
+
+
+@register("louvain_modularity",
+          _louvain_oracle(MOD_EDGES_SQL, LOUVAIN_ITERS,
+                          final_select=_LOUVAIN_MODULARITY_FINAL))
+def q_louvain_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the Louvain phase-1 partition, same pure-
+    integer Q·(2m)² readout as ``lp_modularity`` (per community:
+    ``e_c·2m − d_c²``) composed on ``louvain_communities`` — the
+    partition-quality evidence that the modularity-gain moves earn
+    their cost over plain label propagation. Exact oracle: the unrolled
+    louvain CTEs feed the same integer modularity CTEs DuckDB-side."""
+    from .operators.louvain import louvain_communities
+
+    edges = mod_edges(spark, sf_dir)
+    res = louvain_communities(spark, edges, max_iters=LOUVAIN_ITERS,
+                              fixed_iters=True, resume=False,
+                              num_partitions=_small_graph_parts(spark))
+    lab = res.state.select("id", F.col("com").alias("label"))
+    und = undirect(edges)
+    two_m = und.count()
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg")) \
+             .withColumnRenamed("src", "id")
+    la = lab.select(F.col("id").alias("src"), F.col("label").alias("lsrc"))
+    lb = lab.select(F.col("id").alias("dst"), F.col("label").alias("ldst"))
+    intra = (
+        und.join(la, "src").join(lb, "dst")
+        .where(F.col("lsrc") == F.col("ldst"))
+        .groupBy(F.col("lsrc").alias("label"))
+        .agg(F.count(F.lit(1)).alias("intra_msgs"))
+    )
+    comm = (
+        lab.join(deg, "id")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_members"),
+             F.sum("deg").alias("deg_sum"))
+    )
+    return (
+        comm.join(intra, "label", "left")
+        .select(
+            "label", "n_members", "deg_sum",
+            F.coalesce("intra_msgs", F.lit(0)).alias("intra_msgs"),
+        )
+        .withColumn(
+            "q_contrib_num",
+            F.col("intra_msgs") * F.lit(two_m)
+            - F.col("deg_sum") * F.col("deg_sum"),
+        )
+        .withColumn("two_m", F.lit(two_m))
+        .orderBy("label")
     )
 
 
@@ -4610,7 +4692,7 @@ _DRIVER_WINDOW: list[str] = [
     # entries are adamic_adar_pairs, rectangle_count, build_order_levels,
     # preferential_attachment_pairs, lp_conductance, wl_colors,
     # rich_club_curve, local_bridges, embeddedness_distribution,
-    # louvain_communities (added
+    # louvain_communities, louvain_modularity (added
     # after the r4 window was frozen) — rotate them in for r5, swapping
     # out entries that go green in CORRECTNESS_r04.
 ]
