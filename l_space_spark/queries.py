@@ -4505,6 +4505,40 @@ def q_louvain_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("louvain_quotient",
+          _louvain_oracle(
+              MOD_EDGES_SQL, LOUVAIN_ITERS,
+              final_select=_QUOTIENT_FINAL.replace(
+                  "SELECT id, label FROM {L}",
+                  "SELECT id, com AS label FROM {L}")))
+def q_louvain_quotient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Louvain phase-2 coarsening input: contract the phase-1
+    partition into its weighted community graph (one row per unordered
+    community pair, weight = symmetric-closure messages; label_a ==
+    label_b rows are the intra-community self-loops a weighted phase-2
+    pass would fold into the node). Same two-equi-join + one
+    combiner-backed groupBy shape as ``quotient_graph``; output is
+    |communities|², ideal map-side-combine reduction at 100 TB."""
+    from .operators.louvain import louvain_communities
+
+    edges = mod_edges(spark, sf_dir)
+    res = louvain_communities(spark, edges, max_iters=LOUVAIN_ITERS,
+                              fixed_iters=True, resume=False,
+                              num_partitions=_small_graph_parts(spark))
+    lab = res.state.select("id", F.col("com").alias("label"))
+    und = undirect(edges)
+    la = lab.select(F.col("id").alias("src"), F.col("label").alias("lsrc"))
+    lb = lab.select(F.col("id").alias("dst"), F.col("label").alias("ldst"))
+    return (
+        und.join(la, "src").join(lb, "dst")
+        .select(F.least("lsrc", "ldst").alias("label_a"),
+                F.greatest("lsrc", "ldst").alias("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.count(F.lit(1)).alias("closure_msgs"))
+        .orderBy("label_a", "label_b")
+    )
+
+
 RICH_CLUB_KS = (2, 4, 8, 16, 32, 64)
 _RICH_CLUB_KS_SQL = ", ".join(str(k) for k in RICH_CLUB_KS)
 
@@ -4692,7 +4726,7 @@ _DRIVER_WINDOW: list[str] = [
     # entries are adamic_adar_pairs, rectangle_count, build_order_levels,
     # preferential_attachment_pairs, lp_conductance, wl_colors,
     # rich_club_curve, local_bridges, embeddedness_distribution,
-    # louvain_communities, louvain_modularity (added
+    # louvain_communities, louvain_modularity, louvain_quotient (added
     # after the r4 window was frozen) — rotate them in for r5, swapping
     # out entries that go green in CORRECTNESS_r04.
 ]
