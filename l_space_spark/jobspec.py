@@ -148,7 +148,7 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
     from .operators.sssp import sssp
     from .operators.toposort import dag_levels
     from .operators.wl import wl_refinement
-    from .operators.louvain import louvain_communities
+    from .operators.louvain import louvain_communities, louvain_weighted
     from .operators.triangles import (
         clustering_coefficient, triangle_list, triangles_per_vertex,
     )
@@ -178,6 +178,8 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
         "dag_levels": dag_levels,
         "wl": wl_refinement,
         "louvain": louvain_communities,
+        "louvain_weighted": louvain_weighted,  # input must carry a "w"
+        # column (spec: {"input": {..., "weight": "w"}})
     }
     if ckpt and (algo in supersteps
                  or algo in ("harmonic_centrality", "pagerank_incremental",

@@ -61,10 +61,12 @@ from ..plans.superstep import SuperstepResult, SuperstepRunner
 from .components import undirect
 
 
-def _move_step(links: DataFrame, degs: DataFrame, m2: int):
+def _move_step(links: DataFrame, degs: DataFrame, m2: int,
+               weighted: bool = False):
     """Per-round synchronized local move, factored for plan pinning:
-    ``links`` (symmetric closure) and ``degs`` (id, d) must arrive
-    cached and hash-partitioned on their join keys."""
+    ``links`` (symmetric closure; with a ``w`` column when ``weighted``)
+    and ``degs`` (id, d — plain degree unweighted, STRENGTH weighted)
+    must arrive cached and hash-partitioned on their join keys."""
 
     def step(state: DataFrame, i: int) -> DataFrame:
         # the state arrives materialized by the runner's per-round
@@ -101,7 +103,8 @@ def _move_step(links: DataFrame, degs: DataFrame, m2: int):
                 "dst",
             )
             .groupBy(F.col("src").alias("id"), "c")
-            .agg(F.count(F.lit(1)).cast("long").alias("kvc"))
+            .agg((F.sum("w") if weighted else F.count(F.lit(1)))
+                 .cast("long").alias("kvc"))
         )
         cand = (
             nbr.unionByName(
@@ -217,4 +220,108 @@ def louvain_communities(
     finally:
         links.unpersist()
         degs.unpersist()
+    return result
+
+
+def louvain_weighted(
+    spark: SparkSession,
+    wedges: DataFrame,
+    max_iters: int = 12,
+    fixed_iters: bool = False,
+    checkpoint_dir: str | None = None,
+    num_partitions: int | None = None,
+    resume: bool = True,
+    config_extra: dict | None = None,
+) -> SuperstepResult:
+    """Weighted local-move phase over ``(src, dst, w)`` rows — the
+    phase-2 engine of multilevel Louvain, run on the quotient graph the
+    phase-1 partition contracts to (or any integer-weighted undirected
+    graph). Input rows may be in either orientation and may repeat
+    (canonicalized + weight-summed here); ``src == dst`` rows are
+    self-loops with weight ℓ (a contracted community's internal edges).
+
+    Standard weighted-Louvain conventions, all exact integers:
+    ``m = Σ_{a<b} w_ab + Σ ℓ_a``, ``strength(v) = Σ_{u≠v} w_vu + 2ℓ_v``
+    (so Σ strength = 2m), ``k_{v,C} = Σ_{u∈C,u≠v} w_vu``, and the same
+    cross-multiplied score ``2m·k_{v,C} − strength_v·Σtot'_C`` with
+    parity alternation + the anchored-target rule. Self-loops never
+    enter k (they travel with the vertex and cancel in the argmax);
+    they live only inside strength. Modularity of the quotient under
+    these conventions EQUALS modularity of the original graph under the
+    composed partition — the multilevel invariant that makes phase 2
+    meaningful. Isolated self-loop-only vertices keep their own
+    community (no neighbor candidates)."""
+    num_partitions = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    canon = (
+        wedges.select(F.least("src", "dst").alias("a"),
+                      F.greatest("src", "dst").alias("b"),
+                      F.col("w").cast("long").alias("w"))
+        .groupBy("a", "b").agg(F.sum("w").alias("w"))
+    )
+    inter = canon.where(F.col("a") != F.col("b"))
+    links = (
+        inter.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+        .unionByName(
+            inter.select(F.col("b").alias("src"), F.col("a").alias("dst"),
+                         "w"))
+        .repartition(num_partitions, "dst")
+        .persist()
+    )
+    selfw = canon.where(F.col("a") == F.col("b")).select(
+        F.col("a").alias("id"), F.col("w").alias("l")
+    )
+    verts = (
+        canon.select(F.col("a").alias("id"))
+        .unionByName(canon.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    strength = (
+        verts
+        .join(links.groupBy("src").agg(F.sum("w").alias("s"))
+              .withColumnRenamed("src", "id"), "id", "left")
+        .join(selfw, "id", "left")
+        .select(
+            "id",
+            (F.coalesce("s", F.lit(0)) + 2 * F.coalesce("l", F.lit(0)))
+            .cast("long").alias("d"),
+        )
+        .repartition(num_partitions, "id")
+        .persist()
+    )
+    m2 = int(strength.agg(F.sum("d")).first()[0] or 0)  # = 2m
+    links.count()
+    init = strength.select("id", F.col("id").cast("long").alias("com"))
+
+    step = _move_step(links, strength, m2, weighted=True)
+
+    memo: dict = {"prev": None}  # two-consecutive-zero rule, as phase 1
+
+    def moved(old: DataFrame, new: DataFrame) -> float:
+        o = old.select("id", F.col("com").alias("oc"))
+        now = float(
+            new.join(o, "id").where(F.col("com") != F.col("oc")).count()
+        )
+        prev = memo["prev"] if memo["prev"] is not None else 1.0
+        memo["prev"] = now
+        return now + prev
+
+    runner = SuperstepRunner(
+        spark,
+        max_iters=max_iters,
+        tol=0.0,
+        checkpoint_dir=checkpoint_dir,
+        config={"algo": "louvain_weighted", "m2": m2,
+                **(config_extra or {}),
+                "fixed_iters": max_iters if fixed_iters else None},
+    )
+    try:
+        result = runner.run(
+            init, step, metric_fn=None if fixed_iters else moved,
+            resume=resume,
+        )
+    finally:
+        links.unpersist()
+        strength.unpersist()
     return result

@@ -4539,6 +4539,113 @@ def q_louvain_quotient(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LOUVAIN2_ITERS = 4
+
+
+def _louvain_phase2_final(iters2: int) -> str:
+    # quotient contraction (w = closure_msgs // 2 = true edge
+    # multiplicity, self-loop rows = intra-edge counts) + unrolled
+    # WEIGHTED local-move rounds mirroring operators/louvain.py
+    # ``louvain_weighted`` exactly, then the composed labelling mapped
+    # back to original vertices. The {L} placeholder is the phase-1
+    # final state (id, com).
+    parts = [
+        "q AS MATERIALIZED (SELECT least(a.com, b.com) AS qa,"
+        " greatest(a.com, b.com) AS qb, count(*) // 2 AS w"
+        " FROM und u JOIN {L} a ON a.id = u.src"
+        " JOIN {L} b ON b.id = u.dst GROUP BY 1, 2),",
+        "wl AS MATERIALIZED ("
+        "SELECT qa AS src, qb AS dst, w FROM q WHERE qa <> qb"
+        " UNION ALL SELECT qb, qa, w FROM q WHERE qa <> qb),",
+        "sw AS (SELECT qa AS id, w AS l FROM q WHERE qa = qb),",
+        "stg AS MATERIALIZED (SELECT v.id,"
+        " CAST(coalesce(i.s, 0) + 2 * coalesce(sw.l, 0) AS BIGINT) AS d"
+        " FROM (SELECT DISTINCT com AS id FROM {L}) v"
+        " LEFT JOIN (SELECT src AS id, sum(w) AS s FROM wl GROUP BY 1) i"
+        " ON i.id = v.id LEFT JOIN sw ON sw.id = v.id),",
+        "mm2 AS (SELECT CAST(sum(d) AS BIGINT) AS m2 FROM stg),",
+        "t0 AS MATERIALIZED (SELECT id, CAST(id AS BIGINT) AS com"
+        " FROM stg),",
+    ]
+    for k in range(iters2):
+        parts += [
+            f"tvol{k} AS MATERIALIZED (SELECT s.com, sum(d.d) AS vol,"
+            f" max(CASE WHEN (s.id & 1) <> {k % 2} THEN 1 ELSE 0 END)"
+            f" AS anch"
+            f" FROM t{k} s JOIN stg d ON d.id = s.id GROUP BY s.com),",
+            f"tnbr{k} AS (SELECT u.src AS id, s.com AS c,"
+            f" CAST(sum(u.w) AS BIGINT) AS kvc"
+            f" FROM wl u JOIN t{k} s ON s.id = u.dst GROUP BY 1, 2),",
+            f"tcand{k} AS (SELECT id, c, max(kvc) AS kvc FROM ("
+            f"SELECT id, c, kvc FROM tnbr{k}"
+            f" UNION ALL SELECT id, com AS c, CAST(0 AS BIGINT) AS kvc"
+            f" FROM t{k}) GROUP BY 1, 2),",
+            f"tsc{k} AS (SELECT cd.id, s.com, cd.c,"
+            f" mm2.m2 * cd.kvc - d.d * (v.vol -"
+            f" CASE WHEN cd.c = s.com THEN d.d ELSE 0 END) AS score"
+            f" FROM tcand{k} cd JOIN t{k} s ON s.id = cd.id"
+            f" JOIN stg d ON d.id = cd.id"
+            f" JOIN tvol{k} v ON v.com = cd.c CROSS JOIN mm2"
+            f" WHERE v.anch = 1 OR cd.c = s.com),",
+            f"tbest{k} AS (SELECT id, com, c FROM ("
+            f"SELECT id, com, c, row_number() OVER (PARTITION BY id"
+            f" ORDER BY score DESC, c ASC) AS rn FROM tsc{k})"
+            f" WHERE rn = 1),",
+            f"t{k + 1} AS MATERIALIZED (SELECT id,"
+            f" CASE WHEN (id & 1) = {k % 2} THEN c ELSE com END AS com"
+            f" FROM tbest{k}),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        "SELECT s.id, t.com AS com2 FROM {L} s"
+        f" JOIN t{iters2} t ON t.id = s.com ORDER BY s.id"
+    )
+    return "\n".join(parts)
+
+
+@register("louvain_multilevel",
+          _louvain_oracle(MOD_EDGES_SQL, LOUVAIN_ITERS,
+                          final_select=_louvain_phase2_final(
+                              LOUVAIN2_ITERS)))
+def q_louvain_multilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full two-level Louvain: phase-1 local moves → contract to the
+    weighted quotient (edge multiplicities + intra self-loops) →
+    WEIGHTED local moves on the quotient (``louvain_weighted``) → the
+    composed community per original vertex. The quotient conventions
+    (w = msgs/2, strength = Σw + 2ℓ) make quotient modularity equal
+    original-graph modularity for the composed partition, so phase-2
+    gains are real gains. All arithmetic BIGINT; the oracle unrolls both
+    phases CTE-by-CTE and compares exactly."""
+    from .operators.louvain import louvain_communities, louvain_weighted
+
+    edges = mod_edges(spark, sf_dir)
+    parts = _small_graph_parts(spark)
+    res1 = louvain_communities(spark, edges, max_iters=LOUVAIN_ITERS,
+                               fixed_iters=True, resume=False,
+                               num_partitions=parts)
+    lab = res1.state.select("id", "com")
+    und = undirect(edges)
+    la = lab.select(F.col("id").alias("src"), F.col("com").alias("ca"))
+    lb = lab.select(F.col("id").alias("dst"), F.col("com").alias("cb"))
+    q = (
+        und.join(la, "src").join(lb, "dst")
+        .select(F.least("ca", "cb").alias("src"),
+                F.greatest("ca", "cb").alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.expr("count(1) div 2").alias("w"))
+    )
+    res2 = louvain_weighted(spark, q, max_iters=LOUVAIN2_ITERS,
+                            fixed_iters=True, resume=False,
+                            num_partitions=parts)
+    return (
+        lab.join(res2.state.select(F.col("id").alias("com"),
+                                   F.col("com").alias("com2")), "com")
+        .select(F.col("id").cast("long").alias("id"),
+                F.col("com2").cast("long").alias("com2"))
+        .orderBy("id")
+    )
+
+
 RICH_CLUB_KS = (2, 4, 8, 16, 32, 64)
 _RICH_CLUB_KS_SQL = ", ".join(str(k) for k in RICH_CLUB_KS)
 
@@ -4726,7 +4833,8 @@ _DRIVER_WINDOW: list[str] = [
     # entries are adamic_adar_pairs, rectangle_count, build_order_levels,
     # preferential_attachment_pairs, lp_conductance, wl_colors,
     # rich_club_curve, local_bridges, embeddedness_distribution,
-    # louvain_communities, louvain_modularity, louvain_quotient (added
+    # louvain_communities, louvain_modularity, louvain_quotient,
+    # louvain_multilevel (added
     # after the r4 window was frozen) — rotate them in for r5, swapping
     # out entries that go green in CORRECTNESS_r04.
 ]

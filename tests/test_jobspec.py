@@ -489,3 +489,23 @@ def test_louvain_spec(spark, tmp_path):
                                          fixed_iters=True,
                                          resume=False).state.collect()}
     assert got == want
+
+
+def test_louvain_weighted_spec(spark, tmp_path):
+    from l_space_spark.operators.louvain import louvain_weighted
+
+    rows = [(0, 1, 3), (1, 2, 2), (2, 0, 3), (2, 3, 1),
+            (3, 4, 3), (4, 5, 2), (5, 3, 3), (1, 1, 2)]
+    df = spark.createDataFrame(rows, "src long, dst long, w long")
+    path = str(tmp_path / "wedges")
+    df.write.parquet(path)
+    spec = {"kind": "algorithm", "algorithm": "louvain_weighted",
+            "input": {"edges_parquet": path, "weight": "w"},
+            "resume": False,
+            "params": {"max_iters": 4, "fixed_iters": True}}
+    got = {(r["id"], r["com"]) for r in run_job(spark, spec).collect()}
+    want = {(r["id"], r["com"])
+            for r in louvain_weighted(spark, df, max_iters=4,
+                                      fixed_iters=True,
+                                      resume=False).state.collect()}
+    assert got == want

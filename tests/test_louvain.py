@@ -119,3 +119,148 @@ def test_degenerate_inputs(spark):
     assert louvain_communities(spark, loops, max_iters=2, fixed_iters=True,
                                resume=False,
                                num_partitions=2).state.count() == 0
+
+
+# ---- weighted phase (louvain_weighted) ----
+
+def louvain_weighted_twin(wrows, rounds):
+    """wrows: (a, b, w) any orientation, self-loops allowed."""
+    W = defaultdict(int)
+    for a, b, w in wrows:
+        W[(min(a, b), max(a, b))] += w
+    adj = defaultdict(dict)
+    selfw = defaultdict(int)
+    for (a, b), w in W.items():
+        if a == b:
+            selfw[a] += w
+        else:
+            adj[a][b] = adj[a].get(b, 0) + w
+            adj[b][a] = adj[b].get(a, 0) + w
+    verts = set(selfw) | set(adj)
+    stg = {v: sum(adj[v].values()) + 2 * selfw[v] for v in verts}
+    m2 = sum(stg.values())
+    com = {v: v for v in verts}
+    for t in range(rounds):
+        vol = defaultdict(int)
+        anch = set()
+        for v in verts:
+            vol[com[v]] += stg[v]
+            if (v & 1) != (t % 2):
+                anch.add(com[v])
+        new = dict(com)
+        for v in verts:
+            if (v & 1) != (t % 2):
+                continue
+            kvc = defaultdict(int)
+            for u, w in adj[v].items():
+                kvc[com[u]] += w
+            kvc.setdefault(com[v], 0)
+            best, best_score = None, None
+            for c in sorted(kvc):
+                if c not in anch and c != com[v]:
+                    continue
+                tot = vol[c] - (stg[v] if c == com[v] else 0)
+                score = m2 * kvc[c] - stg[v] * tot
+                if best_score is None or score > best_score:
+                    best, best_score = c, score
+            new[v] = best
+        com = new
+    return com
+
+
+def test_weighted_random_matches_twin(spark):
+    from l_space_spark.operators.louvain import louvain_weighted
+
+    rnd = random.Random(31)
+    wrows = [(rnd.randrange(20), rnd.randrange(20), rnd.randrange(1, 5))
+             for _ in range(60)]  # duplicates + self-loops included
+    df = spark.createDataFrame(wrows, "src long, dst long, w long")
+    for rounds in (1, 2, 4):
+        got = {r["id"]: r["com"] for r in louvain_weighted(
+            spark, df, max_iters=rounds, fixed_iters=True,
+            resume=False, num_partitions=4).state.collect()}
+        assert got == louvain_weighted_twin(wrows, rounds), rounds
+
+
+def test_weighted_unit_weights_equal_phase1(spark):
+    # w=1 on a simple graph: weighted phase == unweighted phase 1
+    from l_space_spark.operators.louvain import louvain_weighted
+
+    rnd = random.Random(13)
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in
+                    ((rnd.randrange(25), rnd.randrange(25))
+                     for _ in range(80)) if a != b})
+    df = spark.createDataFrame([(a, b, 1) for a, b in pairs],
+                               "src long, dst long, w long")
+    got_w = {r["id"]: r["com"] for r in louvain_weighted(
+        spark, df, max_iters=4, fixed_iters=True, resume=False,
+        num_partitions=4).state.collect()}
+    assert got_w == run(spark, pairs, 4)
+
+
+def modularity_q(pairs, com):
+    """Q of a partition of the simple graph (python twin, exact ints:
+    returns (num, den) with Q = num/den)."""
+    adj = defaultdict(set)
+    for s, d in pairs:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    deg = {v: len(adj[v]) for v in adj}
+    m2 = sum(deg.values())
+    intra = defaultdict(int)
+    vol = defaultdict(int)
+    for v in adj:
+        vol[com[v]] += deg[v]
+        for u in adj[v]:
+            if com[u] == com[v]:
+                intra[com[v]] += 1
+    num = sum(intra[c] * m2 - vol[c] * vol[c] for c in vol)
+    return num, m2 * m2
+
+
+def test_multilevel_merges_ring_of_triangles(spark):
+    # 6 triangles in a ring, weak single-edge links between consecutive
+    # triangles: phase 1 finds the 6 triangles; phase 2 on the quotient
+    # must not fragment them, and composed Q must be >= phase-1 Q
+    from l_space_spark.operators.louvain import (louvain_communities,
+                                                 louvain_weighted)
+
+    tris, pairs = [], []
+    for i in range(6):
+        base = i * 10
+        tris.append((base, base + 1, base + 2))
+        pairs += [(base, base + 1), (base + 1, base + 2),
+                  (base, base + 2)]
+    for i in range(6):
+        pairs.append((i * 10 + 2, ((i + 1) % 6) * 10))
+    e = edges_df(spark, pairs)
+    res1 = louvain_communities(spark, e, max_iters=8, fixed_iters=True,
+                               resume=False, num_partitions=4)
+    com1 = {r["id"]: r["com"] for r in res1.state.collect()}
+    assert len({com1[v] for t in tris for v in t}) == 6
+    for a, b, c in tris:
+        assert com1[a] == com1[b] == com1[c]
+    # quotient (w = closure msgs / 2) + weighted phase
+    W = defaultdict(int)
+    adj = defaultdict(set)
+    for s, d in pairs:
+        adj[s].add(d)
+        adj[d].add(s)
+    for v in adj:
+        for u in adj[v]:
+            ca, cb = com1[v], com1[u]
+            W[(min(ca, cb), max(ca, cb))] += 1
+    wrows = [(a, b, w // 2) for (a, b), w in sorted(W.items())]
+    df = spark.createDataFrame(wrows, "src long, dst long, w long")
+    res2 = louvain_weighted(spark, df, max_iters=6, fixed_iters=True,
+                            resume=False, num_partitions=4)
+    com2q = {r["id"]: r["com"] for r in res2.state.collect()}
+    assert com2q == louvain_weighted_twin(wrows, 6)
+    com2 = {v: com2q[com1[v]] for v in com1}
+    # no triangle is ever split by phase 2
+    for a, b, c in tris:
+        assert com2[a] == com2[b] == com2[c]
+    n1, d1 = modularity_q(pairs, com1)
+    n2, d2 = modularity_q(pairs, com2)
+    assert n2 * d1 >= n1 * d2  # composed Q >= phase-1 Q
