@@ -178,8 +178,9 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
         "dag_levels": dag_levels,
         "wl": wl_refinement,
         "louvain": louvain_communities,
-        "louvain_weighted": louvain_weighted,  # input must carry a "w"
-        # column (spec: {"input": {..., "weight": "w"}})
+        "louvain_weighted": louvain_weighted,  # weight column named by
+        # params.weight_col (default "w"); keep it on the input via
+        # {"input": {..., "weight": <name>}} or params.weight_col
     }
     if ckpt and (algo in supersteps
                  or algo in ("harmonic_centrality", "pagerank_incremental",

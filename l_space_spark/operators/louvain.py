@@ -143,6 +143,28 @@ def _move_step(links: DataFrame, degs: DataFrame, m2: int,
     return step
 
 
+def _moved_metric():
+    """Convergence metric shared by both phases: vertices that changed
+    community, summed over the LAST TWO rounds. Only one parity class
+    moves per round, so a single zero-move round does NOT mean
+    convergence (the other class gets its turn next round) — stop on
+    two CONSECUTIVE zero rounds. After a resume the previous round's
+    count is unknown — seed it as 1 so the first resumed round can
+    never stop spuriously (costs at most one extra no-op round)."""
+    memo: dict = {"prev": None}
+
+    def moved(old: DataFrame, new: DataFrame) -> float:
+        o = old.select("id", F.col("com").alias("oc"))
+        now = float(
+            new.join(o, "id").where(F.col("com") != F.col("oc")).count()
+        )
+        prev = memo["prev"] if memo["prev"] is not None else 1.0
+        memo["prev"] = now
+        return now + prev
+
+    return moved
+
+
 def louvain_communities(
     spark: SparkSession,
     edges: DataFrame,
@@ -182,23 +204,7 @@ def louvain_communities(
     init = degs.select("id", F.col("id").cast("long").alias("com"))
 
     step = _move_step(links, degs, m2)
-
-    # only one parity class moves per round, so a single zero-move round
-    # does NOT mean convergence (the other class gets its turn next
-    # round): stop on two CONSECUTIVE zero rounds. After a resume the
-    # previous round's count is unknown — seed it as 1 so the first
-    # resumed round can never stop spuriously (costs at most one extra
-    # no-op round).
-    memo: dict = {"prev": None}
-
-    def moved(old: DataFrame, new: DataFrame) -> float:
-        o = old.select("id", F.col("com").alias("oc"))
-        now = float(
-            new.join(o, "id").where(F.col("com") != F.col("oc")).count()
-        )
-        prev = memo["prev"] if memo["prev"] is not None else 1.0
-        memo["prev"] = now
-        return now + prev
+    moved = _moved_metric()
 
     runner = SuperstepRunner(
         spark,
@@ -232,12 +238,13 @@ def louvain_weighted(
     num_partitions: int | None = None,
     resume: bool = True,
     config_extra: dict | None = None,
+    weight_col: str = "w",
 ) -> SuperstepResult:
-    """Weighted local-move phase over ``(src, dst, w)`` rows — the
-    phase-2 engine of multilevel Louvain, run on the quotient graph the
-    phase-1 partition contracts to (or any integer-weighted undirected
-    graph). Input rows may be in either orientation and may repeat
-    (canonicalized + weight-summed here); ``src == dst`` rows are
+    """Weighted local-move phase over ``(src, dst, <weight_col>)`` rows
+    — the phase-2 engine of multilevel Louvain, run on the quotient
+    graph the phase-1 partition contracts to (or any integer-weighted
+    undirected graph). Input rows may be in either orientation and may
+    repeat (canonicalized + weight-summed here); ``src == dst`` rows are
     self-loops with weight ℓ (a contracted community's internal edges).
 
     Standard weighted-Louvain conventions, all exact integers:
@@ -250,15 +257,24 @@ def louvain_weighted(
     these conventions EQUALS modularity of the original graph under the
     composed partition — the multilevel invariant that makes phase 2
     meaningful. Isolated self-loop-only vertices keep their own
-    community (no neighbor candidates)."""
+    community (no neighbor candidates).
+
+    Overflow bound — TIGHTER than phase 1's: strength and volume on a
+    contracted graph both approach 2m, so the score's worst term is
+    ~(2m)², requiring ``2m < 2^31.5`` ≈ 3.0e9 TOTAL weight units (vs
+    phase 1's 2m·deg_max < 2^63). Beyond ~1.5e9 aggregate edge weight,
+    rescale weights (Q's argmax is scale-invariant) before phase 2;
+    Spark longs wrap silently where DuckDB promotes to HUGEINT, so an
+    unrescaled overflow diverges from the oracle instead of erroring."""
     num_partitions = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
     canon = (
         wedges.select(F.least("src", "dst").alias("a"),
                       F.greatest("src", "dst").alias("b"),
-                      F.col("w").cast("long").alias("w"))
+                      F.col(weight_col).cast("long").alias("w"))
         .groupBy("a", "b").agg(F.sum("w").alias("w"))
+        .persist()  # read 5x below (links both directions, selfw, verts)
     )
     inter = canon.where(F.col("a") != F.col("b"))
     links = (
@@ -292,20 +308,11 @@ def louvain_weighted(
     )
     m2 = int(strength.agg(F.sum("d")).first()[0] or 0)  # = 2m
     links.count()
+    canon.unpersist()  # links + strength are materialized; setup done
     init = strength.select("id", F.col("id").cast("long").alias("com"))
 
     step = _move_step(links, strength, m2, weighted=True)
-
-    memo: dict = {"prev": None}  # two-consecutive-zero rule, as phase 1
-
-    def moved(old: DataFrame, new: DataFrame) -> float:
-        o = old.select("id", F.col("com").alias("oc"))
-        now = float(
-            new.join(o, "id").where(F.col("com") != F.col("oc")).count()
-        )
-        prev = memo["prev"] if memo["prev"] is not None else 1.0
-        memo["prev"] = now
-        return now + prev
+    moved = _moved_metric()
 
     runner = SuperstepRunner(
         spark,

@@ -4505,6 +4505,32 @@ def q_louvain_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _phase1_quotient(spark: SparkSession, sf_dir: str):
+    """Shared by the louvain_quotient / louvain_multilevel entries:
+    phase-1 labels plus the contracted community-pair closure-message
+    counts (label_a <= label_b; the a == b rows are intra self-loops).
+    Must stay in lockstep with the oracle's q CTE
+    (``_louvain_phase2_final``)."""
+    from .operators.louvain import louvain_communities
+
+    edges = mod_edges(spark, sf_dir)
+    res = louvain_communities(spark, edges, max_iters=LOUVAIN_ITERS,
+                              fixed_iters=True, resume=False,
+                              num_partitions=_small_graph_parts(spark))
+    lab = res.state.select("id", "com")
+    und = undirect(edges)
+    la = lab.select(F.col("id").alias("src"), F.col("com").alias("ca"))
+    lb = lab.select(F.col("id").alias("dst"), F.col("com").alias("cb"))
+    pairs = (
+        und.join(la, "src").join(lb, "dst")
+        .select(F.least("ca", "cb").alias("label_a"),
+                F.greatest("ca", "cb").alias("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.count(F.lit(1)).alias("closure_msgs"))
+    )
+    return lab, pairs
+
+
 @register("louvain_quotient",
           _louvain_oracle(
               MOD_EDGES_SQL, LOUVAIN_ITERS,
@@ -4519,24 +4545,8 @@ def q_louvain_quotient(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass would fold into the node). Same two-equi-join + one
     combiner-backed groupBy shape as ``quotient_graph``; output is
     |communities|², ideal map-side-combine reduction at 100 TB."""
-    from .operators.louvain import louvain_communities
-
-    edges = mod_edges(spark, sf_dir)
-    res = louvain_communities(spark, edges, max_iters=LOUVAIN_ITERS,
-                              fixed_iters=True, resume=False,
-                              num_partitions=_small_graph_parts(spark))
-    lab = res.state.select("id", F.col("com").alias("label"))
-    und = undirect(edges)
-    la = lab.select(F.col("id").alias("src"), F.col("label").alias("lsrc"))
-    lb = lab.select(F.col("id").alias("dst"), F.col("label").alias("ldst"))
-    return (
-        und.join(la, "src").join(lb, "dst")
-        .select(F.least("lsrc", "ldst").alias("label_a"),
-                F.greatest("lsrc", "ldst").alias("label_b"))
-        .groupBy("label_a", "label_b")
-        .agg(F.count(F.lit(1)).alias("closure_msgs"))
-        .orderBy("label_a", "label_b")
-    )
+    _, pairs = _phase1_quotient(spark, sf_dir)
+    return pairs.orderBy("label_a", "label_b")
 
 
 LOUVAIN2_ITERS = 4
@@ -4616,27 +4626,15 @@ def q_louvain_multilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     original-graph modularity for the composed partition, so phase-2
     gains are real gains. All arithmetic BIGINT; the oracle unrolls both
     phases CTE-by-CTE and compares exactly."""
-    from .operators.louvain import louvain_communities, louvain_weighted
+    from .operators.louvain import louvain_weighted
 
-    edges = mod_edges(spark, sf_dir)
-    parts = _small_graph_parts(spark)
-    res1 = louvain_communities(spark, edges, max_iters=LOUVAIN_ITERS,
-                               fixed_iters=True, resume=False,
-                               num_partitions=parts)
-    lab = res1.state.select("id", "com")
-    und = undirect(edges)
-    la = lab.select(F.col("id").alias("src"), F.col("com").alias("ca"))
-    lb = lab.select(F.col("id").alias("dst"), F.col("com").alias("cb"))
-    q = (
-        und.join(la, "src").join(lb, "dst")
-        .select(F.least("ca", "cb").alias("src"),
-                F.greatest("ca", "cb").alias("dst"))
-        .groupBy("src", "dst")
-        .agg(F.expr("count(1) div 2").alias("w"))
-    )
+    lab, pairs = _phase1_quotient(spark, sf_dir)
+    q = pairs.select(F.col("label_a").alias("src"),
+                     F.col("label_b").alias("dst"),
+                     F.expr("closure_msgs div 2").alias("w"))
     res2 = louvain_weighted(spark, q, max_iters=LOUVAIN2_ITERS,
                             fixed_iters=True, resume=False,
-                            num_partitions=parts)
+                            num_partitions=_small_graph_parts(spark))
     return (
         lab.join(res2.state.select(F.col("id").alias("com"),
                                    F.col("com").alias("com2")), "com")

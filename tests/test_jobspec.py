@@ -504,6 +504,16 @@ def test_louvain_weighted_spec(spark, tmp_path):
             "resume": False,
             "params": {"max_iters": 4, "fixed_iters": True}}
     got = {(r["id"], r["com"]) for r in run_job(spark, spec).collect()}
+    # a weight column NOT named "w" routes through params.weight_col
+    df2 = df.withColumnRenamed("w", "wt")
+    path2 = str(tmp_path / "wedges2")
+    df2.write.parquet(path2)
+    spec2 = {"kind": "algorithm", "algorithm": "louvain_weighted",
+             "input": {"edges_parquet": path2}, "resume": False,
+             "params": {"max_iters": 4, "fixed_iters": True,
+                        "weight_col": "wt"}}
+    got2 = {(r["id"], r["com"]) for r in run_job(spark, spec2).collect()}
+    assert got2 == got
     want = {(r["id"], r["com"])
             for r in louvain_weighted(spark, df, max_iters=4,
                                       fixed_iters=True,

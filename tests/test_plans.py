@@ -610,3 +610,44 @@ def test_louvain_step_no_per_round_edge_exchange(spark):
     finally:
         links.unpersist()
         degs.unpersist()
+
+
+def test_louvain_weighted_step_no_per_round_edge_exchange(spark):
+    """The WEIGHTED move step (the louvain_multilevel phase-2 path) must
+    keep the same pins as the unweighted one: dst-hashed weighted
+    closure cache reused without re-exchange, kvc tally map-side
+    combined (partial_sum over w), volumes partial_sum, argmax
+    partial_max."""
+    import re
+
+    from l_space_spark.operators.louvain import _move_step
+
+    rows = [(i, (i * 7 + 1) % 50, (i % 3) + 1) for i in range(120)]
+    e = spark.createDataFrame(rows, "src long, dst long, w long")
+    links = (e.where(F.col("src") != F.col("dst"))
+             .unionByName(e.where(F.col("src") != F.col("dst"))
+                          .select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst"), "w"))
+             .repartition(4, "dst").persist())
+    degs = (links.groupBy("src").agg(F.sum("w").cast("long").alias("d"))
+            .select(F.col("src").alias("id"), "d")
+            .repartition(4, "id").persist())
+    try:
+        m2 = int(links.agg(F.sum("w")).first()[0])
+        degs.count()
+        links.count()
+        state = degs.select(
+            "id", F.col("id").cast("long").alias("com")
+        ).localCheckpoint(eager=True)
+        plan = _plan(_move_step(links, degs, m2, weighted=True)(state, 0))
+        assert "InMemoryTableScan" in plan, plan
+        for frag in ("partial_sum", "partial_max"):
+            assert frag in plan, (frag, plan)
+        assert not re.search(
+            r"Exchange[^\n]*\n[\s:+|-]*InMemoryTableScan", plan
+        ), plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        links.unpersist()
+        degs.unpersist()
