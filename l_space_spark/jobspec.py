@@ -22,7 +22,7 @@ Four spec kinds:
     algorithms: pagerank · connected_components · connected_components_star ·
     scc · label_propagation · triangle_count · triangles_per_vertex ·
     clustering_coefficient · hits · kcore · ktruss (params: k) ·
-    coreness · trussness · mis ·
+    coreness · trussness · mis · matching ·
     coloring · sssp (params: source, weight_col) · harmonic_centrality
     (params: n_sources, max_iters) · betweenness (params: n_sources,
     max_depth) · anf (params: max_t, k) · random_walks (params:
@@ -142,6 +142,7 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
     from .operators.kcore import kcore
     from .operators.ktruss import ktruss
     from .operators.labelprop import label_propagation
+    from .operators.matching import maximal_matching
     from .operators.mis import maximal_independent_set
     from .operators.pagerank import pagerank
     from .operators.scc import strongly_connected_components
@@ -174,6 +175,7 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
         "sssp": sssp,
         "scc": strongly_connected_components,
         "mis": maximal_independent_set,
+        "matching": maximal_matching,
         "coloring": greedy_coloring,
         "dag_levels": dag_levels,
         "wl": wl_refinement,

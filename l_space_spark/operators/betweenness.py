@@ -41,6 +41,113 @@ from ..functions.text import hash60
 E9 = 1_000_000_000
 
 
+def _brandes_passes(
+    e: DataFrame,
+    n_sources: int,
+    max_depth: int,
+    seed: str,
+) -> tuple[list[DataFrame], list[DataFrame], list[DataFrame]]:
+    """Shared Brandes machinery over a persisted self-loop-free edge
+    table ``e``: returns ``(levels, deltas, edge_terms)``.
+
+    ``levels[l]`` = (s, v, sigma) at exact hop distance l (eager);
+    ``deltas[l]`` = (s, v, delta) e9 dependency for l ≥ 1 (eager;
+    index 0 is None — source deltas are never consumed);
+    ``edge_terms[l]`` = LAZY (a, b, term) per-edge e9 dependency of the
+    level-l→l+1 edges, for l ≥ 0 — built but unevaluated, so the vertex
+    consumer pays nothing for them while the edge consumer unions and
+    aggregates them. Every eager frame is localCheckpoint-ed, so the
+    lazy branches stay cheap to evaluate later."""
+    # sample from the SELF-LOOP-FREE universe: a self-loop-only vertex
+    # has an empty BFS and would silently occupy a sample slot,
+    # shrinking the effective source count (the harmonic-centrality
+    # pitfall, centrality.py)
+    sample_verts = e.select(F.col("src").alias("id")).unionByName(
+        e.select(F.col("dst").alias("id"))
+    ).distinct()
+
+    w = Window.orderBy(
+        hash60(F.concat_ws(":", F.lit(seed), F.col("id").cast("string"))),
+        "id",
+    )
+    sources = (
+        sample_verts.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_sources)
+        .select(F.col("id").alias("s"))
+    )
+
+    # forward: levels[l] = (s, v, sigma) at exact hop distance l
+    f = sources.select("s", F.col("s").alias("v"),
+                       F.lit(1).cast("long").alias("sigma"))
+    f = f.localCheckpoint(eager=True)
+    levels = [f]
+    visited = f.select("s", "v").localCheckpoint(eager=True)
+    for _ in range(max_depth):
+        cand = (
+            f.hint("shuffle_hash").join(e, f["v"] == e["src"])
+            .groupBy("s", F.col("dst").alias("nv"))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        f = (
+            cand.join(
+                visited,
+                (cand["s"] == visited["s"]) & (cand["nv"] == visited["v"]),
+                "anti",
+            )
+            .select("s", F.col("nv").alias("v"), "sigma")
+            .localCheckpoint(eager=True)
+        )
+        if f.isEmpty():
+            break
+        levels.append(f)
+        visited = visited.unionByName(f.select("s", "v")) \
+            .localCheckpoint(eager=True)
+
+    # backward: delta in e9 fixed point, deepest level contributes 0
+    deltas: list = [None] * len(levels)
+    edge_terms: list = [None] * len(levels)
+    if len(levels) > 1:
+        deltas[-1] = levels[-1].select(
+            "s", "v", F.lit(0).cast("long").alias("delta")
+        )
+    for l in range(len(levels) - 2, -1, -1):
+        nxt = levels[l + 1].join(deltas[l + 1], ["s", "v"]).select(
+            "s", F.col("v").alias("w"),
+            F.col("sigma").alias("sigma_w"), "delta",
+        )
+        raw = (
+            levels[l].alias("fv")
+            .join(e, F.col("fv.v") == e["src"])
+            .join(
+                nxt.alias("nx"),
+                (F.col("nx.s") == F.col("fv.s"))
+                & (F.col("nx.w") == e["dst"]),
+            )
+            .select(
+                F.col("fv.s").alias("s"), F.col("fv.v").alias("v"),
+                e["dst"].alias("w2"),
+                F.expr(f"(fv.sigma * ({E9} + delta)) div sigma_w")
+                .alias("term"),
+            )
+        )
+        # per-edge dependency of this level's edges — Brandes' edge
+        # betweenness: the term IS the edge's share, before the
+        # per-vertex sum folds it into delta. Lazy on purpose.
+        edge_terms[l] = raw.select(
+            F.col("v").alias("a"), F.col("w2").alias("b"), "term"
+        )
+        if l == 0:
+            break  # source deltas are never consumed (endpoint exclusion)
+        terms = raw.groupBy("s", "v").agg(F.sum("term").alias("dsum"))
+        deltas[l] = (
+            levels[l].join(terms, ["s", "v"], "left")
+            .select("s", "v",
+                    F.coalesce("dsum", F.lit(0)).cast("long").alias("delta"))
+            .localCheckpoint(eager=True)
+        )
+    return levels, deltas, edge_terms
+
+
 def betweenness_sampled(
     spark: SparkSession,
     edges: DataFrame,
@@ -63,83 +170,8 @@ def betweenness_sampled(
         verts = edges.select(F.col("src").alias("id")).unionByName(
             edges.select(F.col("dst").alias("id"))
         ).distinct().localCheckpoint(eager=True)
-        # sample from the SELF-LOOP-FREE universe: a self-loop-only vertex
-        # has an empty BFS and would silently occupy a sample slot,
-        # shrinking the effective source count (the harmonic-centrality
-        # pitfall, centrality.py) — the bc output still covers all of verts
-        sample_verts = e.select(F.col("src").alias("id")).unionByName(
-            e.select(F.col("dst").alias("id"))
-        ).distinct()
 
-        w = Window.orderBy(
-            hash60(F.concat_ws(":", F.lit(seed), F.col("id").cast("string"))),
-            "id",
-        )
-        sources = (
-            sample_verts.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") <= n_sources)
-            .select(F.col("id").alias("s"))
-        )
-
-        # forward: levels[l] = (s, v, sigma) at exact hop distance l
-        f = sources.select("s", F.col("s").alias("v"),
-                           F.lit(1).cast("long").alias("sigma"))
-        f = f.localCheckpoint(eager=True)
-        levels = [f]
-        visited = f.select("s", "v").localCheckpoint(eager=True)
-        for _ in range(max_depth):
-            cand = (
-                f.hint("shuffle_hash").join(e, f["v"] == e["src"])
-                .groupBy("s", F.col("dst").alias("nv"))
-                .agg(F.sum("sigma").alias("sigma"))
-            )
-            f = (
-                cand.join(
-                    visited,
-                    (cand["s"] == visited["s"]) & (cand["nv"] == visited["v"]),
-                    "anti",
-                )
-                .select("s", F.col("nv").alias("v"), "sigma")
-                .localCheckpoint(eager=True)
-            )
-            if f.isEmpty():
-                break
-            levels.append(f)
-            visited = visited.unionByName(f.select("s", "v")) \
-                .localCheckpoint(eager=True)
-
-        # backward: delta in e9 fixed point, deepest level contributes 0
-        deltas = [None] * len(levels)
-        deltas[-1] = levels[-1].select(
-            "s", "v", F.lit(0).cast("long").alias("delta")
-        )
-        for l in range(len(levels) - 2, 0, -1):
-            nxt = levels[l + 1].join(deltas[l + 1], ["s", "v"]).select(
-                "s", F.col("v").alias("w"),
-                F.col("sigma").alias("sigma_w"), "delta",
-            )
-            terms = (
-                levels[l].alias("fv")
-                .join(e, F.col("fv.v") == e["src"])
-                .join(
-                    nxt.alias("nx"),
-                    (F.col("nx.s") == F.col("fv.s"))
-                    & (F.col("nx.w") == e["dst"]),
-                )
-                .select(
-                    F.col("fv.s").alias("s"), F.col("fv.v").alias("v"),
-                    F.expr(f"(fv.sigma * ({E9} + delta)) div sigma_w")
-                    .alias("term"),
-                )
-                .groupBy("s", "v")
-                .agg(F.sum("term").alias("dsum"))
-            )
-            deltas[l] = (
-                levels[l].join(terms, ["s", "v"], "left")
-                .select("s", "v",
-                        F.coalesce("dsum", F.lit(0)).cast("long").alias("delta"))
-                .localCheckpoint(eager=True)
-            )
+        _, deltas, _ = _brandes_passes(e, n_sources, max_depth, seed)
 
         contrib = None
         for d in deltas[1:]:
@@ -150,6 +182,56 @@ def betweenness_sampled(
         bc = contrib.groupBy("v").agg(F.sum("delta").alias("bc_e9"))
         out = verts.join(bc, verts["id"] == bc["v"], "left").select(
             "id", F.coalesce("bc_e9", F.lit(0)).cast("long").alias("bc_e9")
+        ).localCheckpoint(eager=True)
+        return out
+    finally:
+        e.unpersist()
+
+
+def edge_betweenness_sampled(
+    spark: SparkSession,
+    edges: DataFrame,
+    n_sources: int = 8,
+    max_depth: int = 4,
+    seed: str = "bc",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Returns ``(src long, dst long, ebc_e9 long)`` for every distinct
+    non-self-loop directed edge: sampled bounded-depth EDGE betweenness
+    (Girvan–Newman's quantity) in e9 fixed point. Same two Brandes
+    passes as the vertex version — the per-edge dependency
+    ``σ_v/σ_w·(1+δ_w)`` is exactly the backward-pass term BEFORE the
+    per-vertex fold, so the edge variant reuses the shared core and
+    just aggregates the term stream by edge instead. Unlike vertex
+    betweenness, edges OUT OF a source do contribute (endpoint
+    exclusion removes vertex endpoints, not edges), hence the level-0
+    term branch."""
+    num_partitions = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    e = (
+        edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+        .distinct().repartition(num_partitions, "src").persist()
+    )
+    try:
+        _, _, edge_terms = _brandes_passes(e, n_sources, max_depth, seed)
+
+        contrib = None
+        for t in edge_terms:
+            if t is not None:
+                contrib = t if contrib is None else contrib.unionByName(t)
+        if contrib is None:
+            return e.select(
+                "src", "dst", F.lit(0).cast("long").alias("ebc_e9")
+            ).localCheckpoint(eager=True)
+        ebc = contrib.groupBy("a", "b").agg(
+            F.sum("term").cast("long").alias("ebc_e9")
+        )
+        out = e.join(
+            ebc, (e["src"] == ebc["a"]) & (e["dst"] == ebc["b"]), "left"
+        ).select(
+            "src", "dst",
+            F.coalesce("ebc_e9", F.lit(0)).cast("long").alias("ebc_e9"),
         ).localCheckpoint(eager=True)
         return out
     finally:

@@ -1,6 +1,6 @@
 """Whole-graph structure operators: bipartite projection, degree
-assortativity, 4-cycle census, rich-club curve, local bridges, and the
-edge-embeddedness histogram.
+assortativity, 4-cycle census, 4-clique census, rich-club curve, local
+bridges, and the edge-embeddedness histogram.
 
 ``bipartite_project`` folds a bipartite edge table (e.g. the
 customer→supplier graph the TPC-H extraction yields) into a weighted
@@ -196,6 +196,62 @@ def embeddedness_distribution(edges: DataFrame) -> DataFrame:
         .groupBy(F.col("support").cast("long").alias("support"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     )
+
+
+def k4_count(edges: DataFrame) -> DataFrame:
+    """One row ``(k4 BIGINT)``: the number of 4-cliques of the
+    undirected simple graph — the clique companion to
+    ``triangle_count`` / ``rectangle_count`` (a C4 whose both chords
+    are present).
+
+    Enumeration lifts the degree-ordered triangle join one level: in
+    the (degree, id) rank order, every K4 ``a<b<c<d`` is generated
+    exactly once as two oriented triangles ``(a,b,c)`` and ``(a,b,d)``
+    sharing their lowest-rank EDGE ``(a,b)``, closed by the oriented
+    edge ``(c,d)`` — so the plan is the triangle wedge join, one
+    equi-self-join of the triangle list on its ``(x, y)`` prefix, and
+    one closing left-semi join, never a 4-tuple nested loop. Skew is
+    bounded the same way triangles are: orientation points every
+    wedge/triangle at its lowest-(degree, id) corner, so hub fan-out
+    is capped by arboricity-style bounds rather than raw degree.
+
+    The oracle counts the same quadruples id-ordered (``a<b<c<d`` with
+    all six canonical edges) — clique counts are orientation-invariant,
+    so the two sides agree exactly with no fixed point.
+    """
+    from .triangles import _oriented
+
+    o = _oriented(edges).localCheckpoint(eager=True)
+    # triangle enumeration, keeping the z-corner's rank components so
+    # the pair join below can order z1 < z2 by the SAME rank the
+    # orientation used (deg first, id tiebreak)
+    e1 = o.select(F.col("lo").alias("u"), F.col("hi").alias("v"),
+                  F.col("deg_hi").alias("deg_v"))
+    e2 = o.select(F.col("lo").alias("u"), F.col("hi").alias("w"),
+                  F.col("deg_hi").alias("deg_w"))
+    rank_lt = (F.col("deg_v") < F.col("deg_w")) | (
+        (F.col("deg_v") == F.col("deg_w")) & (F.col("v") < F.col("w"))
+    )
+    closing = o.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
+    tri = (
+        e1.join(e2, "u").where(rank_lt)
+        .join(closing, ["v", "w"], "left_semi")
+        .select("u", "v", "w", "deg_w")
+        .localCheckpoint(eager=True)  # both sides of the prefix join
+    )
+    t1 = tri.select("u", "v", F.col("w").alias("z1"),
+                    F.col("deg_w").alias("deg_z1"))
+    t2 = tri.select("u", "v", F.col("w").alias("z2"),
+                    F.col("deg_w").alias("deg_z2"))
+    z_lt = (F.col("deg_z1") < F.col("deg_z2")) | (
+        (F.col("deg_z1") == F.col("deg_z2")) & (F.col("z1") < F.col("z2"))
+    )
+    quads = (
+        t1.join(t2, ["u", "v"]).where(z_lt)
+        .select(F.col("z1").alias("v"), F.col("z2").alias("w"))
+        .join(closing, ["v", "w"], "left_semi")
+    )
+    return quads.agg(F.count(F.lit(1)).cast("long").alias("k4"))
 
 
 def degree_assortativity(edges: DataFrame) -> DataFrame:

@@ -247,3 +247,45 @@ def test_local_bridges_and_embeddedness_random(spark):
             embeddedness_distribution(edges_df(spark, pairs)).collect()}
     assert dist == dict(hist)
     assert dist.get(0, 0) == len(want)
+
+
+from l_space_spark.operators.graphstats import k4_count  # noqa: E402
+
+
+def k4_brute(pairs):
+    adj = defaultdict(set)
+    verts = set()
+    for s, d in pairs:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+            verts.update((s, d))
+    n = 0
+    for quad in combinations(sorted(verts), 4):
+        if all(b in adj[a] for a, b in combinations(quad, 2)):
+            n += 1
+    return n
+
+
+def test_k4_single_clique(spark):
+    pairs = list(combinations(range(4), 2))
+    assert k4_count(edges_df(spark, pairs)).collect()[0]["k4"] == 1
+
+
+def test_k4_k5_has_five(spark):
+    pairs = list(combinations(range(5), 2))
+    assert k4_count(edges_df(spark, pairs)).collect()[0]["k4"] == 5
+
+
+def test_k4_chorded_square_zero(spark):
+    # C4 + one chord: no 4-clique (the other chord is missing)
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    assert k4_count(edges_df(spark, pairs)).collect()[0]["k4"] == 0
+
+
+def test_k4_random_matches_brute(spark):
+    for seed, n, m in [(7, 12, 40), (8, 10, 44), (9, 16, 60)]:
+        rnd = random.Random(seed)
+        pairs = [(rnd.randrange(n), rnd.randrange(n)) for _ in range(m)]
+        got = k4_count(edges_df(spark, pairs)).collect()[0]["k4"]
+        assert got == k4_brute(pairs)
