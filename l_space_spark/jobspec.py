@@ -22,7 +22,7 @@ Four spec kinds:
     algorithms: pagerank · connected_components · connected_components_star ·
     scc · label_propagation · triangle_count · triangles_per_vertex ·
     clustering_coefficient · hits · kcore · ktruss (params: k) ·
-    coreness · trussness · mis · matching ·
+    coreness · trussness · mis · matching · msf (params: weight_col) ·
     coloring · sssp (params: source, weight_col) · harmonic_centrality
     (params: n_sources, max_iters) · betweenness (params: n_sources,
     max_depth) · anf (params: max_t, k) · random_walks (params:
@@ -144,6 +144,7 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
     from .operators.labelprop import label_propagation
     from .operators.matching import maximal_matching
     from .operators.mis import maximal_independent_set
+    from .operators.msf import minimum_spanning_forest
     from .operators.pagerank import pagerank
     from .operators.scc import strongly_connected_components
     from .operators.sssp import sssp
@@ -176,6 +177,9 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
         "scc": strongly_connected_components,
         "mis": maximal_independent_set,
         "matching": maximal_matching,
+        "msf": minimum_spanning_forest,  # weight via params.weight_col /
+        # input.weight, same contract as louvain_weighted
+
         "coloring": greedy_coloring,
         "dag_levels": dag_levels,
         "wl": wl_refinement,

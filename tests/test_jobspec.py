@@ -519,3 +519,27 @@ def test_louvain_weighted_spec(spark, tmp_path):
                                       fixed_iters=True,
                                       resume=False).state.collect()}
     assert got == want
+
+
+def test_msf_spec(spark, tmp_path):
+    rows = [(1, 2, 3), (1, 3, 1), (2, 3, 2), (3, 4, 5), (4, 5, 4),
+            (2, 4, 7)]
+    df = spark.createDataFrame(rows, "src long, dst long, w long")
+    path = str(tmp_path / "msf_edges")
+    df.write.parquet(path)
+    spec = {"kind": "algorithm", "algorithm": "msf", "resume": False,
+            "input": {"edges_parquet": path, "weight": "w"}, "params": {}}
+    out = run_job(spark, spec)
+    forest = sorted((r["u"], r["v"], r["w"])
+                    for r in out.where("done").collect())
+    assert forest == [(1, 3, 1), (2, 3, 2), (3, 4, 5), (4, 5, 4)]
+    # weight column not named "w" routes through params.weight_col
+    df2 = df.withColumnRenamed("w", "wt")
+    path2 = str(tmp_path / "msf_edges2")
+    df2.write.parquet(path2)
+    spec2 = {"kind": "algorithm", "algorithm": "msf", "resume": False,
+             "input": {"edges_parquet": path2},
+             "params": {"weight_col": "wt"}}
+    forest2 = sorted((r["u"], r["v"], r["w"])
+                     for r in run_job(spark, spec2).where("done").collect())
+    assert forest2 == forest
