@@ -179,3 +179,55 @@ def scrub_pii(col: Column) -> Column:
         F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>"),
         PII_PHONE_RE, "<PHONE>",
     )
+
+
+def tfidf_top_terms(df, id_col: str, text_col: str, top_k: int = 3):
+    """Per-document top-k salient terms under a RATIONAL tf-idf
+    (score = tf · N / df): keyword extraction for corpus triage /
+    training-data curation. Returns ``(doc_id, term, tf, doc_freq,
+    score_e6, rnk)``, ``rnk`` 1..top_k per doc under the total order
+    (score desc, term asc) so results are unique and deterministic.
+
+    The idf is the rational reciprocal document frequency rather than
+    the usual ``log(N/df)`` because the exact-oracle contract bans
+    libm-dependent expressions (``ln`` is not correctly rounded, so a
+    DuckDB/JVM last-ulp disagreement could flip a floor or a rank);
+    tf·N/df preserves the tf-major, rarity-minor ranking at e6 fixed
+    point with pure BIGINT arithmetic: ``(2·tf·1e6·N + df) div (2·df)``.
+
+    Plan shape (scale path): tokenize+explode (linear), one
+    combiner-backed groupBy for tf over (doc, term), one for df over
+    term, a term-keyed equi-join of tf against df (both shuffled on
+    term — co-partitioned), the 1-row N aggregate broadcast, and a
+    per-doc window top-k. No all-pairs anything; the window partitions
+    by doc so no global sort."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tf = base.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq")
+    )
+    n = df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id", "term", "tf", "doc_freq",
+            F.expr(
+                "(2 * tf * 1000000 * n_docs + doc_freq) div (2 * doc_freq)"
+            ).cast("long").alias("score_e6"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_e6"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= top_k)
+    )

@@ -1,0 +1,129 @@
+"""Fixed-round Lloyd k-means over an embedding column — the clustering
+stage of a training-data curation pipeline (topic bucketing, diversity
+sampling, per-cluster quota enforcement), entirely in integer arithmetic
+so the result has an exact cross-engine SQL oracle.
+
+Reference analog: none (L-space ships no numeric operators); the closest
+public analog is Spark MLlib's KMeans, which this deliberately does not
+use: MLlib's init (k-means??) is RNG-seeded and its float reductions are
+order-dependent, so no engine-independent oracle can gate it. Here:
+
+* vectors are quantized ONCE to e6 fixed point (``floor(x·1e6)`` — float
+  multiply + floor are both correctly rounded, so the quantization is
+  bit-identical in any IEEE engine), and every later step is BIGINT:
+  squared-L2 distances are integer sums of squares, centroid means are
+  the integer division ``(2·Σ + n) div (2·n)`` (both Spark ``div`` and
+  DuckDB ``//`` truncate toward zero — verified), argmin ties break by
+  the smaller centroid id. The whole run is a deterministic function of
+  the input.
+* init = the vectors of the k smallest ids (deterministic seed rows, the
+  oracle can name them), ``iters`` assignment rounds with an update
+  between consecutive rounds — classic fixed-budget Lloyd.
+
+Scale shape (the part that must survive 100×): assignment is
+``points × broadcast(centroids)`` — n·k rows, never n·k·dim — with the
+squared distance as a JVM-side ``zip_with``/``aggregate`` fold over the
+two long arrays (whole-stage codegen, no Python); the update explodes
+assigned points once (n·dim rows) into a combiner-backed
+``groupBy(cluster, dim)`` mean. Centroids (k·dim longs) are
+localCheckpointed per round to keep the unrolled plan flat. No step is
+quadratic in n; the only growth knob is k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def quantize_vectors(
+    df: DataFrame, id_col: str, vec_col: str, scale: int = 1_000_000
+) -> DataFrame:
+    """(id, v array<long>): e6 fixed-point quantization of a float
+    vector column — the exactness boundary every integer op builds on."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(float(scale)))
+            .cast("long"),
+        ).alias("v"),
+    )
+
+
+def _sqdist(v, cv) -> F.Column:
+    return F.aggregate(
+        F.zip_with(v, cv, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, z: acc + z,
+    )
+
+
+def kmeans_fixed(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic fixed-round k-means. Returns one row per input
+    vector: ``(vec_id long, cluster long, dist2 long)`` — the assigned
+    centroid's seed id and the exact integer squared distance at the
+    final assignment."""
+    pts = quantize_vectors(df, id_col, vec_col, scale).persist()
+    cents = (
+        pts.orderBy("id").limit(k)
+        .select(F.col("id").alias("c"), F.col("v").alias("cv"))
+    )
+    assign = None
+    for t in range(max(1, iters)):
+        scored = pts.join(F.broadcast(cents)).select(
+            "id", "v",
+            F.struct(
+                _sqdist(F.col("v"), F.col("cv")).alias("dist"),
+                F.col("c").alias("c"),
+            ).alias("m"),
+        )
+        assign = scored.groupBy("id").agg(F.min("m").alias("m")).select(
+            "id", F.col("m.c").alias("c"), F.col("m.dist").alias("dist"),
+        )
+        if t < iters - 1:
+            exploded = (
+                assign.join(pts, "id")
+                .select("c", F.posexplode("v").alias("pos", "val"))
+            )
+            dims = exploded.groupBy("c", "pos").agg(
+                F.expr("(2 * sum(val) + count(*)) div (2 * count(*))")
+                .cast("long").alias("m")
+            )
+            cents = (
+                dims.groupBy("c")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                        lambda s: s["m"],
+                    ).alias("cv")
+                )
+                .localCheckpoint(eager=True)
+            )
+    return assign.select(
+        F.col("id").alias("vec_id"),
+        F.col("c").cast("long").alias("cluster"),
+        F.col("dist").alias("dist2"),
+    )
+
+
+def cluster_sizes(assignment: DataFrame) -> DataFrame:
+    """(cluster, n, mean_dist2_e0): per-cluster census of a
+    ``kmeans_fixed`` result — the curation-side readout (which topic
+    buckets are over/under-represented). Exact integer mean."""
+    return (
+        assignment.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr("(2 * sum(dist2) + count(*)) div (2 * count(*))")
+            .cast("long").alias("mean_dist2"),
+        )
+        .orderBy("cluster")
+    )

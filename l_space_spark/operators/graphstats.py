@@ -287,3 +287,67 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
             F.floor(r * F.lit(1e6) + F.lit(0.5)).cast("long"),
         ).alias("r_e6")
     )
+
+
+def global_transitivity(edges: DataFrame) -> DataFrame:
+    """One row ``(triangles long, wedges long, transitivity_e6 long)``:
+    the global clustering coefficient 3·T/W of the undirected simple
+    graph — T the exact triangle count (degree-ordered wedge join,
+    ``triangles.triangle_list``), W the wedge count Σ d(v)·(d(v)−1)/2
+    (exact: the product of consecutive integers is even). The ratio is
+    the INTEGER division ``(6000000·T + W) div (2·W)`` (= round-half-up
+    of 3T/W at e6) — no doubles, bit-identical in any engine; NULL when
+    the graph has no wedges. Both inputs are one aggregate each, joined
+    as 1-row broadcasts, so the cost is the triangle kernel's."""
+    from .triangles import triangle_list
+
+    tri = triangle_list(edges).agg(
+        F.count(F.lit(1)).cast("long").alias("triangles")
+    )
+    wedges = (
+        undirect(edges)
+        .groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.expr("coalesce(sum(d * (d - 1) div 2), 0)")
+             .cast("long").alias("wedges"))
+    )
+    return tri.join(F.broadcast(wedges)).select(
+        "triangles", "wedges",
+        F.when(
+            F.col("wedges") > 0,
+            F.expr("(6000000 * triangles + wedges) div (2 * wedges)"),
+        ).cast("long").alias("transitivity_e6"),
+    )
+
+
+def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
+    """Degree-correlation curve knn(k): for each degree class k, the
+    mean degree of the neighbors of degree-k vertices (averaged over
+    EDGE endpoints, the standard Pastor-Satorras/Vázquez definition
+    whose slope signs assortativity). Returns ``(d long, n_ends long,
+    knn_e6 long)`` ordered by d. Exact: Σ neighbor-degrees per class is
+    an integer sum and the mean is the integer division
+    ``(2000000·Σ + n) div (2·n)`` (round-half-up at e6). Plan: one
+    degree aggregate + two degree joins onto the symmetric edge set +
+    one combiner-backed groupBy — linear in |E|, the same shape as
+    ``degree_assortativity`` (which this curve disaggregates)."""
+    und = undirect(edges)
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    dx = deg.select(F.col("src").alias("a"), F.col("d").alias("x"))
+    dy = deg.select(F.col("src").alias("b"), F.col("d").alias("y"))
+    pairs = (
+        und.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .join(dx, "a").join(dy, "b")
+    )
+    return (
+        pairs.groupBy(F.col("x").cast("long").alias("d"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ends"),
+            F.sum("y").alias("sy"),
+        )
+        .select(
+            "d", "n_ends",
+            F.expr("(2000000 * sy + n_ends) div (2 * n_ends)")
+            .cast("long").alias("knn_e6"),
+        )
+        .orderBy("d")
+    )

@@ -5042,6 +5042,182 @@ def q_msf_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return forest_edges(res).orderBy("u", "v")
 
 
+@register(
+    "global_transitivity",
+    f"""
+WITH e0 AS ({MOD_EDGES_SQL}),
+canon AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst
+),
+und AS (SELECT a AS v FROM canon UNION ALL SELECT b FROM canon),
+deg AS (SELECT v, count(*) AS d FROM und GROUP BY v),
+wd AS (SELECT coalesce(sum(d * (d - 1) // 2), 0) AS wedges FROM deg),
+tr AS (SELECT count(*) AS triangles FROM canon e1
+       JOIN canon e2 ON e2.a = e1.a AND e2.b > e1.b
+       JOIN canon e3 ON e3.a = e1.b AND e3.b = e2.b)
+SELECT CAST(triangles AS BIGINT) AS triangles,
+       CAST(wedges AS BIGINT) AS wedges,
+       CASE WHEN wedges > 0 THEN CAST((6000000 * triangles + wedges)
+            // (2 * wedges) AS BIGINT) END AS transitivity_e6
+FROM tr, wd
+""".strip(),
+)
+def q_global_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient 3T/W (graphstats.global_transitivity):
+    exact triangle kernel + wedge aggregate, pure-integer e6 ratio (the
+    scalar the per-vertex clustering_coefficient entry disaggregates)."""
+    from .operators.graphstats import global_transitivity
+
+    return global_transitivity(mod_edges(spark, sf_dir))
+
+
+@register(
+    "avg_neighbor_degree",
+    f"""
+WITH e0 AS ({MOD_EDGES_SQL}),
+und AS (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM e0 WHERE src <> dst
+  UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)),
+deg AS (SELECT src, count(*) AS d FROM und GROUP BY src),
+p AS (SELECT dx.d AS x, dy.d AS y FROM und u
+      JOIN deg dx ON dx.src = u.src JOIN deg dy ON dy.src = u.dst)
+SELECT CAST(x AS BIGINT) AS d, CAST(count(*) AS BIGINT) AS n_ends,
+       CAST((2000000 * sum(y) + count(*)) // (2 * count(*)) AS BIGINT)
+         AS knn_e6
+FROM p GROUP BY x ORDER BY d
+""".strip(),
+)
+def q_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn(d) degree-correlation curve (graphstats.avg_neighbor_degree):
+    per degree class, the exact integer-div mean degree of neighbors —
+    the curve whose slope degree_assortativity summarizes."""
+    from .operators.graphstats import avg_neighbor_degree
+
+    return avg_neighbor_degree(mod_edges(spark, sf_dir))
+
+
+TFIDF_TOPK = 3
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (SELECT doc_id, term, tf, doc_freq,
+  (2 * tf * 1000000 * n_docs + doc_freq) // (2 * doc_freq) AS score_e6
+  FROM tf JOIN dfq USING (term), n),
+ranked AS (SELECT doc_id, term, tf, doc_freq, score_e6,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score_e6 DESC, term) AS rnk
+           FROM scored)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+       CAST(doc_freq AS BIGINT) AS doc_freq,
+       CAST(score_e6 AS BIGINT) AS score_e6, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {TFIDF_TOPK} ORDER BY doc_id, rnk
+""".strip(),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 salient terms under rational tf-idf
+    (functions/text.tfidf_top_terms): keyword extraction for corpus
+    triage — tf/df groupBys co-partitioned on term, broadcast N, per-doc
+    window top-k, all-BIGINT scoring (no libm log)."""
+    from .functions.text import tfidf_top_terms
+
+    d = load(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, "doc_id", "text", top_k=TFIDF_TOPK).orderBy(
+        "doc_id", "rnk"
+    )
+
+
+KMEANS_K = 4
+KMEANS_ITERS = 2
+EMB_DIM = 64
+
+
+def _kmeans_cte(k: int, iters: int, dim: int) -> str:
+    """The shared unrolled-Lloyd CTE chain (operators/clustering.py
+    docstring explains the integer-exactness contract): pts = e6-quantized
+    (id, idx, val) triples, c0 = the k smallest ids' vectors, then per
+    round an integer squared-distance aggregate, a (dist, c)-ordered
+    argmin, and an integer-div centroid mean."""
+    parts = [
+        "WITH pts AS MATERIALIZED (SELECT vec_id AS id, i AS idx,"
+        " CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)"
+        f" AS val FROM embeddings, range(1, {dim + 1}) t(i)),",
+        "seed AS (SELECT vec_id AS c FROM embeddings"
+        f" ORDER BY vec_id LIMIT {k}),",
+        "c0 AS (SELECT p.id AS c, p.idx, p.val AS cval"
+        " FROM pts p JOIN seed s ON s.c = p.id),",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"d{t} AS (SELECT p.id, c.c,"
+            " sum((p.val - c.cval) * (p.val - c.cval)) AS dist"
+            f" FROM pts p JOIN c{t - 1} c ON c.idx = p.idx"
+            " GROUP BY p.id, c.c),"
+        )
+        parts.append(
+            f"a{t} AS (SELECT id, c, dist FROM (SELECT id, c, dist,"
+            " row_number() OVER (PARTITION BY id ORDER BY dist, c) AS rn"
+            f" FROM d{t}) WHERE rn = 1),"
+        )
+        if t < iters:
+            parts.append(
+                f"c{t} AS (SELECT a.c, p.idx,"
+                " CAST((2 * sum(p.val) + count(*)) // (2 * count(*))"
+                " AS BIGINT) AS cval"
+                f" FROM a{t} a JOIN pts p ON p.id = a.id GROUP BY a.c, p.idx),"
+            )
+    parts[-1] = parts[-1].rstrip(",")
+    return "\n".join(parts)
+
+
+@register(
+    "kmeans_embeddings",
+    _kmeans_cte(KMEANS_K, KMEANS_ITERS, EMB_DIM) + f"""
+SELECT id AS vec_id, CAST(c AS BIGINT) AS cluster,
+       CAST(dist AS BIGINT) AS dist2
+FROM a{KMEANS_ITERS} ORDER BY vec_id
+""".rstrip(),
+)
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-round Lloyd k-means over the embedding column
+    (operators/clustering.kmeans_fixed): e6-quantized integer vectors,
+    broadcast-centroid zip_with distances (n·k rows, never n·k·dim),
+    integer-div centroid means — the topic-bucketing stage of a curation
+    pipeline with an exact unrolled SQL oracle (MLlib's KMeans is
+    RNG-seeded + float-order-dependent, hence unoracleable)."""
+    from .operators.clustering import kmeans_fixed
+
+    e = load(spark, sf_dir, "embeddings")
+    return kmeans_fixed(e, k=KMEANS_K, iters=KMEANS_ITERS).orderBy("vec_id")
+
+
+@register(
+    "kmeans_cluster_sizes",
+    _kmeans_cte(KMEANS_K, KMEANS_ITERS, EMB_DIM) + f"""
+SELECT CAST(c AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS n,
+       CAST((2 * sum(dist) + count(*)) // (2 * count(*)) AS BIGINT)
+         AS mean_dist2
+FROM a{KMEANS_ITERS} GROUP BY c ORDER BY cluster
+""".rstrip(),
+)
+def q_kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster census of the k-means assignment
+    (clustering.cluster_sizes): the curation readout — bucket sizes and
+    exact integer mean squared distance (cluster coherence)."""
+    from .operators.clustering import cluster_sizes, kmeans_fixed
+
+    e = load(spark, sf_dir, "embeddings")
+    return cluster_sizes(
+        kmeans_fixed(e, k=KMEANS_K, iters=KMEANS_ITERS)
+    )
+
+
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
 # in iteration order.  Registration order above is historical (round 1 → 3),
 # so without reordering the round-2/3 algorithm family would never receive a
@@ -5125,8 +5301,9 @@ _DRIVER_WINDOW: list[str] = [
     # rich_club_curve, local_bridges, embeddedness_distribution,
     # louvain_communities, louvain_modularity, louvain_quotient,
     # louvain_multilevel, maximal_matching, eccentricity_sample, k4_count,
-    # edge_betweenness_sampled, msf_edges (added after the r4 window was
-    # frozen) —
+    # edge_betweenness_sampled, msf_edges, global_transitivity,
+    # avg_neighbor_degree, tfidf_top_terms, kmeans_embeddings,
+    # kmeans_cluster_sizes (added after the r4 window was frozen) —
     # rotate them in for r5, swapping out entries that go green in
     # CORRECTNESS_r04.
 ]

@@ -289,3 +289,82 @@ def test_k4_random_matches_brute(spark):
         pairs = [(rnd.randrange(n), rnd.randrange(n)) for _ in range(m)]
         got = k4_count(edges_df(spark, pairs)).collect()[0]["k4"]
         assert got == k4_brute(pairs)
+
+
+# ---- global transitivity ----------------------------------------------------
+
+
+def _transitivity(spark, pairs):
+    from l_space_spark.operators.graphstats import global_transitivity
+
+    return global_transitivity(edges_df(spark, pairs)).collect()[0]
+
+
+def test_transitivity_triangle_is_one(spark):
+    r = _transitivity(spark, [(1, 2), (2, 3), (3, 1)])
+    assert (r["triangles"], r["wedges"], r["transitivity_e6"]) == (1, 3, 1000000)
+
+
+def test_transitivity_star_is_zero(spark):
+    r = _transitivity(spark, [(0, 1), (0, 2), (0, 3)])
+    assert (r["triangles"], r["wedges"], r["transitivity_e6"]) == (0, 3, 0)
+
+
+def test_transitivity_no_wedges_null(spark):
+    r = _transitivity(spark, [(1, 2), (3, 4)])
+    assert r["wedges"] == 0 and r["transitivity_e6"] is None
+
+
+def test_transitivity_random_matches_twin(spark):
+    rng = random.Random(5)
+    pairs = [(rng.randrange(25), rng.randrange(25)) for _ in range(120)]
+    adj = defaultdict(set)
+    for s, d in pairs:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    tri = sum(
+        1
+        for a in adj for b in adj[a] if a < b
+        for c in adj[b] if b < c and c in adj[a]
+    )
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    r = _transitivity(spark, pairs)
+    assert (r["triangles"], r["wedges"]) == (tri, wedges)
+    assert r["transitivity_e6"] == (6000000 * tri + wedges) // (2 * wedges)
+
+
+# ---- average neighbor degree ------------------------------------------------
+
+
+def test_avg_neighbor_degree_star(spark):
+    from l_space_spark.operators.graphstats import avg_neighbor_degree
+
+    got = {r["d"]: (r["n_ends"], r["knn_e6"]) for r in
+           avg_neighbor_degree(edges_df(spark, [(0, 1), (0, 2), (0, 3)]))
+           .collect()}
+    # leaves (d=1) neighbor the hub (d=3); the hub's 3 ends neighbor leaves
+    assert got == {1: (3, 3000000), 3: (3, 1000000)}
+
+
+def test_avg_neighbor_degree_random_matches_twin(spark):
+    from l_space_spark.operators.graphstats import avg_neighbor_degree
+
+    rng = random.Random(11)
+    pairs = [(rng.randrange(30), rng.randrange(30)) for _ in range(150)]
+    adj = defaultdict(set)
+    for s, d in pairs:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    by_d = defaultdict(lambda: [0, 0])
+    for a in adj:
+        for b in adj[a]:
+            by_d[len(adj[a])][0] += 1
+            by_d[len(adj[a])][1] += len(adj[b])
+    want = {
+        d: (n, (2000000 * sy + n) // (2 * n)) for d, (n, sy) in by_d.items()
+    }
+    got = {r["d"]: (r["n_ends"], r["knn_e6"]) for r in
+           avg_neighbor_degree(edges_df(spark, pairs)).collect()}
+    assert got == want
