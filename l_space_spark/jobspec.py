@@ -23,6 +23,7 @@ Four spec kinds:
     scc · label_propagation · triangle_count · triangles_per_vertex ·
     clustering_coefficient · hits · kcore · ktruss (params: k) ·
     coreness · trussness · mis · matching · msf (params: weight_col) ·
+    earliest_arrival (params: seeds, start_t, time_col) ·
     coloring · sssp (params: source, weight_col) · harmonic_centrality
     (params: n_sources, max_iters) · betweenness (params: n_sources,
     max_depth) · anf (params: max_t, k) · random_walks (params:
@@ -146,6 +147,7 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
     from .operators.mis import maximal_independent_set
     from .operators.msf import minimum_spanning_forest
     from .operators.pagerank import pagerank
+    from .operators.treach import earliest_arrival
     from .operators.scc import strongly_connected_components
     from .operators.sssp import sssp
     from .operators.toposort import dag_levels
@@ -157,8 +159,10 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
 
     inp = spec.get("input", {})
     params = dict(spec.get("params", {}))
-    edges = _edges_from_input(spark, inp,
-                              weight_col=params.get("weight_col"))
+    edges = _edges_from_input(
+        spark, inp,
+        weight_col=params.get("weight_col") or params.get("time_col"),
+    )
     ckpt = spec.get("checkpoint_dir")
     resume = bool(spec.get("resume", True))
     algo = spec["algorithm"]
@@ -179,6 +183,9 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
         "matching": maximal_matching,
         "msf": minimum_spanning_forest,  # weight via params.weight_col /
         # input.weight, same contract as louvain_weighted
+        "earliest_arrival": earliest_arrival,  # contact time via
+        # params.time_col (default "t") / input.weight; seeds = JSON id
+        # list (required), start_t optional
 
         "coloring": greedy_coloring,
         "dag_levels": dag_levels,
@@ -207,12 +214,16 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
             }
 
     if algo in supersteps:
-        if algo == "pagerank" and isinstance(params.get("seeds"), list):
-            # personalized PageRank over the wire: seeds arrive as a JSON
-            # id list and become the teleport-seed DataFrame
+        if (algo in ("pagerank", "earliest_arrival")
+                and isinstance(params.get("seeds"), list)):
+            # seeds arrive as a JSON id list and become the seed DataFrame
+            # (personalized-PageRank teleport set / temporal source set)
             params["seeds"] = spark.createDataFrame(
                 [(int(s),) for s in params["seeds"]], "id long"
             )
+        if algo == "earliest_arrival" and "seeds" not in params:
+            raise ValueError("earliest_arrival needs params['seeds'] "
+                             "(a JSON list of source vertex ids)")
         res = supersteps[algo](
             spark, edges, checkpoint_dir=ckpt, resume=resume, **params
         )

@@ -5218,6 +5218,92 @@ def q_kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TREACH_ROUNDS = 20  # ≥ temporal-hop diameter at oracle scales (13 @ sf0.01,
+# 5 @ sf0.001 — measured); extra rounds are idempotent at the fixpoint
+
+TEMPORAL_EDGES_SQL = """
+SELECT src, dst, t FROM (
+  SELECT lag(user_id) OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS src,
+         user_id AS dst, epoch_us(ts) AS t
+  FROM events)
+WHERE src IS NOT NULL AND src <> dst
+""".strip()
+
+
+def _treach_oracle(rounds: int) -> str:
+    """Unrolled monotone min-fixpoint: each round relaxes every contact
+    usable from the current arrival front; rounds ≥ the temporal-hop
+    diameter make the last CTE THE fixpoint the converged superstep run
+    reaches (order-independent — treach.py module doc)."""
+    parts = [
+        f"WITH te AS MATERIALIZED ({TEMPORAL_EDGES_SQL}),",
+        "a0 AS (SELECT DISTINCT user_id AS id, CAST(0 AS BIGINT) AS arr"
+        " FROM events WHERE user_id < 3),",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            # MATERIALIZED: each round references its predecessor twice, so
+            # un-materialized inlining would blow up 2^rounds
+            f"a{k} AS MATERIALIZED (SELECT id, min(arr) AS arr FROM ("
+            f"SELECT id, arr FROM a{k - 1}"
+            f" UNION ALL SELECT e.dst, e.t FROM a{k - 1} a"
+            " JOIN te e ON e.src = a.id AND e.t >= a.arr) GROUP BY id),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT id AS user_id, CAST(arr AS BIGINT) AS arrival_us"
+        f" FROM a{rounds} ORDER BY user_id"
+    )
+    return "\n".join(parts)
+
+
+def temporal_contact_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contact edges (src, dst, t µs) from the events stream: consecutive
+    events inside each (event_type, hour) cell, ordered by (ts, event_id),
+    link their users — a deterministic, LINEAR co-occurrence construction
+    (one window pass; never a quadratic within-cell pairing)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "event_type", F.date_trunc("hour", F.col("ts"))
+    ).orderBy("ts", "event_id")
+    return (
+        e.select(
+            "event_type", "ts", "event_id", "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        )
+        .withColumn("src", F.lag("user_id").over(w))
+        .where(F.col("src").isNotNull() & (F.col("src") != F.col("user_id")))
+        .select("src", F.col("user_id").alias("dst"), "t")
+    )
+
+
+@register("temporal_reachability", _treach_oracle(TREACH_ROUNDS))
+def q_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest-arrival temporal reachability (operators/treach.py) from
+    seed users (user_id < 3, start 0) over the event-contact graph: a
+    time-respecting path must use non-decreasing timestamps, so this is
+    the contagion/freshness-propagation readout — (user_id, arrival_us)
+    for every reached user. Superstep joins only the improved frontier
+    against the src-partitioned contact cache; the oracle unrolls the
+    same monotone fixpoint."""
+    from .operators.treach import earliest_arrival
+
+    e = load(spark, sf_dir, "events")
+    seeds = (
+        e.where(F.col("user_id") < 3)
+        .select(F.col("user_id").alias("id")).distinct()
+    )
+    res = earliest_arrival(
+        spark, temporal_contact_edges(spark, sf_dir), seeds,
+        start_t=0, num_partitions=_small_graph_parts(spark),
+    )
+    return res.state.select(
+        F.col("id").alias("user_id"),
+        F.col("arrival").alias("arrival_us"),
+    ).orderBy("user_id")
+
+
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
 # in iteration order.  Registration order above is historical (round 1 → 3),
 # so without reordering the round-2/3 algorithm family would never receive a
