@@ -24,6 +24,7 @@ Four spec kinds:
     clustering_coefficient · hits · kcore · ktruss (params: k) ·
     coreness · trussness · mis · matching · msf (params: weight_col) ·
     earliest_arrival (params: seeds, start_t, time_col) ·
+    label_spreading (params: seeds = [id, label] pairs, rounds) ·
     coloring · sssp (params: source, weight_col) · harmonic_centrality
     (params: n_sources, max_iters) · betweenness (params: n_sources,
     max_depth) · anf (params: max_t, k) · random_walks (params:
@@ -142,7 +143,7 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
     from .operators.hits import hits
     from .operators.kcore import kcore
     from .operators.ktruss import ktruss
-    from .operators.labelprop import label_propagation
+    from .operators.labelprop import label_propagation, label_spreading
     from .operators.matching import maximal_matching
     from .operators.mis import maximal_independent_set
     from .operators.msf import minimum_spanning_forest
@@ -172,6 +173,9 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
         "connected_components": connected_components,
         "connected_components_star": connected_components_star,
         "label_propagation": label_propagation,
+        "label_spreading": label_spreading,  # seeds = JSON [id, label]
+        # pairs (required), params.rounds optional
+
         "hits": hits,
         "kcore": kcore,
         "ktruss": ktruss,
@@ -224,6 +228,14 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
         if algo == "earliest_arrival" and "seeds" not in params:
             raise ValueError("earliest_arrival needs params['seeds'] "
                              "(a JSON list of source vertex ids)")
+        if algo == "label_spreading":
+            if not isinstance(params.get("seeds"), list):
+                raise ValueError("label_spreading needs params['seeds'] "
+                                 "(a JSON list of [id, label] pairs)")
+            params["seeds"] = spark.createDataFrame(
+                [(int(a), int(b)) for a, b in params["seeds"]],
+                "id long, label long",
+            )
         res = supersteps[algo](
             spark, edges, checkpoint_dir=ckpt, resume=resume, **params
         )

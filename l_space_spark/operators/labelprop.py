@@ -175,3 +175,85 @@ def label_propagation(
         if csr_blocks is not None:
             csr_blocks.unpersist()
     return result
+
+
+def label_spreading(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 4,
+    checkpoint_dir: str | None = None,
+    num_partitions: int | None = None,
+    resume: bool = True,
+    config_extra: dict | None = None,
+) -> SuperstepResult:
+    """Seeded (semi-supervised) label spreading: ``seeds(id, label)``
+    are CLAMPED; every other vertex synchronously adopts the majority
+    label among its currently-labeled neighbors (ties → smaller label,
+    the ``label_propagation`` convention; no labeled neighbor → keep),
+    for exactly ``rounds`` synchronous rounds — the fixed budget makes
+    the result well-defined even on the bipartite structures where free
+    majority dynamics oscillate, and is what lets an unrolled SQL twin
+    match exactly. This is the weak-supervision primitive: propagate a
+    small trusted label set (spam/quality/topic marks) over a similarity
+    or link graph to label the long tail.
+
+    State ``(id long, label long|null, seed boolean)`` over all vertices
+    (graph ∪ seeds). Per round: one |labeled|⋈|E| message join against
+    the src-partitioned symmetric closure, a combiner-backed
+    (vertex, label) count, an argmax, and a |V|-row merge — the
+    label_propagation plan shape plus the clamp."""
+    num_partitions = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    und = undirect(edges).repartition(num_partitions, "src").persist()
+    sd = seeds.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("label").cast("long").alias("label"),
+    ).dropDuplicates(["id"]).persist()
+    verts = (
+        und.select(F.col("src").alias("id"))
+        .unionByName(sd.select("id")).distinct()
+    )
+    init = verts.join(sd.withColumnRenamed("label", "slabel"), "id", "left").select(
+        "id",
+        F.col("slabel").alias("label"),
+        F.col("slabel").isNotNull().alias("seed"),
+    )
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        labeled = state.where(F.col("label").isNotNull())
+        votes = (
+            labeled.hint("shuffle_hash")
+            .join(und, labeled["id"] == und["src"])
+            .groupBy(F.col("dst").alias("vid"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        pick = (
+            votes.groupBy("vid")
+            .agg(F.max(F.struct("cnt", (-F.col("label")).alias("neg")))
+                 .alias("m"))
+            .select("vid", (-F.col("m.neg")).alias("new_label"))
+        )
+        return state.join(
+            pick.hint("shuffle_hash"), state["id"] == pick["vid"], "left"
+        ).select(
+            state["id"],
+            F.when(F.col("seed"), F.col("label"))
+            .otherwise(F.coalesce("new_label", "label")).alias("label"),
+            "seed",
+        )
+
+    runner = SuperstepRunner(
+        spark,
+        max_iters=rounds,
+        tol=-1.0,
+        checkpoint_dir=checkpoint_dir,
+        config={"algo": "label_spreading", "rounds": rounds,
+                **(config_extra or {})},
+    )
+    try:
+        return runner.run(init, step, metric_fn=None, resume=resume)
+    finally:
+        und.unpersist()
+        sd.unpersist()
