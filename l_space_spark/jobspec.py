@@ -25,6 +25,7 @@ Four spec kinds:
     coreness · trussness · mis · matching · msf (params: weight_col) ·
     earliest_arrival (params: seeds, start_t, time_col) ·
     label_spreading (params: seeds = [id, label] pairs, rounds) ·
+    bridges · two_edge_components ·
     coloring · sssp (params: source, weight_col) · harmonic_centrality
     (params: n_sources, max_iters) · betweenness (params: n_sources,
     max_depth) · anf (params: max_t, k) · random_walks (params:
@@ -283,6 +284,14 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
         if spec.get("top_k"):
             out = out.orderBy(F.desc("rank"), "id").limit(int(spec["top_k"]))
         return out
+    if algo == "bridges":
+        from .operators.bridges import bridges
+
+        return bridges(spark, edges, **params).orderBy("a", "b")
+    if algo == "two_edge_components":
+        from .operators.bridges import two_edge_components
+
+        return two_edge_components(spark, edges, **params)
     if algo == "triangle_count":
         return triangle_list(edges).agg(
             F.count(F.lit(1)).cast("long").alias("triangles")

@@ -5378,6 +5378,78 @@ def q_label_spreading_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BRIDGES_CTE = f"""
+e0 AS ({SPARSE_DIGRAPH_SQL}),
+canon AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM e0 WHERE src <> dst),
+ce AS (SELECT row_number() OVER (ORDER BY a, b) AS eid, a, b FROM canon),
+und AS (SELECT a AS src, b AS dst FROM canon
+        UNION ALL SELECT b, a FROM canon),
+r(eid, v) AS (
+  SELECT eid, a FROM ce
+  UNION
+  SELECT r.eid, u.dst
+  FROM r JOIN und u ON u.src = r.v JOIN ce ON ce.eid = r.eid
+  WHERE NOT (least(u.src, u.dst) = ce.a AND greatest(u.src, u.dst) = ce.b)
+),
+brs AS (SELECT ce.a, ce.b FROM ce
+        LEFT JOIN r ON r.eid = ce.eid AND r.v = ce.b WHERE r.v IS NULL)
+""".strip()
+
+
+@register(
+    "bridge_edges",
+    f"""
+WITH RECURSIVE {_BRIDGES_CTE}
+SELECT a, b FROM brs ORDER BY a, b
+""".strip(),
+)
+def q_bridge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All bridges of the sparse hashed graph (operators/bridges.py:
+    hash-weight Borůvka spanning forest + rooted orientation + XOR
+    cycle-space subtree fold — the AGM coverage trick, one-sided error
+    ≤ 2⁻⁶⁰/edge). The oracle is GROUND TRUTH, not a mirror: per-edge
+    removal reachability via one recursive CTE keyed by edge id — so a
+    hash collision would be caught as a mismatch, and the fixture's
+    SPARSE_N=1024 cap bounds the recursion at |E|·|V| rows."""
+    from .operators.bridges import bridges
+
+    return bridges(
+        spark, sparse_digraph_edges(spark, sf_dir),
+        num_partitions=_small_graph_parts(spark),
+    ).orderBy("a", "b")
+
+
+@register(
+    "two_edge_components",
+    f"""
+WITH RECURSIVE {_BRIDGES_CTE},
+nb AS (SELECT c.a, c.b FROM canon c LEFT JOIN brs
+       ON brs.a = c.a AND brs.b = c.b WHERE brs.a IS NULL),
+undnb AS (SELECT a AS src, b AS dst FROM nb UNION ALL SELECT b, a FROM nb),
+verts AS (SELECT a AS id FROM canon UNION SELECT b FROM canon),
+r2(v, w) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT r2.v, u.dst FROM r2 JOIN undnb u ON u.src = r2.w
+)
+SELECT v AS id, min(w) AS comp2 FROM r2 GROUP BY v ORDER BY id
+""".strip(),
+)
+def q_two_edge_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-edge-connected blocks of the sparse hashed graph
+    (bridges.two_edge_components): drop the bridges, hash-min components
+    over the remainder with the original vertex set pinned — comp2 = min
+    vertex of each bridge-free block. Oracle: ground-truth bridges CTE +
+    a min-label reachability closure over the bridge-free graph."""
+    from .operators.bridges import two_edge_components
+
+    return two_edge_components(
+        spark, sparse_digraph_edges(spark, sf_dir),
+        num_partitions=_small_graph_parts(spark),
+    ).orderBy("id")
+
+
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
 # in iteration order.  Registration order above is historical (round 1 → 3),
 # so without reordering the round-2/3 algorithm family would never receive a
