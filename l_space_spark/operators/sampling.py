@@ -124,3 +124,31 @@ def group_capped_sample(
         .where(F.col("__r2") <= cap)
         .drop("__h", "__s", "__r1", "__r2")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "split",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the dataset-split stage
+    of a curation pipeline. Each row lands in exactly one split by the
+    portable 60-bit hash of ``salt || id`` mod 100 (< train_pct → train,
+    < train_pct+val_pct → val, else test), so the split is stable across
+    runs/engines/partitionings, reproducible from the id alone, and
+    leak-free (an id can never move between splits when the corpus grows
+    — the property random splits lack). Adds a ``split`` string column;
+    no shuffle (a pure projection the scan pipelines)."""
+    bucket = F.pmod(
+        hash60(F.concat(F.lit(salt + ":"),
+                        F.col(id_col).cast("string"))),
+        F.lit(100),
+    )
+    return df.withColumn(
+        "split",
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

@@ -5450,6 +5450,85 @@ def q_two_edge_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+@register(
+    "train_val_test_split",
+    f"""
+WITH s AS (
+  SELECT lang, n_chars,
+         CASE WHEN {_hash60_sql("'split:' || doc_id::VARCHAR")} % 100 < 80
+              THEN 'train'
+              WHEN {_hash60_sql("'split:' || doc_id::VARCHAR")} % 100 < 90
+              THEN 'val' ELSE 'test' END AS split
+  FROM documents)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM s GROUP BY split, lang ORDER BY split, lang
+""".strip(),
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 corpus split (sampling.hash_split): stable,
+    engine-independent, leak-free-under-growth hash assignment — the
+    dataset-split stage of a curation pipeline; readout is the per
+    (split, lang) census."""
+    from .operators.sampling import hash_split
+
+    d = hash_split(load(spark, sf_dir, "documents"), "doc_id")
+    return (
+        d.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+@register(
+    "event_hour_anomalies",
+    """
+WITH h AS (SELECT date_trunc('hour', ts) AS hour, count(*) AS c
+           FROM events GROUP BY 1),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(c) AS DOUBLE) AS sc,
+             CAST(sum(c * c) AS DOUBLE) AS scc FROM h)
+SELECT hour, CAST(c AS BIGINT) AS n_events,
+       CASE WHEN (n * scc - sc * sc) > 0 THEN
+         CAST(floor((n * c - sc) / sqrt(n * scc - sc * sc) * 1000000.0
+              + 0.5) AS BIGINT) END AS z_e6
+FROM h, s ORDER BY hour
+""".strip(),
+)
+def q_event_hour_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour event-volume z-scores — the batch twin of a streaming
+    rate-anomaly monitor. Exact integer sufficient statistics promoted
+    to double once, one correctly-rounded IEEE sqrt (the assortativity
+    libm exception), e6 fixed point: z = (n·c − Σc)/√(n·Σc² − (Σc)²),
+    NULL when the variance degenerates. One groupBy + a broadcast 1-row
+    stats join — linear at any scale."""
+    e = load(spark, sf_dir, "events")
+    h = (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = h.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("c").cast("double").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("double").alias("scc"),
+    )
+    var = F.col("n") * F.col("scc") - F.col("sc") * F.col("sc")
+    z = (F.col("n") * F.col("c") - F.col("sc")) / F.sqrt(var)
+    return (
+        h.join(F.broadcast(s))
+        .select(
+            "hour",
+            F.col("c").cast("long").alias("n_events"),
+            F.when(var > 0,
+                   F.floor(z * F.lit(1e6) + F.lit(0.5)).cast("long"))
+            .alias("z_e6"),
+        )
+        .orderBy("hour")
+    )
+
+
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
 # in iteration order.  Registration order above is historical (round 1 → 3),
 # so without reordering the round-2/3 algorithm family would never receive a

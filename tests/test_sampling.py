@@ -113,3 +113,27 @@ def test_weighted_sample_is_weight_proportional(spark):
         )
         wins += best[1] == 0
     assert abs(wins / trials - 9 / 19) < 0.08
+
+
+def test_hash_split_deterministic_and_exclusive(spark):
+    from l_space_spark.operators.sampling import hash_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = hash_split(df, "doc_id").collect()
+    b = hash_split(df, "doc_id").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # stable
+    counts = {}
+    for r in a:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.75 < counts["train"] / 2000 < 0.85
+    assert 0.06 < counts["val"] / 2000 < 0.14
+    # growth-stability: a subset keeps its assignments
+    sub = {r["doc_id"]: r["split"]
+           for r in hash_split(df.limit(500), "doc_id").collect()}
+    full = {r["doc_id"]: r["split"] for r in a}
+    assert all(full[k] == v for k, v in sub.items())
+    # salt changes the assignment
+    alt = {r["doc_id"]: r["split"]
+           for r in hash_split(df, "doc_id", salt="other").collect()}
+    assert any(alt[k] != full[k] for k in full)
