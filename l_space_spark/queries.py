@@ -3584,8 +3584,11 @@ PPR_SEEDS = [0, 2, 4, 6, 8]  # customer vertices custkey 0..4 (id = 2·custkey)
 PPR_ITERS = 10
 
 
-def _ppr_oracle(edges_sql: str, iters: int, seeds: list[int],
-                damping: float = 0.85) -> str:
+def _ppr_cte(edges_sql: str, iters: int, seeds: list[int],
+             damping: float = 0.85) -> str:
+    """The personalized-PageRank CTE chain through ``fin(id, rank_e6)``
+    (plus ``links``/``verts``/``deg``), shared by the top-20 readout and
+    the sweep-cut entry."""
     tp = (f"CASE WHEN id IN ({', '.join(map(str, seeds))})"
           f" THEN {1.0 / len(seeds)} ELSE 0.0 END")
     parts = [
@@ -3612,8 +3615,15 @@ def _ppr_oracle(edges_sql: str, iters: int, seeds: list[int],
         f"fin AS (SELECT id, CAST(floor(rank * 1e6 + 0.5) AS BIGINT) AS rank_e6"
         f" FROM r{iters})"
     )
-    parts.append("SELECT id, rank_e6 FROM fin ORDER BY rank_e6 DESC, id LIMIT 20")
     return "\n".join(parts)
+
+
+def _ppr_oracle(edges_sql: str, iters: int, seeds: list[int],
+                damping: float = 0.85) -> str:
+    return (
+        _ppr_cte(edges_sql, iters, seeds, damping)
+        + "\nSELECT id, rank_e6 FROM fin ORDER BY rank_e6 DESC, id LIMIT 20"
+    )
 
 
 @register("personalized_pagerank", None)  # oracle attached below
@@ -5526,6 +5536,71 @@ def q_event_hour_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("z_e6"),
         )
         .orderBy("hour")
+    )
+
+
+SWEEP_SEEDS = [0, 1]
+SWEEP_ITERS = 10
+SWEEP_K = 40
+
+_UND_MOD_SQL = f"""
+SELECT src, dst FROM ({MOD_EDGES_SQL}) WHERE src <> dst
+UNION ALL SELECT dst, src FROM ({MOD_EDGES_SQL}) WHERE src <> dst
+""".strip()
+
+_SWEEP_FINAL_SQL = f"""
+degq AS (SELECT src AS id, count(*) AS d FROM links GROUP BY src),
+scored AS (SELECT f.id, d.d, (f.rank_e6 * 1000000) // d.d AS score_key
+           FROM fin f JOIN degq d ON d.id = f.id),
+topk AS (SELECT * FROM (SELECT id, d, score_key,
+           row_number() OVER (ORDER BY score_key DESC, id) AS pos
+         FROM scored) WHERE pos <= {SWEEP_K}),
+canon AS (SELECT src, dst FROM links WHERE src < dst),
+spans AS (SELECT lo, hi FROM (
+  SELECT least(coalesce(a.pos, {SWEEP_K + 1}),
+               coalesce(b.pos, {SWEEP_K + 1})) AS lo,
+         greatest(coalesce(a.pos, {SWEEP_K + 1}),
+                  coalesce(b.pos, {SWEEP_K + 1})) AS hi
+  FROM canon c LEFT JOIN topk a ON a.id = c.src
+  LEFT JOIN topk b ON b.id = c.dst) WHERE lo <= {SWEEP_K}),
+diffs AS (SELECT pos, sum(delta) AS delta FROM (
+  SELECT lo AS pos, 1 AS delta FROM spans
+  UNION ALL SELECT hi, -1 FROM spans WHERE hi <= {SWEEP_K}) GROUP BY pos),
+tot AS (SELECT count(*) AS total_vol FROM links),
+curve AS (SELECT t.pos, t.id, t.score_key,
+  sum(coalesce(df.delta, 0)) OVER (ORDER BY t.pos) AS cut_edges,
+  sum(t.d) OVER (ORDER BY t.pos) AS volume
+  FROM topk t LEFT JOIN diffs df ON df.pos = t.pos)
+SELECT CAST(pos AS BIGINT) AS pos, id, score_key,
+       CAST(cut_edges AS BIGINT) AS cut_edges,
+       CAST(volume AS BIGINT) AS volume,
+       CASE WHEN least(volume, total_vol - volume) > 0 THEN
+         CAST((2000000 * cut_edges + least(volume, total_vol - volume))
+              // (2 * least(volume, total_vol - volume)) AS BIGINT)
+       END AS phi_e6
+FROM curve, tot ORDER BY pos
+""".strip()
+
+
+@register(
+    "ppr_sweep_cut",
+    _ppr_cte(_UND_MOD_SQL, SWEEP_ITERS, SWEEP_SEEDS) + ",\n"
+    + _SWEEP_FINAL_SQL,
+)
+def q_ppr_sweep_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local community detection around seeds {0, 1} on the hashed mod
+    graph (operators/sweepcut.ppr_sweep_cut — the Andersen-Chung-Lang
+    sweep): degree-normalized PPR order (integer score on the
+    gate-verified rank_e6), per-prefix conductance via a ±1 difference
+    array, top-40 prefix only. The oracle reuses the personalized-
+    pagerank CTE chain and replays the integer sweep."""
+    from .operators.sweepcut import ppr_sweep_cut
+
+    seeds = spark.createDataFrame([(s,) for s in SWEEP_SEEDS], "id long")
+    return ppr_sweep_cut(
+        spark, mod_edges(spark, sf_dir), seeds,
+        iters=SWEEP_ITERS, k=SWEEP_K,
+        num_partitions=_small_graph_parts(spark),
     )
 
 
