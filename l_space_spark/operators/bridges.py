@@ -15,11 +15,14 @@ sketching trick, deterministic-hash variant):
 1. A spanning forest T via Borůvka (``msf.minimum_spanning_forest``)
    under deterministic portable hash weights. Non-tree edges are never
    bridges (they close a cycle with T).
-2. Orient T away of each component's root (= the hash-min component
-   label): a frontier BFS over tree edges, rounds = tree height.
+2. Orient T away of each component's root (= the per-component min
+   vertex, from star-contraction components — O(log V) rounds): a
+   frontier BFS over tree edges, rounds = tree height, refusing (not
+   silently truncating) past ``max_rounds``.
 3. Every NON-tree edge e gets a 60-bit hash value r(e) XOR-ed onto both
    endpoints: ``val(v) = ⊕ r(e) over non-tree e incident to v``.
-4. Bottom-up subtree fold (peel one depth level per round):
+4. Bottom-up subtree fold (a pointer-doubled ancestor closure + one
+   ``bit_xor`` groupBy — O(log height) rounds):
    ``acc(c) = ⊕ val(v) over v in subtree(c)``. Edges with BOTH endpoints
    in the subtree self-cancel, so ``acc(c)`` is exactly the XOR of the
    r-values of the non-tree edges COVERING tree edge (parent(c), c).
@@ -43,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import hash60
-from .components import connected_components
+from .components import connected_components_star
 from .msf import forest_edges, minimum_spanning_forest
 
 
@@ -86,7 +89,9 @@ def oriented_tree(
         )
     ).select("u", "v")
 
-    cc = connected_components(
+    # star contraction: O(log n) rounds — hash-min's O(diameter) would
+    # silently mislabel components past its iteration cap on deep graphs
+    cc = connected_components_star(
         spark, canon.select(F.col("a").alias("src"), F.col("b").alias("dst")),
         num_partitions=num_partitions, resume=False,
     ).state
@@ -106,6 +111,7 @@ def oriented_tree(
     )
     frontier = roots.localCheckpoint(eager=True)
     layers = [frontier]
+    exhausted = True
     try:
         for d in range(1, max_rounds + 1):
             # in a TREE, a depth-d vertex's neighbors are exactly its
@@ -122,11 +128,20 @@ def oriented_tree(
                 .localCheckpoint(eager=True)
             )
             if new.isEmpty():
+                exhausted = False
                 break
             layers.append(new)
             frontier = new
     finally:
         tsym.unpersist()
+    if exhausted:
+        # a frontier still alive past the cap means unoriented tree
+        # edges, which would silently corrupt the XOR coverage — refuse
+        raise RuntimeError(
+            f"oriented_tree: spanning tree deeper than max_rounds="
+            f"{max_rounds}; raise max_rounds (or switch to an "
+            f"Euler-tour orientation) for this graph"
+        )
     out = layers[0]
     for layer in layers[1:]:
         out = out.unionByName(layer)
@@ -137,6 +152,7 @@ def bridges(
     spark: SparkSession,
     edges: DataFrame,
     num_partitions: int | None = None,
+    max_rounds: int = 200,
 ) -> DataFrame:
     """All bridges ``(a, b)`` (canonical, a < b) of the undirected simple
     graph of ``edges(src, dst)``."""
@@ -145,7 +161,8 @@ def bridges(
     )
     canon = _canon(edges).persist()
     try:
-        tree = oriented_tree(spark, canon, num_partitions)
+        tree = oriented_tree(spark, canon, num_partitions,
+                             max_rounds=max_rounds)
 
         tree_edges = tree.where(F.col("depth") > 0).select(
             F.least("parent", "id").alias("a"),
@@ -213,6 +230,7 @@ def two_edge_components(
     spark: SparkSession,
     edges: DataFrame,
     num_partitions: int | None = None,
+    max_rounds: int = 200,
 ) -> DataFrame:
     """2-edge-connected component labels ``(id, comp2)`` — ``comp2`` =
     the min vertex id of each maximal bridge-free block (bridge-endpoint
@@ -223,14 +241,15 @@ def two_edge_components(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
     canon = _canon(edges)
-    br = bridges(spark, edges, num_partitions=num_partitions)
+    br = bridges(spark, edges, num_partitions=num_partitions,
+                 max_rounds=max_rounds)
     rest = canon.join(br, ["a", "b"], "left_anti")
     verts = (
         canon.select(F.col("a").alias("id"))
         .unionByName(canon.select(F.col("b").alias("id")))
         .distinct()
     )
-    res = connected_components(
+    res = connected_components_star(
         spark,
         rest.select(F.col("a").alias("src"), F.col("b").alias("dst")),
         vertices=verts,

@@ -72,6 +72,20 @@ def kmeans_fixed(
     centroid's seed id and the exact integer squared distance at the
     final assignment."""
     pts = quantize_vectors(df, id_col, vec_col, scale).persist()
+    try:
+        return _lloyd(pts, k, iters).select(
+            F.col("id").alias("vec_id"),
+            F.col("c").cast("long").alias("cluster"),
+            F.col("dist").alias("dist2"),
+        )
+    finally:
+        pts.unpersist()
+
+
+def _lloyd(pts: DataFrame, k: int, iters: int) -> DataFrame:
+    """The assignment rounds over persisted ``pts``; the final
+    assignment is localCheckpointed (result-sized) so the caller can
+    release the points cache before returning the lazy frame."""
     cents = (
         pts.orderBy("id").limit(k)
         .select(F.col("id").alias("c"), F.col("v").alias("cv"))
@@ -107,11 +121,7 @@ def kmeans_fixed(
                 )
                 .localCheckpoint(eager=True)
             )
-    return assign.select(
-        F.col("id").alias("vec_id"),
-        F.col("c").cast("long").alias("cluster"),
-        F.col("dist").alias("dist2"),
-    )
+    return assign.localCheckpoint(eager=True)
 
 
 def cluster_sizes(assignment: DataFrame) -> DataFrame:

@@ -211,6 +211,13 @@ def label_spreading(
         F.col("id").cast("long").alias("id"),
         F.col("label").cast("long").alias("label"),
     ).dropDuplicates(["id"]).persist()
+    # the clamped seed set DEFINES the run: pin its fingerprint into the
+    # checkpoint config so resume against different seeds is refused
+    fp = sd.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(id, label))"),
+                   F.lit(0)).alias("h"),
+    ).collect()[0]
     verts = (
         und.select(F.col("src").alias("id"))
         .unionByName(sd.select("id")).distinct()
@@ -250,6 +257,7 @@ def label_spreading(
         tol=-1.0,
         checkpoint_dir=checkpoint_dir,
         config={"algo": "label_spreading", "rounds": rounds,
+                "seeds_n": int(fp["n"]), "seeds_fp": int(fp["h"]),
                 **(config_extra or {})},
     )
     try:

@@ -58,8 +58,7 @@ def _key() -> F.Column:
     return F.struct(F.col("w"), F.col("u"), F.col("v"))
 
 
-def _collapse_roots(spark: SparkSession, par: DataFrame,
-                    n_components: int) -> DataFrame:
+def _collapse_roots(par: DataFrame, n_components: int) -> DataFrame:
     """Resolve the per-round pointer graph ``(c, par)`` to roots.
 
     The pointers follow each component's minimum incident edge, so weights
@@ -127,10 +126,14 @@ def minimum_spanning_forest(
         cand = active.select(F.col("cu").alias("c"), payload).unionByName(
             active.select(F.col("cv").alias("c"), payload)
         )
-        sel = cand.groupBy("c").agg(F.min("m").alias("m")).persist()
+        # localCheckpoint (not persist): `chosen` flows into the returned
+        # state, so a persist released in this scope would force the
+        # dominant min-edge shuffle to rerun when the runner materializes
+        sel = cand.groupBy("c").agg(F.min("m").alias("m")).localCheckpoint(
+            eager=True
+        )
         n_comp = sel.count()  # aux scalar: sizes the fixed doubling count
         if n_comp == 0:
-            sel.unpersist()
             return frozen
 
         chosen = sel.select(
@@ -144,8 +147,7 @@ def minimum_spanning_forest(
             F.when(F.col("m.cu") == F.col("c"), F.col("m.cv"))
             .otherwise(F.col("m.cu")).alias("par"),
         )
-        roots = _collapse_roots(spark, par, n_comp)
-        sel.unpersist()
+        roots = _collapse_roots(par, n_comp)
 
         # roots is ≤ #components rows — can be |V|-sized in round 1, so no
         # forced broadcast: shuffled hash join (AQE upgrades it to broadcast
@@ -187,7 +189,10 @@ def minimum_spanning_forest(
         max_iters=max_rounds,
         tol=0.0,
         checkpoint_dir=checkpoint_dir,
-        config={"algo": "msf_boruvka", **(config_extra or {})},
+        # weight_col defines the forest: pin it so resume against a
+        # checkpoint computed under a different weight column is refused
+        config={"algo": "msf_boruvka", "weight_col": weight_col,
+                **(config_extra or {})},
     )
     return runner.run(init, step, metric_fn=active_left, resume=resume)
 

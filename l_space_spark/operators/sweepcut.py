@@ -48,6 +48,7 @@ def ppr_sweep_cut(
     simple graph; ``phi_e6`` is NULL when the denominator degenerates
     (empty complement). Fixed ``iters`` power-iteration budget."""
     und = undirect(edges).persist()
+    topk = None
     try:
         deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         res = pagerank(
@@ -117,6 +118,9 @@ def ppr_sweep_cut(
             .join(F.broadcast(total))
         )
         m = F.least(F.col("volume"), F.col("total_vol") - F.col("volume"))
+        # materialize (≤ k rows) BEFORE releasing the edge/prefix caches:
+        # returning the lazy plan would recompute undirect() once per
+        # branch (deg, canon, total, topk) at the caller's action
         return curve.select(
             "pos", "id", "score_key", "cut_edges", "volume",
             F.when(m > 0,
@@ -125,9 +129,11 @@ def ppr_sweep_cut(
                        "total_vol - volume)) div (2 * least(volume, "
                        "total_vol - volume))"
                    )).cast("long").alias("phi_e6"),
-        ).orderBy("pos")
+        ).orderBy("pos").localCheckpoint(eager=True)
     finally:
         und.unpersist()
+        if topk is not None:
+            topk.unpersist()
 
 
 def best_sweep_cut(curve: DataFrame) -> DataFrame:

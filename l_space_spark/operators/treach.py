@@ -66,7 +66,15 @@ def earliest_arrival(
         .persist()
     )
 
-    init = seeds.select(F.col("id").cast("long").alias("id")).distinct().select(
+    seed_ids = seeds.select(F.col("id").cast("long").alias("id")).distinct()
+    # the seed set DEFINES the run: pin a fingerprint into the checkpoint
+    # config so resume against a different seed set is refused, not mixed
+    # (the sssp source / pagerank seed-count convention)
+    fp = seed_ids.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(id))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    init = seed_ids.select(
         "id",
         F.lit(int(start_t)).cast("long").alias("arrival"),
         F.lit(True).alias("improved"),
@@ -105,6 +113,7 @@ def earliest_arrival(
         tol=0.0,
         checkpoint_dir=checkpoint_dir,
         config={"algo": "earliest_arrival", "start_t": int(start_t),
+                "seeds_n": int(fp["n"]), "seeds_fp": int(fp["h"]),
                 **(config_extra or {})},
     )
     try:
