@@ -148,6 +148,43 @@ def oriented_tree(
     return out
 
 
+def ancestor_closure(tree: DataFrame) -> DataFrame:
+    """All ``(v, anc)`` ancestor-or-self pairs of a rooted orientation
+    ``(id, parent, depth)`` — the O(|V|·depth)-row closure that turns
+    every subtree aggregate into ONE join + groupBy. Built by pointer
+    doubling in O(log depth) rounds (the j2 leg reaches distances ≥ 2ᵏ
+    while the closure holds < 2ᵏ, so the union needs no dedup). This is
+    the same budget an Euler-tour formulation would pay for its tour
+    table; the closure is the arbitrary-spanning-tree substitute for
+    preorder intervals (ancestor TESTS become joins)."""
+    max_depth = int(tree.agg(F.max("depth")).collect()[0][0] or 0)
+    jump = tree.where(F.col("depth") > 0).select(
+        F.col("id").alias("v"), F.col("parent").alias("j")
+    ).localCheckpoint(eager=True)
+    anc = tree.select(F.col("id").alias("v"), F.col("id").alias("anc")) \
+        .unionByName(jump.select("v", F.col("j").alias("anc"))) \
+        .localCheckpoint(eager=True)
+    k = 1
+    while k < max_depth:
+        j2 = (
+            jump.alias("x")
+            .join(jump.alias("y"), F.col("x.j") == F.col("y.v"))
+            .select(F.col("x.v").alias("v"), F.col("y.j").alias("j"))
+            .localCheckpoint(eager=True)
+        )
+        anc = (
+            anc.unionByName(
+                j2.join(anc.withColumnRenamed("v", "m"),
+                        F.col("j") == F.col("m"))
+                .select("v", "anc")
+            )
+            .localCheckpoint(eager=True)
+        )
+        jump = j2
+        k *= 2
+    return anc
+
+
 def bridges(
     spark: SparkSession,
     edges: DataFrame,
@@ -175,39 +212,7 @@ def bridges(
         )
         val = ends.groupBy("id").agg(F.expr("bit_xor(r)").alias("val"))
 
-        # subtree fold in O(log depth) rounds: pointer-double the parent
-        # relation into the full ancestor closure (the one O(|V|·depth)-row
-        # intermediate — bounded by the Euler-tour size a list-ranking
-        # formulation would also pay), then ONE join+bit_xor computes every
-        # subtree aggregate at once — instead of `depth` sequential
-        # full-state peel rounds.
-        max_depth = int(tree.agg(F.max("depth")).collect()[0][0] or 0)
-        jump = tree.where(F.col("depth") > 0).select(
-            F.col("id").alias("v"), F.col("parent").alias("j")
-        ).localCheckpoint(eager=True)
-        anc = tree.select(F.col("id").alias("v"), F.col("id").alias("anc")) \
-            .unionByName(jump.select("v", F.col("j").alias("anc"))) \
-            .localCheckpoint(eager=True)
-        k = 1
-        while k < max_depth:
-            j2 = (
-                jump.alias("x")
-                .join(jump.alias("y"), F.col("x.j") == F.col("y.v"))
-                .select(F.col("x.v").alias("v"), F.col("y.j").alias("j"))
-                .localCheckpoint(eager=True)
-            )
-            # disjoint by construction (the j2 leg reaches distances
-            # ≥ 2^k, anc holds < 2^k), so no dedup pass is needed
-            anc = (
-                anc.unionByName(
-                    j2.join(anc.withColumnRenamed("v", "m"),
-                            F.col("j") == F.col("m"))
-                    .select("v", "anc")
-                )
-                .localCheckpoint(eager=True)
-            )
-            jump = j2
-            k *= 2
+        anc = ancestor_closure(tree)
         sub = (
             anc.join(val, anc["v"] == val["id"])
             .groupBy("anc")

@@ -126,14 +126,15 @@ def minimum_spanning_forest(
         cand = active.select(F.col("cu").alias("c"), payload).unionByName(
             active.select(F.col("cv").alias("c"), payload)
         )
-        # localCheckpoint (not persist): `chosen` flows into the returned
-        # state, so a persist released in this scope would force the
-        # dominant min-edge shuffle to rerun when the runner materializes
-        sel = cand.groupBy("c").agg(F.min("m").alias("m")).localCheckpoint(
-            eager=True
-        )
+        # persist (NOT localCheckpoint): a checkpointed sel becomes a
+        # stats-less LogicalRDD and the downstream relabel joins fall off
+        # the broadcast/AQE path — measured at sf0.01-sparse: rounds went
+        # from ~3 s to minutes. The persist is released after the new
+        # state is materialized below, so nothing recomputes or leaks.
+        sel = cand.groupBy("c").agg(F.min("m").alias("m")).persist()
         n_comp = sel.count()  # aux scalar: sizes the fixed doubling count
         if n_comp == 0:
+            sel.unpersist()
             return frozen
 
         chosen = sel.select(
@@ -179,7 +180,12 @@ def minimum_spanning_forest(
                 F.col("m.cv").alias("cv"), F.lit(False).alias("done"),
             )
         )
-        return frozen.unionByName(chosen).unionByName(survivors)
+        # materialize BEFORE releasing sel (the runner's own checkpoint
+        # of an already-cached frame is a cheap cached scan)
+        out = frozen.unionByName(chosen).unionByName(survivors) \
+            .localCheckpoint(eager=True)
+        sel.unpersist()
+        return out
 
     def active_left(old: DataFrame, new: DataFrame) -> float:
         return float(new.where(~F.col("done")).count())

@@ -5604,6 +5604,60 @@ def q_ppr_sweep_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "articulation_points",
+    f"""
+WITH RECURSIVE e0 AS ({SPARSE_DIGRAPH_SQL}),
+canon AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM e0 WHERE src <> dst),
+und AS (SELECT a AS src, b AS dst FROM canon
+        UNION ALL SELECT b, a FROM canon),
+adj AS (SELECT a AS v, b AS n FROM canon UNION SELECT b, a FROM canon),
+seeds AS (SELECT v, min(n) AS x FROM adj GROUP BY v),
+r(v, x) AS (
+  SELECT v, x FROM seeds
+  UNION
+  SELECT r.v, u.dst FROM r JOIN und u ON u.src = r.x
+  WHERE u.src <> r.v AND u.dst <> r.v
+)
+SELECT DISTINCT a.v AS id FROM adj a
+LEFT JOIN r ON r.v = a.v AND r.x = a.n
+WHERE r.x IS NULL ORDER BY id
+""".strip(),
+)
+def q_articulation_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All cut vertices of the sparse hashed graph
+    (operators/biconnect.py — arbitrary-spanning-tree block
+    decomposition: fundamental-cycle chain/cross aux rules over the
+    pointer-doubled ancestor closure, star-contraction block CC, then
+    'incident tree edges span ≥2 blocks'). The oracle is GROUND TRUTH:
+    v is a cut vertex iff a flood from its min neighbor in G−v misses
+    some neighbor — one recursive CTE keyed by the removed vertex."""
+    from .operators.biconnect import articulation_points
+
+    return articulation_points(
+        spark, sparse_digraph_edges(spark, sf_dir),
+        num_partitions=_small_graph_parts(spark),
+    ).orderBy("id")
+
+
+@register("biconnected_components", None)  # rows-only: the block labels
+# are spanning-tree-representation-dependent (min child id of the
+# hash-weight forest), so no engine-independent SQL ground truth exists;
+# the exact evidence is the pytest Tarjan-DFS twin (tests/
+# test_biconnect.py) plus the articulation_points / bridge_edges
+# ground-truth oracles this decomposition must stay consistent with.
+def q_biconnected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every edge of the sparse hashed graph labeled with its
+    biconnected-component id (biconnect.biconnected_components)."""
+    from .operators.biconnect import biconnected_components
+
+    return biconnected_components(
+        spark, sparse_digraph_edges(spark, sf_dir),
+        num_partitions=_small_graph_parts(spark),
+    ).orderBy("a", "b")
+
+
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
 # in iteration order.  Registration order above is historical (round 1 → 3),
 # so without reordering the round-2/3 algorithm family would never receive a
