@@ -25,7 +25,8 @@ Four spec kinds:
     coreness · trussness · mis · matching · msf (params: weight_col) ·
     earliest_arrival (params: seeds, start_t, time_col) ·
     label_spreading (params: seeds = [id, label] pairs, rounds) ·
-    bridges · two_edge_components ·
+    bridges · two_edge_components · articulation_points ·
+    biconnected_components ·
     coloring · sssp (params: source, weight_col) · harmonic_centrality
     (params: n_sources, max_iters) · betweenness (params: n_sources,
     max_depth) · anf (params: max_t, k) · random_walks (params:
@@ -292,6 +293,16 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
         from .operators.bridges import two_edge_components
 
         return two_edge_components(spark, edges, **params)
+    if algo == "articulation_points":
+        from .operators.biconnect import articulation_points
+
+        return articulation_points(spark, edges, **params).orderBy("id")
+    if algo == "biconnected_components":
+        from .operators.biconnect import biconnected_components
+
+        return biconnected_components(spark, edges, **params).orderBy(
+            "a", "b"
+        )
     if algo == "triangle_count":
         return triangle_list(edges).agg(
             F.count(F.lit(1)).cast("long").alias("triangles")

@@ -137,3 +137,25 @@ def test_random_graphs_match_tarjan(spark):
         want_blocks, want_aps = tarjan_blocks_and_aps(pairs)
         assert _spark_aps(spark, pairs) == want_aps, f"seed {seed} aps"
         assert _spark_blocks(spark, pairs) == want_blocks, f"seed {seed}"
+
+
+def test_jobspec_kinds(spark, tmp_path):
+    from l_space_spark.jobspec import run_job
+
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3)]
+    p = str(tmp_path / "bic")
+    edges_df(spark, pairs).write.parquet(p)
+    out = run_job(spark, {"kind": "algorithm",
+                          "algorithm": "articulation_points",
+                          "input": {"edges_parquet": p}, "params": {}})
+    assert [r["id"] for r in out.collect()] == [3]
+    out2 = run_job(spark, {"kind": "algorithm",
+                           "algorithm": "biconnected_components",
+                           "input": {"edges_parquet": p}, "params": {}})
+    by_label = defaultdict(set)
+    for r in out2.collect():
+        by_label[r["block"]].add((r["a"], r["b"]))
+    assert set(map(frozenset, by_label.values())) == {
+        frozenset({(1, 2), (2, 3), (1, 3)}),
+        frozenset({(3, 4), (4, 5), (3, 5)}),
+    }
