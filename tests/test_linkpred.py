@@ -227,3 +227,74 @@ def test_pa_hub_cap_bounds_generation_not_degree(spark):
     assert got == brute_pa(pairs, max_hub=5)
     assert (3, 4) not in got
     assert got[(1, 99)] == (2, 3 * 10)  # deg(1)={0,2,99}=3, deg(99)=10
+
+
+# --- co-citation / bibliographic coupling ----------------------------------
+
+from l_space_spark.operators.linkpred import (  # noqa: E402
+    bibliographic_coupling,
+    cocitation,
+)
+
+
+def brute_directed(pairs, hub_out=True, cap=None, min_common=1):
+    """Directed wedge counts: hub_out=True counts pairs of DSTs sharing
+    a citing SRC (co-citation); False counts pairs of SRCs sharing a
+    cited DST (coupling). cap bounds the hub's fan-out/fan-in."""
+    simple = {(s, d) for s, d in pairs if s != d}
+    wedges = {}
+    for s, d in simple:
+        hub, leaf = (s, d) if hub_out else (d, s)
+        wedges.setdefault(hub, set()).add(leaf)
+    out = {}
+    for hub, leaves in wedges.items():
+        if cap is not None and len(leaves) > cap:
+            continue
+        ls = sorted(leaves)
+        for i, u in enumerate(ls):
+            for w in ls[i + 1:]:
+                out[(u, w)] = out.get((u, w), 0) + 1
+    return {k: v for k, v in out.items() if v >= min_common}
+
+
+def _run_cc(spark, pairs, **kw):
+    return {(r["u"], r["w"]): r["cocite"]
+            for r in cocitation(edges_df(spark, pairs), **kw).collect()}
+
+
+def _run_bc(spark, pairs, **kw):
+    return {(r["u"], r["w"]): r["coupling"]
+            for r in bibliographic_coupling(
+                edges_df(spark, pairs), **kw).collect()}
+
+
+def test_cocitation_basic(spark):
+    # 0 cites {1,2,3}; 4 cites {2,3}: cocite(2,3)=2, cocite(1,2)=1
+    pairs = [(0, 1), (0, 2), (0, 3), (4, 2), (4, 3)]
+    got = _run_cc(spark, pairs)
+    assert got == brute_directed(pairs, hub_out=True)
+    assert got[(2, 3)] == 2 and got[(1, 2)] == 1
+
+
+def test_coupling_is_time_reversed_cocitation(spark):
+    rng = random.Random(11)
+    pairs = [(rng.randrange(20), rng.randrange(20)) for _ in range(70)]
+    rev = [(d, s) for s, d in pairs]
+    assert _run_bc(spark, pairs) == _run_cc(spark, rev)
+    assert _run_bc(spark, pairs) == brute_directed(pairs, hub_out=False)
+
+
+def test_directed_random_matches_brute(spark):
+    rng = random.Random(7)
+    pairs = [(rng.randrange(25), rng.randrange(25)) for _ in range(80)]
+    # duplicates + self-loops on purpose: simple-graph normalization
+    pairs += pairs[:10] + [(3, 3), (5, 5)]
+    assert _run_cc(spark, pairs) == brute_directed(pairs, hub_out=True)
+    assert _run_bc(spark, pairs) == brute_directed(pairs, hub_out=False)
+
+
+def test_directed_fanout_cap(spark):
+    pairs = [(99, i) for i in range(10)] + [(0, 1), (0, 2)]
+    got = _run_cc(spark, pairs, max_fanout=5)
+    assert got == brute_directed(pairs, hub_out=True, cap=5)
+    assert (3, 4) not in got and got[(1, 2)] == 1
