@@ -26,7 +26,9 @@ Four spec kinds:
     earliest_arrival (params: seeds, start_t, time_col) ·
     label_spreading (params: seeds = [id, label] pairs, rounds) ·
     bridges · two_edge_components · articulation_points ·
-    biconnected_components ·
+    biconnected_components · densest_subgraph (params: eps_num,
+    eps_den) · cocitation (params: max_fanout) ·
+    bibliographic_coupling (params: max_fanin) ·
     coloring · sssp (params: source, weight_col) · harmonic_centrality
     (params: n_sources, max_iters) · betweenness (params: n_sources,
     max_depth) · anf (params: max_t, k) · random_walks (params:
@@ -285,6 +287,19 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
         if spec.get("top_k"):
             out = out.orderBy(F.desc("rank"), "id").limit(int(spec["top_k"]))
         return out
+    if algo == "densest_subgraph":
+        from .operators.densest import densest_subgraph
+
+        res = densest_subgraph(spark, edges, checkpoint_dir=ckpt, **params)
+        return res.members.orderBy("v")
+    if algo == "cocitation":
+        from .operators.linkpred import cocitation
+
+        return cocitation(edges, **params).orderBy("u", "w")
+    if algo == "bibliographic_coupling":
+        from .operators.linkpred import bibliographic_coupling
+
+        return bibliographic_coupling(edges, **params).orderBy("u", "w")
     if algo == "bridges":
         from .operators.bridges import bridges
 

@@ -543,3 +543,43 @@ def test_msf_spec(spark, tmp_path):
     forest2 = sorted((r["u"], r["v"], r["w"])
                      for r in run_job(spark, spec2).where("done").collect())
     assert forest2 == forest
+
+
+def test_densest_and_directed_wedge_specs(spark, tmp_path):
+    """kind=algorithm: densest_subgraph returns the peel winner's
+    vertex set; cocitation / bibliographic_coupling the directed wedge
+    counts — all three reachable over the wire."""
+    from l_space_spark.operators.densest import densest_subgraph
+    from l_space_spark.operators.linkpred import cocitation
+
+    path = str(tmp_path / "edges")
+    pairs = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    pairs += [(4, 5), (5, 6), (6, 7)]
+    edges_df(spark, pairs).write.parquet(path)
+    inp = {"edges_parquet": path}
+
+    got = [r["v"] for r in run_job(
+        spark, {"kind": "algorithm", "algorithm": "densest_subgraph",
+                "input": inp}).collect()]
+    direct = densest_subgraph(spark, spark.read.parquet(path))
+    assert got == sorted(x["v"] for x in direct.members.collect())
+
+    tight = [r["v"] for r in run_job(
+        spark, {"kind": "algorithm", "algorithm": "densest_subgraph",
+                "input": inp,
+                "params": {"eps_num": 5, "eps_den": 4}}).collect()]
+    tight_direct = densest_subgraph(
+        spark, spark.read.parquet(path), eps_num=5, eps_den=4)
+    assert tight == sorted(x["v"] for x in tight_direct.members.collect())
+
+    cc = {(r["u"], r["w"]): r["cocite"] for r in run_job(
+        spark, {"kind": "algorithm", "algorithm": "cocitation",
+                "input": inp}).collect()}
+    want = {(r["u"], r["w"]): r["cocite"]
+            for r in cocitation(spark.read.parquet(path)).collect()}
+    assert cc == want and cc[(1, 2)] >= 1
+
+    bc = run_job(
+        spark, {"kind": "algorithm", "algorithm": "bibliographic_coupling",
+                "input": inp, "params": {"max_fanin": 3}})
+    assert bc.columns == ["u", "w", "coupling"]
