@@ -5819,6 +5819,62 @@ def q_densest_subgraph_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.members.select(F.col("v").cast("long").alias("v")).orderBy("v")
 
 
+@register(
+    "doc_chunks",
+    """
+SELECT doc_id, chunk_id, chunk_id * 80 + 1 AS chunk_start,
+       substring(text, (chunk_id * 80 + 1)::INT, 120) AS chunk_text,
+       CAST(length(substring(text, (chunk_id * 80 + 1)::INT, 120))
+            AS BIGINT) AS chunk_len
+FROM (SELECT doc_id, text,
+             unnest(generate_series(
+               0, (greatest(length(text) - 120, 0) + 79) // 80
+             )) AS chunk_id
+      FROM documents)
+ORDER BY doc_id, chunk_id
+""".strip(),
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (operators/packing.py
+    ``chunk_documents``, size 120 / overlap 40): the retrieval/
+    embedding-prep cut, pure Catalyst sequence→explode→substring — no
+    UDF, no shuffle (the fan-out happens inside the scan stage)."""
+    from .operators.packing import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, chunk_size=120, overlap=40
+    ).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "pack_contexts",
+    f"""
+WITH t AS (SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tok
+           FROM documents),
+p AS (SELECT doc_id, n_tok,
+             coalesce(sum(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS prefix FROM t)
+SELECT doc_id, n_tok, prefix // 200 AS bin, prefix % 200 AS pos_in_bin
+FROM p ORDER BY doc_id
+""".strip(),
+)
+def q_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential context-window packing (operators/packing.py
+    ``pack_contexts``, capacity 200 tokens): each document gets the bin
+    where it starts on the concatenated token tape, via the two-level
+    sharded prefix sum (shard_block 64 → ~8 shards on this fixture; the
+    oracle is the plain single-window form the decomposition must
+    equal)."""
+    from .operators.packing import pack_contexts
+
+    docs = load(spark, sf_dir, "documents")
+    return pack_contexts(
+        docs, capacity=200, shard_block=64
+    ).orderBy("doc_id")
+
+
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
 # in iteration order.  Registration order above is historical (round 1 → 3),
 # so without reordering the round-2/3 algorithm family would never receive a
@@ -5909,7 +5965,8 @@ _DRIVER_WINDOW: list[str] = [
     # two_edge_components, train_val_test_split, event_hour_anomalies,
     # ppr_sweep_cut, articulation_points, biconnected_components,
     # cocitation_coupling, densest_subgraph_rounds,
-    # densest_subgraph_members) — rotate them in for r5, swapping out
+    # densest_subgraph_members, doc_chunks, pack_contexts) — rotate
+    # them in for r5, swapping out
     # entries that go green in CORRECTNESS_r04.
 ]
 
