@@ -26,7 +26,8 @@ Four spec kinds:
     earliest_arrival (params: seeds, start_t, time_col) ·
     label_spreading (params: seeds = [id, label] pairs, rounds) ·
     bridges · two_edge_components · articulation_points ·
-    biconnected_components · densest_subgraph (params: eps_num,
+    biconnected_components · salsa (params: tol, max_iters) ·
+    densest_subgraph (params: eps_num,
     eps_den) · cocitation (params: max_fanout) ·
     bibliographic_coupling (params: max_fanin) ·
     coloring · sssp (params: source, weight_col) · harmonic_centrality
@@ -286,6 +287,17 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
         out = res.state
         if spec.get("top_k"):
             out = out.orderBy(F.desc("rank"), "id").limit(int(spec["top_k"]))
+        return out
+    if algo == "salsa":
+        from .operators.salsa import salsa
+
+        res = salsa(spark, edges, checkpoint_dir=ckpt, resume=resume,
+                    **params)
+        out = res.state
+        if spec.get("top_k"):
+            out = out.orderBy(F.desc("auth"), "id").limit(
+                int(spec["top_k"])
+            )
         return out
     if algo == "densest_subgraph":
         from .operators.densest import densest_subgraph

@@ -5875,6 +5875,98 @@ def q_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+SALSA_ITERS = 10
+
+
+def _salsa_oracle(edges_sql: str, iters: int) -> str:
+    """Unrolled twin of operators/salsa.py fixed-iteration mode: same
+    per-edge divisions (score/degree before each edge sum), same L1
+    renormalization every iteration, e6 fixed point at the end — the
+    HITS oracle's drift contract with one extra division layer."""
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({edges_sql}),",
+        "links AS MATERIALIZED"
+        " (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),",
+        "ind AS MATERIALIZED"
+        " (SELECT dst, count(*) AS ind FROM links GROUP BY dst),",
+        "outd AS MATERIALIZED"
+        " (SELECT src, count(*) AS outd FROM links GROUP BY src),",
+        "a0 AS MATERIALIZED (SELECT dst AS id,"
+        " 1.0 / (SELECT count(*) FROM ind) AS auth FROM ind),",
+        "h0 AS MATERIALIZED (SELECT src AS id,"
+        " 1.0 / (SELECT count(*) FROM outd) AS hub FROM outd),",
+    ]
+    for k in range(iters):
+        parts += [
+            # authority walk: gather to hubs, scatter back to authorities
+            f"am{k} AS MATERIALIZED (SELECT l.src AS id,"
+            f" sum(a.auth / i.ind) AS m FROM a{k} a"
+            f" JOIN ind i ON i.dst = a.id"
+            f" JOIN links l ON l.dst = a.id GROUP BY l.src),",
+            f"ar{k} AS MATERIALIZED (SELECT l.dst AS id,"
+            f" sum(m.m / o.outd) AS a FROM am{k} m"
+            f" JOIN outd o ON o.src = m.id"
+            f" JOIN links l ON l.src = m.id GROUP BY l.dst),",
+            f"a{k + 1} AS MATERIALIZED (SELECT i.dst AS id,"
+            f" coalesce(ar.a, 0.0) / (SELECT sum(a) FROM ar{k}) AS auth"
+            f" FROM ind i LEFT JOIN ar{k} ar ON ar.id = i.dst),",
+            # hub walk: gather to authorities, scatter back to hubs
+            f"hm{k} AS MATERIALIZED (SELECT l.dst AS id,"
+            f" sum(h.hub / o.outd) AS m FROM h{k} h"
+            f" JOIN outd o ON o.src = h.id"
+            f" JOIN links l ON l.src = h.id GROUP BY l.dst),",
+            f"hr{k} AS MATERIALIZED (SELECT l.src AS id,"
+            f" sum(m.m / i.ind) AS h FROM hm{k} m"
+            f" JOIN ind i ON i.dst = m.id"
+            f" JOIN links l ON l.dst = m.id GROUP BY l.src),",
+            f"h{k + 1} AS MATERIALIZED (SELECT o.src AS id,"
+            f" coalesce(hr.h, 0.0) / (SELECT sum(h) FROM hr{k}) AS hub"
+            f" FROM outd o LEFT JOIN hr{k} hr ON hr.id = o.src),",
+        ]
+    parts.append(
+        "verts AS (SELECT src AS id FROM links"
+        " UNION SELECT dst AS id FROM links),"
+        f"fin AS (SELECT v.id,"
+        f" CAST(floor(coalesce(h.hub, 0.0) * 1e6 + 0.5) AS BIGINT)"
+        f" AS hub_e6,"
+        f" CAST(floor(coalesce(a.auth, 0.0) * 1e6 + 0.5) AS BIGINT)"
+        f" AS auth_e6 FROM verts v"
+        f" LEFT JOIN h{iters} h ON h.id = v.id"
+        f" LEFT JOIN a{iters} a ON a.id = v.id)"
+    )
+    parts.append(
+        "SELECT id, hub_e6, auth_e6 FROM fin"
+        " ORDER BY auth_e6 DESC, id LIMIT 20"
+    )
+    return "\n".join(parts)
+
+
+@register("salsa_top20", None)  # oracle attached below
+def q_salsa_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA (operators/salsa.py — Lempel-Moran random-walk
+    hubs/authorities), 10 L1-renormalized supersteps on the
+    customer→supplier graph (the canonical bipartite SALSA shape:
+    customers are hubs, suppliers authorities); top 20 authorities."""
+    from .operators.salsa import salsa
+
+    edges = customer_supplier_edges(spark, sf_dir)
+    res = salsa(spark, edges, tol=-1.0, max_iters=SALSA_ITERS,
+                resume=False, num_partitions=_small_graph_parts(spark))
+    return (
+        res.state.select(
+            "id",
+            fixed_point(F.col("hub"), 1e6).alias("hub_e6"),
+            fixed_point(F.col("auth"), 1e6).alias("auth_e6"),
+        )
+        .orderBy(F.col("auth_e6").desc(), F.col("id"))
+        .limit(20)
+    )
+
+
+ORACLES["salsa_top20"] = _salsa_oracle(CUSTOMER_SUPPLIER_EDGES_SQL,
+                                       SALSA_ITERS)
+
+
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
 # in iteration order.  Registration order above is historical (round 1 → 3),
 # so without reordering the round-2/3 algorithm family would never receive a
@@ -5965,7 +6057,8 @@ _DRIVER_WINDOW: list[str] = [
     # two_edge_components, train_val_test_split, event_hour_anomalies,
     # ppr_sweep_cut, articulation_points, biconnected_components,
     # cocitation_coupling, densest_subgraph_rounds,
-    # densest_subgraph_members, doc_chunks, pack_contexts) — rotate
+    # densest_subgraph_members, doc_chunks, pack_contexts,
+    # salsa_top20) — rotate
     # them in for r5, swapping out
     # entries that go green in CORRECTNESS_r04.
 ]
