@@ -22,7 +22,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from l_space_spark.operators.densest import densest_subgraph  # noqa: E402
+from l_space_spark.operators.densest import (  # noqa: E402
+    densest_subgraph,
+    density_e6,
+)
 from l_space_spark.session import get_spark  # noqa: E402
 
 from bench_scaling import synth_powerlaw_edges  # noqa: E402
@@ -46,6 +49,8 @@ def main() -> None:
     n_members = res.members.count()
     wall = time.time() - t0
     rounds = res.rounds
+    if res.best_round < 0:
+        raise SystemExit("empty peel: no rounds recorded")
     best = rounds[res.best_round]
     out = {
         "edges": n_edges,
@@ -58,7 +63,7 @@ def main() -> None:
         "best_round": res.best_round,
         "best_nv": best[1],
         "best_ne": best[2],
-        "best_density_e6": (2_000_000 * best[2] + best[1]) // (2 * best[1]),
+        "best_density_e6": density_e6(best[1], best[2]),
         "members": n_members,
         "round_trace": [list(r) for r in rounds],
     }

@@ -146,6 +146,7 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
         connected_components, connected_components_star,
     )
     from .operators.hits import hits
+    from .operators.salsa import salsa
     from .operators.kcore import kcore
     from .operators.ktruss import ktruss
     from .operators.labelprop import label_propagation, label_spreading
@@ -182,6 +183,7 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
         # pairs (required), params.rounds optional
 
         "hits": hits,
+        "salsa": salsa,
         "kcore": kcore,
         "ktruss": ktruss,
         "coreness": coreness,
@@ -206,7 +208,7 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
     }
     if ckpt and (algo in supersteps
                  or algo in ("harmonic_centrality", "pagerank_incremental",
-                             "anf")):
+                             "anf", "densest_subgraph")):
         # pin the input snapshot into the checkpoint config hash: a
         # resume against a silently changed input (new snapshot /
         # replaced files) is refused instead of mixing states
@@ -251,6 +253,7 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
             ranked = {
                 "pagerank": F.desc("rank"),
                 "hits": F.desc("auth"),
+                "salsa": F.desc("auth"),
                 "sssp": F.asc_nulls_last("dist"),
                 "kcore": F.desc("core_deg"),
                 "dag_levels": F.desc("level"),
@@ -288,21 +291,11 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
         if spec.get("top_k"):
             out = out.orderBy(F.desc("rank"), "id").limit(int(spec["top_k"]))
         return out
-    if algo == "salsa":
-        from .operators.salsa import salsa
-
-        res = salsa(spark, edges, checkpoint_dir=ckpt, resume=resume,
-                    **params)
-        out = res.state
-        if spec.get("top_k"):
-            out = out.orderBy(F.desc("auth"), "id").limit(
-                int(spec["top_k"])
-            )
-        return out
     if algo == "densest_subgraph":
         from .operators.densest import densest_subgraph
 
-        res = densest_subgraph(spark, edges, checkpoint_dir=ckpt, **params)
+        res = densest_subgraph(spark, edges, checkpoint_dir=ckpt,
+                               resume=resume, **params)
         return res.members.orderBy("v")
     if algo == "cocitation":
         from .operators.linkpred import cocitation

@@ -94,10 +94,16 @@ def densest_subgraph(
     max_rounds: int = 64,
     checkpoint_dir: str | None = None,
     num_partitions: int | None = None,
+    resume: bool = True,
+    config_extra: dict | None = None,
 ) -> DensestResult:
     """Peel ``edges`` (directed rows; undirected simple graph semantics)
     with threshold factor 2·(eps_num/eps_den) and return the densest
-    intermediate vertex set plus the full integer round trace."""
+    intermediate vertex set plus the full integer round trace.
+    ``resume=False`` forces a clean recompute (existing checkpoints AND
+    the trace sidecar are ignored); ``config_extra`` (e.g. an input
+    snapshot fingerprint) is folded into the checkpoint config hash so
+    a resume against different data is refused."""
     if num_partitions:
         edges = edges.repartition(num_partitions, "src")
     e0 = _und_simple(edges).persist()
@@ -112,6 +118,7 @@ def densest_subgraph(
             "algo": "densest_peel",
             "eps_num": eps_num,
             "eps_den": eps_den,
+            **(config_extra or {}),
         },
     )
 
@@ -126,7 +133,7 @@ def densest_subgraph(
         os.path.join(checkpoint_dir, "peel_rounds.json")
         if checkpoint_dir else None
     )
-    if sidecar and os.path.exists(sidecar):
+    if resume and sidecar and os.path.exists(sidecar):
         try:
             with open(sidecar) as f:
                 blob = json.load(f)
@@ -158,21 +165,6 @@ def densest_subgraph(
         nv = int(row["nv"])
         return nv, int(row["t2"] or 0) // 2
 
-    def survivors(state: DataFrame) -> DataFrame:
-        # data-dependent threshold as a broadcast one-row join: the
-        # deletion test never leaves the JVM plan
-        s = state.agg(
-            F.count(F.lit(1)).alias("nv"), F.sum("d").alias("t2")
-        )
-        return (
-            state.crossJoin(F.broadcast(s))
-            .where(
-                F.col("d") * F.col("nv") * F.lit(eps_den)
-                > F.lit(eps_num) * F.col("t2")
-            )
-            .select("v")
-        )
-
     def induced_degrees(keep: DataFrame) -> DataFrame:
         ka = keep.select(F.col("v").alias("a"))
         kb = keep.select(F.col("v").alias("b"))
@@ -186,15 +178,21 @@ def densest_subgraph(
         # (i=0, init) and when resuming (runner saves step i's output as
         # state_i = V_{i+1} and resumes with i0+1), so keying the trace
         # by the runner iteration lines resumed runs up with fresh ones.
+        # single scalar read per round: the collected (nv, ne) both
+        # feed the trace AND become the deletion-test literals (no
+        # second aggregate pass over the state)
         nv, ne = _stat(state)
         if nv > 0:
             record(i, nv, ne)
-        return induced_degrees(survivors(state))
+        keep = state.where(
+            F.col("d") * F.lit(nv * eps_den) > F.lit(eps_num * 2 * ne)
+        ).select("v")
+        return induced_degrees(keep)
 
     def metric(_old: DataFrame, new: DataFrame) -> float:
         return float(new.count())
 
-    res = runner.run(init, step, metric_fn=metric)
+    res = runner.run(init, step, metric_fn=metric, resume=resume)
 
     ks = sorted(trace)
     if ks != list(range(len(ks))) or (

@@ -44,6 +44,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import tokens
+
 
 def chunk_documents(
     df: DataFrame,
@@ -60,9 +62,11 @@ def chunk_documents(
         raise ValueError("need 0 <= overlap < chunk_size")
     stride = chunk_size - overlap
     # last chunk index: ceil(max(len - size, 0) / stride) in pure ints
-    # (integer `div`, never float: exact at any length)
+    # (integer `div`, never float: exact at any length); NULL text is
+    # treated as '' so the one-chunk-per-document contract holds —
+    # sequence(0, NULL) would silently drop the row otherwise
     last = F.expr(
-        f"(greatest(length({text_col}) - {chunk_size}, 0)"
+        f"(greatest(length(coalesce({text_col}, '')) - {chunk_size}, 0)"
         f" + {stride - 1}) div {stride}"
     ).cast("long")
     chunk = F.explode(F.sequence(F.lit(0).cast("long"), last))
@@ -75,7 +79,8 @@ def chunk_documents(
             "chunk_id",
             "chunk_start",
             F.expr(
-                f"substring({text_col}, chunk_start, {chunk_size})"
+                f"substring(coalesce({text_col}, ''),"
+                f" chunk_start, {chunk_size})"
             ).alias("chunk_text"),
         )
         .withColumn("chunk_len", F.length("chunk_text").cast("long"))
@@ -134,11 +139,9 @@ def pack_contexts(
     defaults to the engine's standard alnum token count of ``text``.
     Returns ``(order_col, n_tok, bin, pos_in_bin)``."""
     if tokens_col is None:
-        tokens_col = F.size(
-            F.regexp_extract_all(
-                F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)
-            )
-        )
+        # the engine's shared token definition (functions/text.py) —
+        # the same TOKENS_RE the oracle's _TOKENS_SQL mirrors
+        tokens_col = F.size(tokens(F.col("text")))
     toks = df.select(
         F.col(order_col), tokens_col.cast("long").alias("n_tok")
     )

@@ -46,6 +46,7 @@ def salsa(
     checkpoint_dir: str | None = None,
     num_partitions: int | None = None,
     resume: bool = True,
+    config_extra: dict | None = None,
 ) -> SuperstepResult:
     """Returns SuperstepResult with state ``(id long, hub double, auth
     double)`` — auth lives on vertices with in-degree ≥ 1, hub on
@@ -80,7 +81,9 @@ def salsa(
     if na == 0:  # no edges at all (nh == 0 too)
         state = vertices.select(
             "id", F.lit(0.0).alias("hub"), F.lit(0.0).alias("auth")
-        )
+        ).localCheckpoint(eager=True)
+        links.unpersist()
+        vertices.unpersist()
         return SuperstepResult(state, 0, True, [], [])
 
     init = vertices.select(
@@ -105,7 +108,7 @@ def salsa(
     ) -> DataFrame:
         """One walk step: gather state[col]/deg along ``first_on``
         (dst for auth, src for hub), scatter /deg along the other."""
-        gdeg, sdeg = ("ind", "outd") if first_on == "dst" else ("outd", "ind")
+        gdeg = "ind" if first_on == "dst" else "outd"
         contrib = state.select(
             F.col("id").alias(first_on),
             (F.col(col) / F.col(gdeg)).alias("_c"),
@@ -164,8 +167,15 @@ def salsa(
         max_iters=max_iters,
         tol=tol,
         checkpoint_dir=checkpoint_dir,
-        config={"algo": "salsa"},
+        config={"algo": "salsa", **(config_extra or {})},
     )
-    res = runner.run(init, step, metric_fn=None if tol <= 0 else metric)
+    try:
+        res = runner.run(
+            init, step, metric_fn=None if tol <= 0 else metric,
+            resume=resume,
+        )
+    finally:
+        links.unpersist()
+        vertices.unpersist()
     res.state = res.state.select("id", "hub", "auth")
     return res

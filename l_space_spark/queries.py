@@ -5823,12 +5823,12 @@ def q_densest_subgraph_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_chunks",
     """
 SELECT doc_id, chunk_id, chunk_id * 80 + 1 AS chunk_start,
-       substring(text, (chunk_id * 80 + 1)::INT, 120) AS chunk_text,
-       CAST(length(substring(text, (chunk_id * 80 + 1)::INT, 120))
+       substring(t, (chunk_id * 80 + 1)::INT, 120) AS chunk_text,
+       CAST(length(substring(t, (chunk_id * 80 + 1)::INT, 120))
             AS BIGINT) AS chunk_len
-FROM (SELECT doc_id, text,
+FROM (SELECT doc_id, coalesce(text, '') AS t,
              unnest(generate_series(
-               0, (greatest(length(text) - 120, 0) + 79) // 80
+               0, (greatest(length(coalesce(text, '')) - 120, 0) + 79) // 80
              )) AS chunk_id
       FROM documents)
 ORDER BY doc_id, chunk_id

@@ -121,3 +121,14 @@ def test_checkpoint_resume(spark, tmp_path):
     r3 = densest_subgraph(spark, edges_df(spark, pairs), checkpoint_dir=ck)
     assert r3.rounds == rounds and r3.best_round == best
     assert {x["v"] for x in r3.members.collect()} == members
+
+
+def test_resume_false_forces_clean_recompute(spark, tmp_path):
+    pairs = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    ck = str(tmp_path / "peel2")
+    r1 = densest_subgraph(spark, edges_df(spark, pairs), checkpoint_dir=ck)
+    assert r1.superstep.resumed_from is None
+    r2 = densest_subgraph(spark, edges_df(spark, pairs), checkpoint_dir=ck,
+                          resume=False)
+    assert r2.superstep.resumed_from is None
+    assert r2.rounds == r1.rounds and r2.best_round == r1.best_round

@@ -298,3 +298,15 @@ def test_directed_fanout_cap(spark):
     got = _run_cc(spark, pairs, max_fanout=5)
     assert got == brute_directed(pairs, hub_out=True, cap=5)
     assert (3, 4) not in got and got[(1, 2)] == 1
+
+
+def test_directed_counts_ignore_extra_edge_columns(spark):
+    # parallel (src, dst) rows differing only in a weight column must
+    # still collapse to one edge (simple-graph contract)
+    rows = [(0, 5, 1.0), (0, 5, 2.0), (1, 5, 9.9), (0, 6, 0.1), (1, 6, 0.2)]
+    df = spark.createDataFrame(rows, "src long, dst long, w double")
+    got = {(r["u"], r["w"]): r["cocite"] for r in cocitation(df).collect()}
+    assert got == {(5, 6): 2}
+    got_bc = {(r["u"], r["w"]): r["coupling"]
+              for r in bibliographic_coupling(df).collect()}
+    assert got_bc == {(0, 1): 2}

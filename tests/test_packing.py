@@ -116,3 +116,18 @@ def test_pack_plan_doc_window_is_shard_partitioned(spark):
     assert doc_wins and off_wins
     for w in doc_wins:  # windowspecdefinition lists partition cols first
         assert "windowspecdefinition(_shard" in w
+
+
+def test_null_text_emits_one_empty_chunk(spark):
+    df = spark.createDataFrame(
+        [(0, None), (1, "abcd")], "doc_id long, text string"
+    )
+    rows = sorted(
+        tuple(r) for r in chunk_documents(df, chunk_size=3, overlap=1)
+        .collect()
+    )
+    assert rows == [
+        (0, 0, 1, "", 0),
+        (1, 0, 1, "abc", 3),
+        (1, 1, 3, "cd", 2),
+    ]

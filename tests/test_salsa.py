@@ -95,3 +95,17 @@ def test_jobspec_salsa(spark, tmp_path):
     rows = out.collect()
     assert [r["id"] for r in rows] == [10, 11, 12]
     assert abs(rows[0]["auth"] - 0.5) < 1e-9
+
+
+def test_resume_flag_honored(spark, tmp_path):
+    pairs = [(0, 10), (0, 11), (1, 10)]
+    ck = str(tmp_path / "salsa")
+    r1 = salsa(spark, edges_df(spark, pairs), tol=-1.0, max_iters=3,
+               checkpoint_dir=ck, resume=True)
+    assert r1.resumed_from is None
+    r2 = salsa(spark, edges_df(spark, pairs), tol=-1.0, max_iters=3,
+               checkpoint_dir=ck, resume=True)
+    assert r2.resumed_from is not None
+    r3 = salsa(spark, edges_df(spark, pairs), tol=-1.0, max_iters=3,
+               checkpoint_dir=ck, resume=False)
+    assert r3.resumed_from is None
