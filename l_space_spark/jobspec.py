@@ -27,8 +27,8 @@ Four spec kinds:
     label_spreading (params: seeds = [id, label] pairs, rounds) ·
     bridges · two_edge_components · articulation_points ·
     biconnected_components · salsa (params: tol, max_iters) ·
-    densest_subgraph (params: eps_num,
-    eps_den) · cocitation (params: max_fanout) ·
+    densest_subgraph (params: eps_num, eps_den) · triad_census ·
+    cocitation (params: max_fanout) ·
     bibliographic_coupling (params: max_fanin) ·
     coloring · sssp (params: source, weight_col) · harmonic_centrality
     (params: n_sources, max_iters) · betweenness (params: n_sources,
@@ -291,6 +291,10 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
         if spec.get("top_k"):
             out = out.orderBy(F.desc("rank"), "id").limit(int(spec["top_k"]))
         return out
+    if algo == "triad_census":
+        from .operators.triads import triad_census
+
+        return triad_census(spark, edges)
     if algo == "densest_subgraph":
         from .operators.densest import densest_subgraph
 

@@ -5967,6 +5967,58 @@ ORACLES["salsa_top20"] = _salsa_oracle(CUSTOMER_SUPPLIER_EDGES_SQL,
                                        SALSA_ITERS)
 
 
+def _triad_census_oracle(edges_sql: str) -> str:
+    """BRUTE ground truth: enumerate every C(|V|,3) triple of the
+    100-vertex hashed fixture directly and classify via the same 64-row
+    isomorphism table — a genuinely independent check of the operator's
+    wedge-enumeration + closed-form path (operators/triads.py)."""
+    from .operators.triads import CODE_TO_TYPE, TRIAD_TYPES
+
+    map_rows = ", ".join(
+        f"({c}, '{t}')" for c, t in sorted(CODE_TO_TYPE.items())
+    )
+    type_rows = ", ".join(
+        f"({i}, '{t}')" for i, t in enumerate(TRIAD_TYPES)
+    )
+    return f"""
+WITH e0 AS MATERIALIZED ({edges_sql}),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+pair AS MATERIALIZED (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+         CAST(sum(CASE WHEN src < dst THEN 1 ELSE 2 END) AS INT) AS dy
+  FROM e GROUP BY 1, 2),
+v AS MATERIALIZED (SELECT src AS v FROM e UNION SELECT dst AS v FROM e),
+tri AS (SELECT x.v AS t1, y.v AS t2, z.v AS t3
+        FROM v x JOIN v y ON y.v > x.v JOIN v z ON z.v > y.v),
+coded AS (SELECT coalesce(p12.dy, 0) + 4 * coalesce(p13.dy, 0)
+                 + 16 * coalesce(p23.dy, 0) AS code
+          FROM tri LEFT JOIN pair p12 ON p12.a = t1 AND p12.b = t2
+                   LEFT JOIN pair p13 ON p13.a = t1 AND p13.b = t3
+                   LEFT JOIN pair p23 ON p23.a = t2 AND p23.b = t3),
+cmap AS (SELECT * FROM (VALUES {map_rows}) AS m(code, triad_type)),
+cnt AS (SELECT m.triad_type, CAST(count(*) AS BIGINT) AS n_triads
+        FROM coded c JOIN cmap m ON m.code = c.code GROUP BY 1),
+types AS (SELECT * FROM (VALUES {type_rows}) AS t(ord, triad_type))
+SELECT t.triad_type, coalesce(cnt.n_triads, 0) AS n_triads
+FROM types t LEFT JOIN cnt ON cnt.triad_type = t.triad_type
+ORDER BY t.ord
+""".strip()
+
+
+@register("triad_census", _triad_census_oracle(MOD_EDGES_SQL))
+def q_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holland-Leinhardt 16-class directed triad census
+    (operators/triads.py, Batagelj-Mrvar formulation: wedge-enumerated
+    ≥2-dyad triads + closed-form 012/102 + C(n,3)-subtraction 003) on
+    the 100-vertex hashed random digraph. The oracle brute-enumerates
+    all 161 700 triples — a fully independent algorithm."""
+    from .operators.triads import triad_census
+
+    return triad_census(spark, mod_edges(spark, sf_dir)).select(
+        "triad_type", F.col("count").alias("n_triads")
+    )
+
+
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
 # in iteration order.  Registration order above is historical (round 1 → 3),
 # so without reordering the round-2/3 algorithm family would never receive a
@@ -6058,7 +6110,7 @@ _DRIVER_WINDOW: list[str] = [
     # ppr_sweep_cut, articulation_points, biconnected_components,
     # cocitation_coupling, densest_subgraph_rounds,
     # densest_subgraph_members, doc_chunks, pack_contexts,
-    # salsa_top20) — rotate
+    # salsa_top20, triad_census) — rotate
     # them in for r5, swapping out
     # entries that go green in CORRECTNESS_r04.
 ]
