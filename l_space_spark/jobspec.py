@@ -33,7 +33,8 @@ Four spec kinds:
     coloring · sssp (params: source, weight_col) · harmonic_centrality
     (params: n_sources, max_iters) · betweenness (params: n_sources,
     max_depth) · anf (params: max_t, k) · random_walks (params:
-    walk_length, n_walks) · neighbor_jaccard (params: max_hub_degree) ·
+    walk_length, n_walks) · biased_walks (node2vec second-order;
+    params: walk_length, n_walks, w_ret, w_near, w_far) · neighbor_jaccard (params: max_hub_degree) ·
     resource_allocation (params: max_hub_degree) · adamic_adar
     (params: max_hub_degree) · preferential_attachment (params:
     max_hub_degree) · rectangle_count (params: max_hub_degree) ·
@@ -340,6 +341,15 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
                 int(spec["top_k"])
             )
         return out
+    if algo == "biased_walks":
+        from .operators.walks import biased_walks
+
+        if spec.get("top_k"):
+            raise ValueError(
+                "top_k is not meaningful for 'biased_walks' (walks are "
+                "not ranked); use starts/n_walks to bound the output"
+            )
+        return biased_walks(spark, edges, **params)
     if algo == "random_walks":
         from .operators.walks import random_walks
 

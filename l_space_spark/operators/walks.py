@@ -23,11 +23,19 @@ table is repartitioned by ``src`` once and persisted; only the
 |walks|-row frontier shuffles per step) followed by a map-side-combinable
 ``groupBy(start, r).min(struct(h, dst))`` — no windows, no skew pileup
 (the per-walk candidate set is the out-degree of one vertex, and the
-min-struct aggregation combines partials before the shuffle). Weighted /
-node2vec-biased sampling drops into the same plan by keying the argmin on
-``pow(u, 1/w)``-style transformed hashes (Efraimidis–Spirakis weighted
-sampling) — still SQL-reproducible; the shipped operator is the uniform
-sampler.
+min-struct aggregation combines partials before the shuffle).
+
+``biased_walks`` is the node2vec second-order sampler (Grover &
+Leskovec 2016) on the same plan: each candidate's unnormalized weight
+depends on its relation to the PREVIOUS vertex — return (dist 0),
+common neighbor (dist 1), or exploration (dist 2) — with the p/q bias
+expressed as an INTEGER weight triple and realized by the integer
+replica race (explode ``w`` replicas per candidate, hash each, argmin
+over all replicas — ``sampling.weighted_sample_per_group``'s trick),
+NOT Efraimidis–Spirakis ``u^(1/w)`` keys: ``pow`` is a libm call whose
+last-ulp behavior differs across engines and would break the exact
+oracle. The distance-1 test is one LEFT JOIN against the undirected
+pair set per step.
 """
 
 from __future__ import annotations
@@ -113,6 +121,111 @@ def random_walks(
         )
 
     e.unpersist()  # every steps[k] is (derived from) a localCheckpoint
+    result = steps[0]
+    for s in steps[1:]:
+        result = result.unionByName(s)
+    return result
+
+
+def biased_walks(
+    spark: SparkSession,
+    edges: DataFrame,
+    walk_length: int = 5,
+    n_walks: int = 1,
+    w_ret: int = 1,
+    w_near: int = 4,
+    w_far: int = 16,
+    seed: str = "n2v",
+    starts: DataFrame | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """node2vec-style second-order biased walks (module doc). The
+    weight triple maps to node2vec (p, q) as ``w_ret ∝ 1/p, w_near ∝ 1,
+    w_far ∝ 1/q`` scaled to integers — the default (1, 4, 16) is
+    (p, q) = (4, 1/4), the exploration-leaning setting. Step 1 has no
+    previous vertex and is uniform, as in the reference algorithm.
+    Returns ``(start long, r int, step int, vertex long)``."""
+    if min(w_ret, w_near, w_far) < 1:
+        raise ValueError("weights must be positive integers")
+    num_partitions = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    e = (
+        edges.select("src", "dst").distinct()
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    upair = e.select(
+        F.least("src", "dst").alias("ua"), F.greatest("src", "dst").alias("ub")
+    ).distinct().persist()
+    if starts is None:
+        starts = e.select(F.col("src").alias("id")).unionByName(
+            e.select(F.col("dst").alias("id"))
+        ).distinct()
+    else:
+        starts = starts.select("id").distinct()
+    starts = starts.localCheckpoint(eager=True)
+
+    frontier = starts.select(
+        "id", F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("r")
+    ).select(
+        F.col("id").alias("start"), "r",
+        F.col("id").alias("prev"), F.col("id").alias("cur"),
+    )
+    steps = [frontier.select(
+        "start", "r", F.lit(0).alias("step"), F.col("cur").alias("vertex")
+    )]
+
+    def _h(k: int, extra: list) -> F.Column:
+        return hash60(F.concat_ws(
+            ":", F.lit(seed), F.col("start").cast("string"),
+            F.col("r").cast("string"), F.lit(str(k)),
+            *[c.cast("string") for c in extra],
+        ))
+
+    for k in range(1, walk_length + 1):
+        cand = frontier.hint("shuffle_hash").join(
+            e, frontier["cur"] == e["src"]
+        ).select("start", "r", "prev", F.col("cur").alias("c0"), "dst")
+        if k == 1:
+            scored = cand.select(
+                "start", "r", "c0", "dst",
+                _h(k, [F.col("dst")]).alias("h"),
+                F.lit(1).alias("j"),
+            )
+        else:
+            near = cand.join(
+                upair,
+                (upair["ua"] == F.least("prev", "dst"))
+                & (upair["ub"] == F.greatest("prev", "dst")),
+                "left",
+            ).select(
+                "start", "r", "prev", "c0", "dst",
+                F.when(F.col("dst") == F.col("prev"), F.lit(w_ret))
+                .when(F.col("ua").isNotNull(), F.lit(w_near))
+                .otherwise(F.lit(w_far)).alias("w"),
+            )
+            scored = near.select(
+                "start", "r", "c0", "dst",
+                F.explode(F.sequence(F.lit(1), F.col("w"))).alias("j"),
+            )
+            scored = scored.select(
+                "start", "r", "c0", "dst", "j",
+                _h(k, [F.col("dst"), F.col("j")]).alias("h"),
+            )
+        frontier = (
+            scored.groupBy("start", "r")
+            .agg(F.min(F.struct("h", "dst", "j")).alias("m"),
+                 F.first("c0").alias("prev"))
+            .select("start", "r", "prev", F.col("m.dst").alias("cur"))
+            .localCheckpoint(eager=True)
+        )
+        steps.append(frontier.select(
+            "start", "r", F.lit(k).alias("step"), F.col("cur").alias("vertex")
+        ))
+
+    e.unpersist()
+    upair.unpersist()
     result = steps[0]
     for s in steps[1:]:
         result = result.unionByName(s)

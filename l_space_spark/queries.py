@@ -6019,6 +6019,92 @@ def q_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N2V_LEN = 4
+N2V_R = 2
+N2V_SEED = "n2v"
+N2V_W = (1, 4, 16)  # (w_ret, w_near, w_far) ↔ node2vec (p, q) = (4, 1/4)
+
+
+def _biased_walks_oracle(edges_sql: str, length: int, n_walks: int,
+                         seed: str, w: tuple) -> str:
+    """Unrolled replay of ``walks.biased_walks``: step 1 uniform, steps
+    ≥2 weighted by the integer replica race (reps ⋈ on j ≤ weight, hash
+    per replica, argmin over (h, dst, j)) — same CASE weights, same
+    hash strings, exact."""
+    w_ret, w_near, w_far = w
+    reps = " UNION ALL ".join(
+        f"SELECT {j} AS j" for j in range(1, max(w) + 1)
+    )
+    rr = " UNION ALL ".join(f"SELECT {r} AS r" for r in range(n_walks))
+    h1 = _hash60_sql(
+        f"'{seed}:' || f.start || ':' || f.r || ':' || 1 || ':' || l.dst"
+    )
+    parts = [
+        f"WITH e0 AS ({edges_sql}),",
+        "links AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0),",
+        "upair AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS ua,"
+        " greatest(src, dst) AS ub FROM links),",
+        "verts AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),",
+        f"reps AS ({reps}),",
+        "w0 AS (SELECT id AS start, CAST(rr.r AS INTEGER) AS r,"
+        f" id AS prev, id AS cur FROM verts CROSS JOIN ({rr}) rr),",
+        "w1 AS (SELECT start, r, prev, cur FROM ("
+        " SELECT f.start, f.r, f.cur AS prev, l.dst AS cur,"
+        " row_number() OVER (PARTITION BY f.start, f.r"
+        f" ORDER BY {h1}, l.dst) AS rn"
+        " FROM w0 f JOIN links l ON l.src = f.cur) WHERE rn = 1),",
+    ]
+    for k in range(2, length + 1):
+        hk = _hash60_sql(
+            f"'{seed}:' || f.start || ':' || f.r || ':' || {k}"
+            " || ':' || l.dst || ':' || rr.j"
+        )
+        parts.append(
+            f"w{k} AS (SELECT start, r, prev, cur FROM ("
+            " SELECT f.start, f.r, f.cur AS prev, l.dst AS cur,"
+            " row_number() OVER (PARTITION BY f.start, f.r"
+            f" ORDER BY {hk}, l.dst, rr.j) AS rn"
+            f" FROM w{k - 1} f JOIN links l ON l.src = f.cur"
+            " LEFT JOIN upair u ON u.ua = least(f.prev, l.dst)"
+            " AND u.ub = greatest(f.prev, l.dst)"
+            " JOIN reps rr ON rr.j <= (CASE"
+            f" WHEN l.dst = f.prev THEN {w_ret}"
+            f" WHEN u.ua IS NOT NULL THEN {w_near}"
+            f" ELSE {w_far} END)) WHERE rn = 1),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    sel = " UNION ALL ".join(
+        f"SELECT start, r, CAST({k} AS INTEGER) AS step, cur AS vertex"
+        f" FROM w{k}"
+        for k in range(length + 1)
+    )
+    parts.append(sel)
+    parts.append("ORDER BY start, r, step")
+    return "\n".join(parts)
+
+
+@register("node2vec_walks", None)  # oracle attached below
+def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec second-order biased walks (walks.biased_walks): 2
+    replicates × 4 steps per vertex of the hashed random digraph,
+    integer weight triple (1, 4, 16) ≙ (p, q) = (4, 1/4); every draw
+    replayed exactly by the unrolled replica-race oracle."""
+    from .operators.walks import biased_walks
+
+    w = biased_walks(
+        spark, mod_edges(spark, sf_dir), walk_length=N2V_LEN,
+        n_walks=N2V_R, seed=N2V_SEED,
+        w_ret=N2V_W[0], w_near=N2V_W[1], w_far=N2V_W[2],
+        num_partitions=_small_graph_parts(spark),
+    )
+    return w.orderBy("start", "r", "step")
+
+
+ORACLES["node2vec_walks"] = _biased_walks_oracle(
+    MOD_EDGES_SQL, N2V_LEN, N2V_R, N2V_SEED, N2V_W
+)
+
+
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
 # in iteration order.  Registration order above is historical (round 1 → 3),
 # so without reordering the round-2/3 algorithm family would never receive a
@@ -6110,7 +6196,7 @@ _DRIVER_WINDOW: list[str] = [
     # ppr_sweep_cut, articulation_points, biconnected_components,
     # cocitation_coupling, densest_subgraph_rounds,
     # densest_subgraph_members, doc_chunks, pack_contexts,
-    # salsa_top20, triad_census) — rotate
+    # salsa_top20, triad_census, node2vec_walks) — rotate
     # them in for r5, swapping out
     # entries that go green in CORRECTNESS_r04.
 ]

@@ -82,3 +82,98 @@ def test_full_width_hash_ids_no_overflow(spark):
         (v, r) for v in (-big, big) for r in range(3)
     }
     assert got == simulate(pairs, 2, n_walks=3)
+
+
+# --- node2vec-biased walks ---------------------------------------------------
+
+from l_space_spark.operators.walks import biased_walks  # noqa: E402
+
+
+def simulate_biased(pairs, length, n_walks=1, seed="n2v",
+                    w_ret=1, w_near=4, w_far=16):
+    """Pure-python replay: step 1 uniform hash-argmin, steps >= 2 the
+    integer replica race over (h, dst, j)."""
+    links = set()
+    for s, d in set(pairs):
+        links.add((s, d))
+    adj = {}
+    und = set()
+    verts = set()
+    for s, d in links:
+        adj.setdefault(s, []).append(d)
+        und.add((min(s, d), max(s, d)))
+        verts.update((s, d))
+    rows = set()
+    for v in verts:
+        for r in range(n_walks):
+            prev, cur = v, v
+            rows.add((v, r, 0, v))
+            for k in range(1, length + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                best = None
+                for d in nbrs:
+                    if k == 1:
+                        cands = [(h60(f"{seed}:{v}:{r}:{k}:{d}"), d, 1)]
+                    else:
+                        if d == prev:
+                            w = w_ret
+                        elif (min(prev, d), max(prev, d)) in und:
+                            w = w_near
+                        else:
+                            w = w_far
+                        cands = [
+                            (h60(f"{seed}:{v}:{r}:{k}:{d}:{j}"), d, j)
+                            for j in range(1, w + 1)
+                        ]
+                    for c in cands:
+                        if best is None or c < best:
+                            best = c
+                prev, cur = cur, best[1]
+                rows.add((v, r, k, cur))
+    return rows
+
+
+def test_biased_matches_simulator(spark):
+    import random
+
+    rng = random.Random(21)
+    pairs = [(rng.randrange(18), rng.randrange(18)) for _ in range(50)]
+    got = {(r["start"], r["r"], r["step"], r["vertex"])
+           for r in biased_walks(
+               edges_df(spark, pairs).sparkSession,
+               edges_df(spark, pairs), walk_length=4, n_walks=2).collect()}
+    assert got == simulate_biased(pairs, 4, n_walks=2)
+
+
+def test_biased_step1_is_uniform_like_random_walks(spark):
+    # same hash stream at step 1 (no previous vertex), so with the same
+    # seed the first move must equal the uniform sampler's
+    pairs = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 0), (3, 4)]
+    e = edges_df(spark, pairs)
+    b = {(r["start"], r["r"], r["vertex"])
+         for r in biased_walks(spark, e, walk_length=1, seed="s").collect()
+         if r["step"] == 1}
+    u = {(r["start"], r["r"], r["vertex"])
+         for r in random_walks(spark, e, walk_length=1, seed="s").collect()
+         if r["step"] == 1}
+    assert b == u
+
+
+def test_biased_return_weight_dominates(spark):
+    # two-vertex mutual dyad: every candidate IS the previous vertex, so
+    # any weights give the forced back-and-forth
+    pairs = [(0, 1), (1, 0)]
+    rows = biased_walks(spark, edges_df(spark, pairs), walk_length=3,
+                        w_ret=1, w_near=1, w_far=1).collect()
+    path0 = [r["vertex"] for r in sorted(
+        (r for r in rows if r["start"] == 0), key=lambda r: r["step"])]
+    assert path0 == [0, 1, 0, 1]
+
+
+def test_biased_rejects_bad_weights(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        biased_walks(spark, edges_df(spark, [(0, 1)]), w_ret=0)
