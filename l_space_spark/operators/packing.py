@@ -155,3 +155,71 @@ def pack_contexts(
         F.pmod(F.col("prefix"), F.lit(capacity)).cast("long")
         .alias("pos_in_bin"),
     )
+
+
+def _isqrt(col: Column) -> Column:
+    """Exact integer sqrt: floor(sqrt(x)) with ±1 correction. IEEE
+    sqrt is correctly rounded in both engines, but floor of it can
+    still be off by one near perfect squares for large x — the two
+    integer comparisons repair that deterministically."""
+    s0 = F.floor(F.sqrt(col.cast("double"))).cast("long")
+    s1 = F.when(s0 * s0 > col, s0 - 1).otherwise(s0)
+    return F.when((s1 + 1) * (s1 + 1) <= col, s1 + 1).otherwise(s1)
+
+
+def mixture_allocation(
+    df: DataFrame,
+    budget: int,
+    source_col: str = "source",
+    tokens_col: Column | None = None,
+) -> DataFrame:
+    """Training-mixture planning: split a token ``budget`` across
+    sources proportionally to ``sqrt(tokens_s)`` — the α = 1/2
+    temperature reweighting that upsamples small/rare sources relative
+    to raw proportional sampling (the standard multilingual/multi-domain
+    mixture trick). All arithmetic is integer-exact: weights via
+    corrected integer sqrt, quotas via ``budget·w div Σw``, and the
+    rounding leftover distributed by the largest-remainder method
+    (ties to the lexicographically first source), so Σalloc == budget
+    always.
+
+    Scale shape: one groupBy(source) over the corpus (combiner-backed
+    sums), then all remaining work — including the one global window —
+    happens on the sources table, whose cardinality is the number of
+    DISTINCT SOURCES (tens to thousands), not documents. Returns
+    ``(source, n_docs, n_tok, weight, alloc_tokens, share_e6)``.
+    """
+    if tokens_col is None:
+        tokens_col = F.size(tokens(F.col("text")))
+    per = (
+        df.select(F.col(source_col).alias("source"),
+                  tokens_col.cast("long").alias("t"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("t").alias("n_tok"))
+        .select("source", "n_docs", "n_tok",
+                _isqrt(F.col("n_tok")).alias("weight"))
+    )
+    tot = per.agg(F.sum("weight").alias("tw"))
+    per = per.crossJoin(F.broadcast(tot))
+    per = per.select(
+        "source", "n_docs", "n_tok", "weight",
+        F.expr(f"({budget} * weight) div tw").alias("base"),
+        F.expr(f"({budget} * weight) % tw").alias("rem"),
+    )
+    leftover = F.lit(budget) - F.sum("base").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)
+    )
+    rank = F.row_number().over(
+        Window.orderBy(F.desc("rem"), F.asc("source"))
+    )
+    out = per.select(
+        "source", "n_docs", "n_tok", "weight",
+        (F.col("base")
+         + F.when(rank <= leftover, F.lit(1)).otherwise(F.lit(0)))
+        .alias("alloc_tokens"),
+    )
+    return out.select(
+        "source", "n_docs", "n_tok", "weight", "alloc_tokens",
+        F.expr(f"(1000000 * alloc_tokens) div {budget}").alias("share_e6"),
+    )

@@ -230,3 +230,37 @@ def biased_walks(
     for s in steps[1:]:
         result = result.unionByName(s)
     return result
+
+
+def skipgram_pairs(
+    walks: DataFrame,
+    window: int = 2,
+) -> DataFrame:
+    """(center, context) co-occurrence counts from walk rows — the
+    word2vec/node2vec training-pair extraction: for every walk, each
+    ordered pair of positions at distance 1..``window`` yields one
+    (center, context) observation; pairs are aggregated to counts
+    (the downstream negative-sampling loader consumes frequencies, not
+    the raw stream).
+
+    Relational shape: one self-equi-join of the walk table on the walk
+    identity (start, r) with a bounded step-distance predicate, then a
+    combiner-backed count — no windows, no UDF. The join fan-out is
+    walk_length·window per walk, a constant multiple of the input.
+    Returns ``(center long, context long, n long)``.
+    """
+    a = walks.select(
+        "start", "r", F.col("step").alias("i"), F.col("vertex").alias("center")
+    )
+    b = walks.select(
+        "start", "r", F.col("step").alias("j"), F.col("vertex").alias("context")
+    )
+    return (
+        a.join(b, ["start", "r"])
+        .where(
+            (F.col("i") != F.col("j"))
+            & (F.abs(F.col("i") - F.col("j")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

@@ -6105,6 +6105,84 @@ ORACLES["node2vec_walks"] = _biased_walks_oracle(
 )
 
 
+@register("skipgram_pairs", None)  # oracle attached below
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) counts (walks.skipgram_pairs,
+    window 2) over the node2vec walk corpus — the embedding-training
+    pair extraction; oracle = the walk-replay CTEs + the same bounded
+    self-join."""
+    from .operators.walks import biased_walks, skipgram_pairs
+
+    w = biased_walks(
+        spark, mod_edges(spark, sf_dir), walk_length=N2V_LEN,
+        n_walks=N2V_R, seed=N2V_SEED,
+        w_ret=N2V_W[0], w_near=N2V_W[1], w_far=N2V_W[2],
+        num_partitions=_small_graph_parts(spark),
+    )
+    return skipgram_pairs(w, window=2).orderBy("center", "context")
+
+
+def _skipgram_oracle() -> str:
+    base = _biased_walks_oracle(MOD_EDGES_SQL, N2V_LEN, N2V_R,
+                                N2V_SEED, N2V_W)
+    # strip the replay's trailing projection+order and reuse its CTEs
+    lines = base.split("\n")
+    assert lines[-1] == "ORDER BY start, r, step"
+    sel = lines[-2]
+    ctes = "\n".join(lines[:-2])
+    return f"""{ctes}
+, pos AS ({sel})
+SELECT a.vertex AS center, b.vertex AS context,
+       CAST(count(*) AS BIGINT) AS n
+FROM pos a JOIN pos b ON b.start = a.start AND b.r = a.r
+WHERE a.step <> b.step AND abs(a.step - b.step) <= 2
+GROUP BY 1, 2 ORDER BY center, context"""
+
+
+ORACLES["skipgram_pairs"] = _skipgram_oracle()
+
+
+MIX_BUDGET = 1_000_000
+
+
+@register(
+    "mixture_allocation",
+    f"""
+WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS n_tok
+             FROM documents GROUP BY source),
+w AS (SELECT source, n_docs, n_tok,
+             CASE WHEN (s1 + 1) * (s1 + 1) <= n_tok THEN s1 + 1 ELSE s1 END
+             AS weight
+      FROM (SELECT *, CASE WHEN s0 * s0 > n_tok THEN s0 - 1 ELSE s0 END AS s1
+            FROM (SELECT *,
+                  CAST(floor(sqrt(n_tok::DOUBLE)) AS BIGINT) AS s0
+                  FROM per))),
+q AS (SELECT w.*, ({MIX_BUDGET} * weight) // tw AS base,
+             ({MIX_BUDGET} * weight) % tw AS rem
+      FROM w CROSS JOIN (SELECT sum(weight) AS tw FROM w)),
+r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+             (SELECT {MIX_BUDGET} - sum(base) FROM q) AS leftover
+      FROM q)
+SELECT source, n_docs, n_tok, weight,
+       base + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END) AS alloc_tokens,
+       (1000000 * (base + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END)))
+       // {MIX_BUDGET} AS share_e6
+FROM r ORDER BY source
+""".strip(),
+)
+def q_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture planning (packing.mixture_allocation): a
+    1M-token budget split across document sources ∝ √tokens (α = 1/2
+    temperature reweighting), largest-remainder rounded so the
+    allocations sum exactly to the budget — all integer arithmetic
+    (corrected isqrt, div/mod quotas)."""
+    from .operators.packing import mixture_allocation
+
+    docs = load(spark, sf_dir, "documents")
+    return mixture_allocation(docs, budget=MIX_BUDGET).orderBy("source")
+
+
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
 # in iteration order.  Registration order above is historical (round 1 → 3),
 # so without reordering the round-2/3 algorithm family would never receive a

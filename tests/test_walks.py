@@ -177,3 +177,28 @@ def test_biased_rejects_bad_weights(spark):
 
     with pytest.raises(ValueError):
         biased_walks(spark, edges_df(spark, [(0, 1)]), w_ret=0)
+
+
+def test_skipgram_pairs_match_brute(spark):
+    import random
+    from collections import Counter
+
+    from l_space_spark.operators.walks import skipgram_pairs
+
+    rng = random.Random(31)
+    pairs = [(rng.randrange(15), rng.randrange(15)) for _ in range(45)]
+    e = edges_df(spark, pairs)
+    w = biased_walks(spark, e, walk_length=4, n_walks=2)
+    got = {(r["center"], r["context"]): r["n"]
+           for r in skipgram_pairs(w, window=2).collect()}
+    rows = simulate_biased(pairs, 4, n_walks=2)
+    bywalk = {}
+    for start, r, step, v in rows:
+        bywalk.setdefault((start, r), {})[step] = v
+    want = Counter()
+    for seq in bywalk.values():
+        for i, ci in seq.items():
+            for j, cj in seq.items():
+                if i != j and abs(i - j) <= 2:
+                    want[(ci, cj)] += 1
+    assert got == dict(want)
