@@ -305,3 +305,98 @@ def simhash_close_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def exact_substring_coverage(df: DataFrame, id_col: str,
+                             text_col: str = "text", k: int = 5,
+                             min_docs: int = 2) -> DataFrame:
+    """Per-document coverage by CROSS-DOCUMENT duplicated k-token spans —
+    the ExactSubstr dedup tier (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better") re-expressed relationally: instead
+    of a suffix array over the concatenated corpus, every position's
+    k-token window is a positional shingle, a window is "duplicated" when
+    the same k-gram occurs in ≥ ``min_docs`` distinct documents, and the
+    reported coverage is the size of the union of all duplicated windows
+    per document (in tokens).
+
+    Output: (id, n_tokens, n_dup_grams, covered_tokens, dup_coverage)
+    with dup_coverage the half-up fixed-point share ×10⁴ in pure integer
+    arithmetic ((c·20000 + n) div (2n)) — exactly reproducible in the
+    DuckDB oracle (queries.py ``exact_substring_dedup``).
+
+    Plan shape for 100 TB: tokenization + gram build are linear
+    per-partition projections (token array materialized FIRST — the
+    measured 10× HOF pitfall, functions/text.shingles_of_tokens); grams
+    travel as 60-bit hashes, never strings, so the only wide shuffle is
+    (id, pos, gh) rows; doc-frequency is one combiner-backed groupBy on
+    gh; the hits join is an equi-join on the same key (AQE co-plans the
+    two stages); the interval-union is a per-document window whose
+    partition is bounded by document length — with a FIXED window width
+    k the duplicated intervals sorted by start also have sorted ends, so
+    the union reduces to Σ least(k, pos − lag(pos)), one pass, no
+    interval stack. Reference analog: value-identity dedup
+    (structure/Values.scala:104-117) generalized to positional spans.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("ts")
+    )
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(F.col("ts"), i + j) for j in range(k)]
+    )
+    pos_grams = (
+        toks.where(F.size("ts") >= k)
+        .select(
+            "id",
+            F.posexplode(
+                F.transform(F.sequence(F.lit(1), F.size("ts") - (k - 1)), gram)
+            ).alias("pos0", "g"),
+        )
+        .select("id", (F.col("pos0") + 1).alias("pos"),
+                hash60(F.col("g")).alias("gh"))
+    )
+    dup = (
+        pos_grams.groupBy("gh")
+        .agg(F.count_distinct("id").alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("gh")
+    )
+    hits = pos_grams.join(dup, "gh").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    per = (
+        hits.select("id", "pos", F.lag("pos").over(w).alias("prev"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_grams"),
+            F.sum(
+                F.when(F.col("prev").isNull(), F.lit(k)).otherwise(
+                    F.least(F.lit(k), F.col("pos") - F.col("prev"))
+                )
+            ).cast("long").alias("covered_tokens"),
+        )
+    )
+    return (
+        toks.select("id", F.size("ts").cast("long").alias("n_tokens"))
+        .join(per, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long")
+            .alias("n_dup_grams"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("long")
+            .alias("covered_tokens"),
+        )
+        .withColumn(
+            "dup_coverage",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr("(covered_tokens * 20000 + n_tokens)"
+                       " div (2 * n_tokens)"),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+    )

@@ -258,3 +258,25 @@ def test_kmv_sketch_merge_and_accuracy(spark):
     a = {r["g"]: (tuple(r["sketch"]), r["n_kept"]) for r in whole.collect()}
     b = {r["g"]: (tuple(r["sketch"]), r["n_kept"]) for r in merged.collect()}
     assert a == b
+
+
+def test_exact_substring_coverage(spark):
+    rows = [
+        # docs 1 and 2 share the 5-token run "a b c d e f" (two
+        # overlapping 5-grams: positions 1 and 2 in doc 1) → union covers
+        # tokens 1..6 of doc 1 (6 tokens), 2..7 of doc 2
+        (1, "a b c d e f x1 y1 z1 w1"),
+        (2, "q2 a b c d e f r2 s2 t2"),
+        (3, "nothing shared here at all five six seven eight nine"),
+        (4, "tiny doc"),  # < k tokens → zero grams, still in output
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in dedup.exact_substring_coverage(
+        df, "doc_id", "text", k=5).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["n_dup_grams"] == 2 and out[1]["covered_tokens"] == 6
+    assert out[2]["n_dup_grams"] == 2 and out[2]["covered_tokens"] == 6
+    assert out[1]["n_tokens"] == 10 and out[1]["dup_coverage"] == 6000
+    assert out[3]["n_dup_grams"] == 0 and out[3]["covered_tokens"] == 0
+    assert out[3]["dup_coverage"] == 0
+    assert out[4]["n_tokens"] == 2 and out[4]["n_dup_grams"] == 0
