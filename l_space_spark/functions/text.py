@@ -231,3 +231,86 @@ def tfidf_top_terms(df, id_col: str, text_col: str, top_k: int = 3):
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= top_k)
     )
+
+
+# ---- Gopher-style document quality rules ------------------------------------
+
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL = 4     # mean word length lower bound (chars/token)
+GOPHER_MAX_MWL = 10    # upper bound
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MAX_TOP_SHARE = 5  # most frequent token may own <= 1/5 of tokens
+
+
+def gopher_quality(df, id_col: str, text_col: str = "text"):
+    """Gopher-style rule-based document quality flags (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", table A1 — the doc-level
+    rules the synthetic corpus can exercise), all in integer arithmetic
+    so the DuckDB oracle is exact:
+
+      r_count   — token count within [{min},{max}]
+      r_wordlen — mean word length within [4,10] chars, as 4n <= L <= 10n
+      r_stop    — at least 2 stopword occurrences ("real prose" guard)
+      r_rep     — the most frequent token owns <= 1/5 of all tokens
+                  (template-spam guard), as 5*maxf <= n
+      ok        — all four
+
+    Plan shape for 100 TB: ZERO shuffles — every statistic, including
+    the within-document max token frequency, is a higher-order-function
+    projection inside the scan stage (max frequency = longest equal-run
+    of the sorted token array, computed by one ``aggregate`` fold).
+    A quality pass over the full corpus is embarrassingly parallel.
+    """
+    toks = tokens(F.col(text_col))
+    ts = F.col("__ts")
+    n = F.size(ts)
+    sum_len = F.aggregate(
+        ts, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stw = F.size(F.filter(ts, lambda t: F.array_contains(stop_arr, t)))
+    # longest equal-run of the sorted array == max token frequency
+    run_of = lambda acc, t: F.when(  # noqa: E731
+        t == acc["prev"], acc["run"] + F.lit(1)
+    ).otherwise(F.lit(1))
+    maxf = F.aggregate(
+        F.array_sort(ts),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            run_of(acc, t).alias("run"),
+            F.greatest(acc["best"], run_of(acc, t)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), toks.alias("__ts")
+    ).select(
+        "id",
+        n.cast("long").alias("n_tokens"),
+        sum_len.cast("long").alias("__sum_len"),
+        stw.cast("long").alias("__stw"),
+        maxf.cast("long").alias("__maxf"),
+    )
+    r_count = (
+        (F.col("n_tokens") >= GOPHER_MIN_WORDS)
+        & (F.col("n_tokens") <= GOPHER_MAX_WORDS)
+    )
+    r_wordlen = (
+        (GOPHER_MIN_MWL * F.col("n_tokens") <= F.col("__sum_len"))
+        & (F.col("__sum_len") <= GOPHER_MAX_MWL * F.col("n_tokens"))
+    )
+    r_stop = F.col("__stw") >= GOPHER_MIN_STOPWORDS
+    r_rep = GOPHER_MAX_TOP_SHARE * F.col("__maxf") <= F.col("n_tokens")
+    return base.select(
+        "id", "n_tokens",
+        r_count.alias("r_count"),
+        r_wordlen.alias("r_wordlen"),
+        r_stop.alias("r_stop"),
+        r_rep.alias("r_rep"),
+        (r_count & r_wordlen & r_stop & r_rep).alias("ok"),
+    )

@@ -400,3 +400,105 @@ def exact_substring_coverage(df: DataFrame, id_col: str,
             ).otherwise(F.lit(0)).cast("long"),
         )
     )
+
+
+def paragraph_dedup_stats(df: DataFrame, id_col: str,
+                          text_col: str = "text",
+                          para_tokens: int = 8) -> DataFrame:
+    """Paragraph-level exact dedup, C4/RefinedWeb style: the corpus is
+    cut into paragraphs (here fixed ``para_tokens``-token windows — the
+    synthetic corpus has no newlines), every paragraph that appeared
+    EARLIER anywhere in the corpus (lexicographically first (doc, pos)
+    occurrence wins, the C4 keep-one rule) is dropped, and each document
+    reports its surviving text.  Sits between whole-doc hash dedup
+    (dedup_exact / structure/Values.scala:104-117 value identity) and
+    span coverage (exact_substring_coverage): it REWRITES documents
+    instead of scoring or deleting them.
+
+    Output: (id, n_paras, n_dup_paras, kept_tokens, kept_hash) where
+    kept_hash is the portable 60-bit hash of the de-duplicated document
+    (kept paragraphs re-joined in position order; empty string when all
+    paragraphs were dropped).
+
+    Plan shape for 100 TB: paragraph construction is a per-row
+    projection (token array materialized first — the measured HOF
+    pitfall); instances travel as (id, pos, 60-bit hash, token-count);
+    the first-occurrence owner per hash is ONE combiner-backed
+    min-struct groupBy (no window over the hash's occurrence list, so a
+    boilerplate paragraph shared by 10^9 docs never single-tasks); the
+    verdict join is an equi-join on the same key; reassembly sorts only
+    WITHIN each document (collect_list bounded by document length).
+    """
+    if para_tokens < 1:
+        raise ValueError(f"para_tokens must be >= 1, got {para_tokens}")
+    from ..functions.text import tokens
+
+    p = F.lit(para_tokens)
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("ts")
+    )
+    paras = (
+        toks.where(F.size("ts") > 0)
+        .select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.floor(
+                            (F.size("ts") + (para_tokens - 1)) / p
+                        ).cast("int"),
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("ts"), (i - 1) * p + 1, para_tokens)
+                    ),
+                )
+            ).alias("pos0", "para"),
+        )
+        .select(
+            "id", (F.col("pos0") + 1).alias("pos"), "para",
+            hash60(F.col("para")).alias("ph"),
+        )
+    )
+    owners = paras.groupBy("ph").agg(
+        F.min(F.struct("id", "pos")).alias("first")
+    )
+    judged = paras.join(owners, "ph").select(
+        "id", "pos", "para",
+        (
+            (F.col("first.id") == F.col("id"))
+            & (F.col("first.pos") == F.col("pos"))
+        ).alias("keep"),
+        F.size(F.split("para", " ")).alias("ptok"),
+    )
+    per = judged.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+        .cast("long").alias("n_dup_paras"),
+        F.sum(F.when(F.col("keep"), F.col("ptok")).otherwise(0))
+        .cast("long").alias("kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("pos", "para"))
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    return (
+        toks.select("id")
+        .join(per, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_paras", F.lit(0)).cast("long").alias("n_paras"),
+            F.coalesce("n_dup_paras", F.lit(0)).cast("long")
+            .alias("n_dup_paras"),
+            F.coalesce("kept_tokens", F.lit(0)).cast("long")
+            .alias("kept_tokens"),
+            hash60(F.coalesce("kept_text", F.lit(""))).alias("kept_hash"),
+        )
+    )

@@ -6239,6 +6239,104 @@ def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_coverage(d, "doc_id", "text", k=ESUB_K).orderBy("id")
 
 
+PARA_TOKENS = 8
+
+
+@register(
+    "paragraph_dedup",  # C4-style paragraph rewrite tier (keep-first)
+    f"""
+WITH toks AS MATERIALIZED (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
+paras AS MATERIALIZED (
+  SELECT t.doc_id, g.pos,
+         array_to_string(
+           t.ts[(g.pos - 1) * {PARA_TOKENS} + 1 :
+                least(len(t.ts), g.pos * {PARA_TOKENS})], ' ') AS para
+  FROM toks t, LATERAL (
+    SELECT unnest(generate_series(
+      1, (len(t.ts) + {PARA_TOKENS - 1}) // {PARA_TOKENS})) AS pos) g
+  WHERE len(t.ts) > 0
+),
+judged AS (
+  SELECT doc_id, pos, para,
+         len(string_split(para, ' ')) AS ptok,
+         row_number() OVER (PARTITION BY {_hash60_sql('para')}
+                            ORDER BY doc_id, pos) AS rn
+  FROM paras
+),
+per AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_paras,
+         CAST(count(*) FILTER (rn > 1) AS BIGINT) AS n_dup_paras,
+         CAST(COALESCE(sum(ptok) FILTER (rn = 1), 0) AS BIGINT)
+           AS kept_tokens,
+         COALESCE(string_agg(para, ' ' ORDER BY pos) FILTER (rn = 1), '')
+           AS kept_text
+  FROM judged GROUP BY doc_id
+)
+SELECT t.doc_id AS id,
+       COALESCE(p.n_paras, 0) AS n_paras,
+       COALESCE(p.n_dup_paras, 0) AS n_dup_paras,
+       COALESCE(p.kept_tokens, 0) AS kept_tokens,
+       {_hash60_sql("COALESCE(p.kept_text, '')")} AS kept_hash
+FROM toks t LEFT JOIN per p USING (doc_id)
+ORDER BY id
+""".strip(),
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (dedup.paragraph_dedup_stats): cut
+    every document into {PARA_TOKENS}-token paragraphs, keep only the
+    corpus-first occurrence of each paragraph (C4's keep-one rule), and
+    report each document's surviving paragraph count, token count, and
+    the portable hash of its REWRITTEN text — the tier that rewrites
+    documents rather than scoring (exact_substring_dedup) or deleting
+    (dedup_exact_sha) them.  The oracle's row_number-over-hash first
+    flag is exactly the Spark side's min-struct owner."""
+    from .operators.dedup import paragraph_dedup_stats
+
+    d = load(spark, sf_dir, "documents")
+    return paragraph_dedup_stats(
+        d, "doc_id", "text", para_tokens=PARA_TOKENS
+    ).orderBy("id")
+
+
+_GOPHER_SQL = f"""
+WITH toks AS MATERIALIZED (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
+s AS (
+  SELECT doc_id, len(ts) AS n,
+    COALESCE((SELECT sum(length(x)) FROM unnest(ts) AS u(x)), 0) AS sum_len,
+    COALESCE((SELECT max(c) FROM (
+        SELECT count(*) AS c FROM unnest(ts) AS u(x) GROUP BY x)), 0) AS maxf,
+    len(list_filter(ts,
+        t -> list_contains(['a','the','and','of','to','in','is','it'], t)))
+      AS stw
+  FROM toks
+)
+SELECT doc_id AS id, CAST(n AS BIGINT) AS n_tokens,
+  (n >= 30 AND n <= 100000) AS r_count,
+  (4 * n <= sum_len AND sum_len <= 10 * n) AS r_wordlen,
+  (stw >= 2) AS r_stop,
+  (5 * maxf <= n) AS r_rep,
+  (n >= 30 AND n <= 100000 AND 4 * n <= sum_len AND sum_len <= 10 * n
+   AND stw >= 2 AND 5 * maxf <= n) AS ok
+FROM s ORDER BY id
+""".strip()
+
+
+@register("gopher_quality", _GOPHER_SQL)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document quality flags (functions/text.gopher_quality):
+    token-count bounds, mean-word-length bounds, stopword presence, and
+    the top-token-share repetition guard, each as an integer-arithmetic
+    boolean plus the conjunction — the rule-based filter tier that runs
+    BEFORE the statistical tiers (text_quality features, repetition
+    profile, dedup).  Shuffle-free: every statistic including the
+    within-doc max token frequency is a scan-stage HOF projection."""
+    from .functions.text import gopher_quality
+
+    d = load(spark, sf_dir, "documents")
+    return gopher_quality(d, "doc_id", "text").orderBy("id")
+
+
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
 # in iteration order.  Registration order above is historical (round 1 → 3),
 # so without reordering the round-2/3 algorithm family would never receive a

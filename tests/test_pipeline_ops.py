@@ -280,3 +280,59 @@ def test_exact_substring_coverage(spark):
     assert out[3]["n_dup_grams"] == 0 and out[3]["covered_tokens"] == 0
     assert out[3]["dup_coverage"] == 0
     assert out[4]["n_tokens"] == 2 and out[4]["n_dup_grams"] == 0
+
+
+def test_paragraph_dedup_stats(spark):
+    rows = [
+        # para_tokens=3: doc 1 = ["a b c", "d e f", "g"]; doc 2 repeats
+        # doc 1's first paragraph twice and adds its own; doc 3 is all
+        # duplicates of earlier paragraphs → empty survivor text.
+        (1, "a b c d e f g"),
+        (2, "a b c a b c x y z"),
+        (3, "d e f a b c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in dedup.paragraph_dedup_stats(
+        df, "doc_id", "text", para_tokens=3).collect()}
+    assert out[1]["n_paras"] == 3 and out[1]["n_dup_paras"] == 0
+    assert out[1]["kept_tokens"] == 7
+    # doc 2: pos 1 "a b c" is a dup of (1,1); pos 2 "a b c" dup too;
+    # pos 3 "x y z" is new → 1 kept paragraph of 3 tokens
+    assert out[2]["n_paras"] == 3 and out[2]["n_dup_paras"] == 2
+    assert out[2]["kept_tokens"] == 3
+    # doc 3: both paragraphs seen earlier → nothing survives
+    assert out[3]["n_dup_paras"] == 2 and out[3]["kept_tokens"] == 0
+    # kept_hash is the portable hash of the reassembled survivor text
+    from l_space_spark.functions.text import hash60
+    exp = {r["s"]: r["h"] for r in spark.createDataFrame(
+        [("a b c d e f g",), ("x y z",), ("",)], "s string"
+    ).select("s", hash60(F.col("s")).alias("h")).collect()}
+    assert out[1]["kept_hash"] == exp["a b c d e f g"]
+    assert out[2]["kept_hash"] == exp["x y z"]
+    assert out[3]["kept_hash"] == exp[""]
+
+
+def test_gopher_quality(spark):
+    from l_space_spark.functions.text import gopher_quality
+
+    long_ok = " ".join(
+        ["the", "and"] + [f"word{i:02d}" for i in range(40)])
+    rows = [
+        (1, long_ok),                        # passes all four
+        (2, "tiny the and doc"),             # fails r_count only
+        (3, " ".join(["the", "and"] + ["spam"] * 40)),  # fails r_rep
+        (4, " ".join(["no", "stop", "terms"] * 14)),    # fails r_stop+r_rep
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in gopher_quality(df, "doc_id", "text").collect()}
+    assert out[1]["ok"] and out[1]["r_count"] and out[1]["r_rep"]
+    assert not out[2]["r_count"] and out[2]["r_stop"] and not out[2]["ok"]
+    # doc 3: 42 tokens, "spam" owns 40 -> 5*40 > 42
+    assert out[3]["r_count"] and not out[3]["r_rep"] and not out[3]["ok"]
+    assert not out[4]["r_stop"] and not out[4]["r_rep"]
+    # max-run fold really computes the max frequency, not a prefix run
+    one = gopher_quality(
+        spark.createDataFrame([(9, "b a b c b a")], "doc_id long, text string"),
+        "doc_id", "text").collect()[0]
+    # sorted: a a b b b c -> best run 3 = freq of "b"; 5*3 > 6 -> r_rep False
+    assert one["n_tokens"] == 6 and not one["r_rep"]
