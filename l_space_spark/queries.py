@@ -6337,6 +6337,62 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality(d, "doc_id", "text").orderBy("id")
 
 
+SAGE_SEEDS = [3, 17, 42, 58, 71, 86]
+SAGE_FANOUTS = (3, 2)
+
+
+def _sage_hash_sql(hop: int, seed_ref: str) -> str:
+    return _hash60_sql(
+        f"'sage:{hop}:' || {seed_ref}::VARCHAR || ':' || "
+        "e.src::VARCHAR || ':' || e.dst::VARCHAR"
+    )
+
+
+@register(
+    "khop_sample_edges",  # GraphSAGE minibatch fanout sampling
+    f"""
+WITH e0 AS ({MOD_EDGES_SQL}),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+seeds AS (SELECT CAST(unnest({SAGE_SEEDS!r}) AS BIGINT) AS seed),
+c1 AS (
+  SELECT s.seed, e.src, e.dst,
+         row_number() OVER (PARTITION BY s.seed, e.src
+           ORDER BY {_sage_hash_sql(1, 's.seed')}, e.dst) AS rn
+  FROM seeds s JOIN e ON e.src = s.seed
+),
+k1 AS (SELECT seed, CAST(1 AS INT) AS hop, src, dst FROM c1
+       WHERE rn <= {SAGE_FANOUTS[0]}),
+f2 AS (SELECT DISTINCT seed, dst AS v FROM k1),
+c2 AS (
+  SELECT f.seed, e.src, e.dst,
+         row_number() OVER (PARTITION BY f.seed, e.src
+           ORDER BY {_sage_hash_sql(2, 'f.seed')}, e.dst) AS rn
+  FROM f2 f JOIN e ON e.src = f.v
+),
+k2 AS (SELECT seed, CAST(2 AS INT) AS hop, src, dst FROM c2
+       WHERE rn <= {SAGE_FANOUTS[1]})
+SELECT seed, hop, src, dst FROM k1
+UNION ALL SELECT seed, hop, src, dst FROM k2
+ORDER BY seed, hop, src, dst
+""".strip(),
+)
+def q_khop_sample_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style k-hop neighborhood sampling (operators/sage.py):
+    for each of six seed vertices of the hashed random
+    graph, draw ≤3 out-neighbors at hop 1 and ≤2 per reached vertex at
+    hop 2 by the portable hash race, returning the sampled computation
+    graph's edges — the GNN-minibatch primitive that bounds per-seed
+    work on an unbounded-degree graph.  The unrolled row_number oracle
+    replays every draw exactly."""
+    from .operators.sage import khop_fanout_sample
+
+    seeds = spark.createDataFrame([(s,) for s in SAGE_SEEDS], "seed long")
+    out = khop_fanout_sample(
+        spark, mod_edges(spark, sf_dir), seeds, fanouts=SAGE_FANOUTS,
+    )
+    return out.orderBy("seed", "hop", "src", "dst")
+
+
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
 # in iteration order.  Registration order above is historical (round 1 → 3),
 # so without reordering the round-2/3 algorithm family would never receive a
