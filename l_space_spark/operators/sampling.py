@@ -35,7 +35,7 @@ the exact-quota semantics Coin cannot express.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import hash60
@@ -151,4 +151,81 @@ def hash_split(
         F.when(bucket < train_pct, F.lit("train"))
         .when(bucket < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test")),
+    )
+
+
+def negative_samples(
+    spark: SparkSession,
+    pairs: DataFrame,
+    weights: DataFrame,
+    k: int = 2,
+    tag: str = "neg",
+    blocks: int = 1024,
+) -> DataFrame:
+    """Deterministic weighted negative sampling — the word2vec/LINE
+    training companion: for every positive ``(center, context)`` pair,
+    draw ``k`` negatives from the ``weights`` table's categorical
+    distribution (``(id, w)``, positive integer weights, typically
+    vertex degree).
+
+    The draw is a distributed inverted-CDF lookup with NO range join and
+    no driver-side alias table: vertex ``v`` owns the half-open interval
+    ``[lo_v, lo_v + w_v)`` of the cumulative weight line (exclusive
+    prefix sum via the sharded-window decomposition,
+    packing.exclusive_prefix_sum — no global single-task window); the
+    line is cut into ``blocks`` fixed-width blocks; each vertex explodes
+    into the blocks its interval overlaps (Σ ≈ blocks + |V| rows — a hub
+    owning 25% of the mass owns 25% of the block rows but they are
+    SPREAD over 25% of the block KEYS, so the subsequent join has no hot
+    key); a draw ``d = hash60(tag:center:context:j) mod W`` equi-joins
+    on ``d div B`` and keeps the one row with ``lo <= d < hi``.
+
+    Returns ``(center, context, k, neg)``.  Accidental hits
+    (``neg == center`` or ``context``) are kept, as in word2vec's
+    unigram-table sampler — resampling would make the draw sequence
+    data-dependent and break exact replay.
+    """
+    from .packing import exclusive_prefix_sum
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cum = exclusive_prefix_sum(
+        weights.select(F.col("id").cast("long"), F.col("w").cast("long")),
+        "id", "w", out_col="lo",
+    )
+    total = cum.agg(F.sum("w")).collect()[0][0]
+    if not total:
+        return spark.createDataFrame(
+            [], "center long, context long, k int, neg long"
+        )
+    bsize = max(1, -(-int(total) // blocks))  # ceil
+    owner = cum.select(
+        "id", "lo", (F.col("lo") + F.col("w")).alias("hi"),
+        F.explode(
+            F.sequence(
+                F.expr(f"lo div {bsize}"), F.expr(f"(lo + w - 1) div {bsize}")
+            )
+        ).alias("blk"),
+    )
+    draws = pairs.select(
+        F.col("center").cast("long"), F.col("context").cast("long")
+    ).select(
+        "center", "context",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("k"),
+    ).withColumn(
+        "d",
+        F.pmod(
+            hash60(
+                F.concat_ws(
+                    ":", F.lit(tag), F.col("center").cast("string"),
+                    F.col("context").cast("string"), F.col("k").cast("string"),
+                )
+            ),
+            F.lit(int(total)),
+        ),
+    ).withColumn("blk", F.expr(f"d div {bsize}"))
+    return (
+        draws.join(owner, "blk")
+        .where((F.col("d") >= F.col("lo")) & (F.col("d") < F.col("hi")))
+        .select("center", "context", "k", F.col("id").alias("neg"))
     )

@@ -6393,6 +6393,66 @@ def q_khop_sample_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("seed", "hop", "src", "dst")
 
 
+NEG_K = 2
+
+
+@register(
+    "negative_samples",  # degree-weighted word2vec/LINE negative draws
+    f"""
+WITH e0 AS ({MOD_EDGES_SQL}),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+sym AS (SELECT src AS a, dst AS b FROM e
+        UNION ALL SELECT dst, src FROM e),
+degs AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS w FROM sym GROUP BY a),
+cum AS (SELECT id, w,
+               COALESCE(sum(w) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND 1 PRECEDING), 0) AS lo
+        FROM degs),
+tot AS (SELECT sum(w) AS wtot FROM degs),
+draws AS (
+  SELECT e.src AS center, e.dst AS context, j.k,
+         {_hash60_sql("'neg:' || e.src::VARCHAR || ':' || e.dst::VARCHAR"
+                      " || ':' || j.k::VARCHAR")} % t.wtot AS d
+  FROM e, tot t,
+       LATERAL (SELECT CAST(unnest(generate_series(0, {NEG_K - 1})) AS INT)
+                AS k) j
+)
+SELECT d.center, d.context, d.k, c.id AS neg
+FROM draws d JOIN cum c ON d.d >= c.lo AND d.d < c.lo + c.w
+ORDER BY center, context, k
+""".strip(),
+)
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-weighted negative sampling (operators/sampling
+    ``negative_samples``): every distinct non-loop edge of the hashed
+    random graph is a LINE-style positive pair; each draws NEG_K
+    negatives from the degree distribution by a deterministic
+    inverted-CDF hash draw.  The Spark side does the lookup with a
+    block-bucketed equi-join (distributed alias table — no range join,
+    no hot key); the oracle replays it with a plain interval join, which
+    is equivalent because every draw lands in exactly one vertex's
+    cumulative interval."""
+    from .operators.sampling import negative_samples
+
+    e = (
+        mod_edges(spark, sf_dir)
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst").distinct()
+        .persist()
+    )
+    sym = e.select(F.col("src").alias("id")).unionByName(
+        e.select(F.col("dst").alias("id"))
+    )
+    degs = sym.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("w"))
+    out = negative_samples(
+        spark,
+        e.select(F.col("src").alias("center"), F.col("dst").alias("context")),
+        degs, k=NEG_K,
+    ).orderBy("center", "context", "k")
+    e.unpersist(blocking=False)
+    return out
+
+
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
 # in iteration order.  Registration order above is historical (round 1 → 3),
 # so without reordering the round-2/3 algorithm family would never receive a

@@ -137,3 +137,51 @@ def test_hash_split_deterministic_and_exclusive(spark):
     alt = {r["doc_id"]: r["split"]
            for r in hash_split(df, "doc_id", salt="other").collect()}
     assert any(alt[k] != full[k] for k in full)
+
+
+def test_negative_samples_matches_replica(spark):
+    import hashlib
+
+    from l_space_spark.operators.sampling import negative_samples
+
+    wts = [(10, 1), (11, 5), (12, 2), (13, 92)]  # one heavy "hub" vertex
+    pairs = [(1, 2), (1, 3), (2, 3)]
+    W = sum(w for _, w in wts)
+    lo, acc = {}, 0
+    for vid, w in sorted(wts):
+        lo[vid] = acc
+        acc += w
+
+    def owner(d):
+        return max(v for v in lo if lo[v] <= d)
+
+    exp = set()
+    for c, x in pairs:
+        for j in range(3):
+            h = int(hashlib.md5(f"neg:{c}:{x}:{j}".encode())
+                    .hexdigest()[:15], 16)
+            exp.add((c, x, j, owner(h % W)))
+
+    out = negative_samples(
+        spark,
+        spark.createDataFrame(pairs, "center long, context long"),
+        spark.createDataFrame(wts, "id long, w long"),
+        k=3, blocks=8,
+    )
+    got = {(r["center"], r["context"], r["k"], r["neg"])
+           for r in out.collect()}
+    assert got == exp
+    # exactly one owner per draw, heavy vertex dominates
+    assert len(got) == 9
+    negs = [n for *_, n in got]
+    assert negs.count(13) >= 6  # 92% of the mass
+
+    # zero total weight -> empty, typed
+    empty = negative_samples(
+        spark,
+        spark.createDataFrame(pairs, "center long, context long"),
+        spark.createDataFrame([], "id long, w long"),
+        k=2,
+    )
+    assert empty.count() == 0 and empty.columns == [
+        "center", "context", "k", "neg"]
