@@ -94,3 +94,49 @@ def khop_fanout_sample(
     for la in layers[1:]:
         out = out.unionByName(la)
     return out
+
+
+def neighbor_feature_sums(
+    edges: DataFrame,
+    feats: DataFrame,
+    dim: int,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """One round of GNN feature propagation (SIGN / GraphSAGE-mean
+    precompute, X' = A·X done relationally): for every vertex, the
+    element-wise SUM of its out-neighbors' feature vectors plus the
+    neighbor count (so mean-pooling is ``s/n`` downstream), with every
+    component quantized to ``1/scale`` fixed point FIRST so the
+    aggregation is pure integer arithmetic — exactly reproducible in the
+    DuckDB oracle regardless of float summation order.
+
+    Output: (id, n_nbrs, q0..q{dim-1} as long).  ``edges`` must be
+    (src, dst) with dst ∈ feats[id_col]; multi-edges/self-loops are the
+    caller's policy (not filtered here).
+
+    Plan shape for 100 TB: quantization is a scan-stage ``transform``;
+    the join is a plain equi-join on the feature id; the per-vertex sum
+    is ONE combiner-backed groupBy with ``dim`` sum columns — partial
+    aggregation happens map-side, so a hub's million in-edges reduce
+    before the shuffle.  For very high dims the same operator re-shapes
+    to (id, pos) keyed sums (posexplode) without changing semantics.
+    """
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(
+            x.cast("double") * F.lit(float(scale)) + F.lit(0.5)
+        ).cast("long"),
+    )
+    q = feats.select(F.col(id_col).alias("__fid"), qv.alias("__qv"))
+    hits = edges.select("src", "dst").join(
+        q, F.col("dst") == F.col("__fid")
+    )
+    return hits.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nbrs"),
+        *[
+            F.sum(F.col("__qv")[i]).cast("long").alias(f"q{i}")
+            for i in range(dim)
+        ],
+    )

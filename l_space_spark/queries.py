@@ -6453,6 +6453,72 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+NF_DIM = 64
+
+
+def _nf_sql() -> str:
+    ha = _hash60_sql("'nf:a:' || vec_id::VARCHAR")
+    hb = _hash60_sql("'nf:b:' || vec_id::VARCHAR")
+    pivots = ",\n  ".join(
+        f"CAST(max(CASE WHEN s.pos = {i + 1} THEN s.s END) AS BIGINT) AS q{i}"
+        for i in range(NF_DIM)
+    )
+    return f"""
+WITH n AS (SELECT count(*) AS nv FROM embeddings),
+e0 AS (
+  SELECT vec_id AS src, {ha} % n.nv AS dst FROM embeddings, n
+  UNION ALL
+  SELECT vec_id, {hb} % n.nv FROM embeddings, n
+),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+q AS (SELECT vec_id, list_transform(embedding,
+        x -> CAST(floor(x::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings),
+hits AS (SELECT e.src, q.qv FROM e JOIN q ON q.vec_id = e.dst),
+expl AS (SELECT src, unnest(qv) AS val, generate_subscripts(qv, 1) AS pos
+         FROM hits),
+sums AS (SELECT src, pos, CAST(sum(val) AS BIGINT) AS s
+         FROM expl GROUP BY src, pos),
+cnt AS (SELECT src, CAST(count(*) AS BIGINT) AS n_nbrs FROM hits GROUP BY src)
+SELECT c.src AS id, c.n_nbrs,
+  {pivots}
+FROM cnt c JOIN sums s ON s.src = c.src
+GROUP BY c.src, c.n_nbrs
+ORDER BY id
+""".strip()
+
+
+@register("neighbor_feature_sums", _nf_sql())
+def q_neighbor_feature_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of GNN feature propagation (operators/sage
+    ``neighbor_feature_sums``, SIGN / GraphSAGE-mean precompute): over a
+    hashed 2-out-regular graph on the embedding universe, every vertex
+    sums its out-neighbors' 64-dim vectors in 1e-6 fixed point —
+    integer-exact across engines — plus the neighbor count for
+    downstream mean-pooling.  One equi-join + one combiner-backed
+    groupBy; no windows, no UDFs."""
+    from .operators.sage import neighbor_feature_sums
+
+    emb = load(spark, sf_dir, "embeddings")
+    nv = emb.count()
+
+    def h(tag: str):
+        return F.pmod(
+            hash60(
+                F.concat(F.lit(f"nf:{tag}:"), F.col("vec_id").cast("string"))
+            ),
+            F.lit(int(nv)),
+        )
+
+    e0 = emb.select(F.col("vec_id").alias("src"), h("a").alias("dst")).unionByName(
+        emb.select(F.col("vec_id").alias("src"), h("b").alias("dst"))
+    )
+    e = e0.where(F.col("src") != F.col("dst")).distinct()
+    return neighbor_feature_sums(
+        e, emb, NF_DIM, id_col="vec_id", vec_col="embedding"
+    ).orderBy("id")
+
+
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
 # in iteration order.  Registration order above is historical (round 1 → 3),
 # so without reordering the round-2/3 algorithm family would never receive a

@@ -65,3 +65,25 @@ def test_khop_fanout_degenerate(spark):
     assert khop_fanout_sample(spark, e, seeds, fanouts=(2,)).count() == 0
     empty = spark.createDataFrame([], "src long, dst long")
     assert khop_fanout_sample(spark, empty, seeds, fanouts=(2, 2)).count() == 0
+
+
+def test_neighbor_feature_sums(spark):
+    from l_space_spark.operators.sage import neighbor_feature_sums
+
+    feats = spark.createDataFrame(
+        [(1, [0.25, -1.5]), (2, [1.0, 2.0]), (3, [0.0000004, 0.5])],
+        "id long, vec array<float>",
+    )
+    edges = spark.createDataFrame(
+        [(10, 1), (10, 2), (10, 3), (11, 3), (11, 3)],  # 11->3 multi-edge
+        "src long, dst long",
+    )
+    out = {r["id"]: r for r in neighbor_feature_sums(
+        edges, feats, dim=2).collect()}
+    # half-up fixed point: q(0.25)=250000; q(-1.5)=floor(-1499999.5)
+    # = -1500000; q(4e-7)=floor(0.9)=0; q(0.5)=500000
+    assert out[10]["n_nbrs"] == 3
+    assert out[10]["q0"] == 250000 + 1000000 + 0
+    assert out[10]["q1"] == -1500000 + 2000000 + 500000
+    assert out[11]["n_nbrs"] == 2 and out[11]["q1"] == 1000000
+    assert set(out) == {10, 11}  # only vertices with out-edges
