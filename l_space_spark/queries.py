@@ -6519,6 +6519,56 @@ def q_neighbor_feature_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+COOC_K = 3
+
+
+@register(
+    "item_cooccurrence_topk",  # market-basket item-item similarity
+    f"""
+WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+deg AS (SELECT p, CAST(count(*) AS BIGINT) AS d FROM li GROUP BY p),
+pairs AS (
+  SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS cooc
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p
+),
+und AS (SELECT pa AS x, pb AS y, cooc FROM pairs
+        UNION ALL SELECT pb, pa, cooc FROM pairs),
+sc AS (
+  SELECT u.x, u.y, u.cooc,
+         (u.cooc * u.cooc * 1000000) // (da.d * db.d) AS score_e6
+  FROM und u JOIN deg da ON da.p = u.x JOIN deg db ON db.p = u.y
+),
+rk AS (
+  SELECT x, y, cooc, score_e6,
+         row_number() OVER (PARTITION BY x
+                            ORDER BY score_e6 DESC, y) AS rn
+  FROM sc
+)
+SELECT x AS item, y AS neighbor, cooc,
+       CAST(score_e6 AS BIGINT) AS score_e6, CAST(rn AS BIGINT) AS rnk
+FROM rk WHERE rn <= {COOC_K}
+ORDER BY item, rnk
+""".strip(),
+)
+def q_item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket item-item similarity (operators/cooccurrence.py):
+    parts co-purchased within an order, scored by integer cosine²
+    (``cooc²·10⁶ div (deg_a·deg_b)`` — monotone in cosine, float-free),
+    top-3 neighbors per part via the two-level sharded rank.
+    The recsys neighbor of the link-prediction family, on REAL bipartite
+    data (lineitem) rather than a derived graph.  TPC-H baskets are
+    structurally ≤7 items so the catalog entry runs uncapped; the
+    ``max_basket`` hash-race guard for unbounded baskets is exercised in
+    tests/test_cooccurrence.py."""
+    from .operators.cooccurrence import item_cooccurrence_topk
+
+    li = load(spark, sf_dir, "lineitem")
+    return item_cooccurrence_topk(
+        li, "l_orderkey", "l_partkey", k=COOC_K
+    ).orderBy("item", "rnk")
+
+
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
 # in iteration order.  Registration order above is historical (round 1 → 3),
 # so without reordering the round-2/3 algorithm family would never receive a
