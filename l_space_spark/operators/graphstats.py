@@ -351,3 +351,63 @@ def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+def partition_stats(edges: DataFrame, n_parts: int) -> DataFrame:
+    """Partitioning-quality readout for a P-way hash layout of the edge
+    table — the planning statistic the north rule's "partitioning /
+    shuffle handled explicitly" demands be measurable, not guessed:
+
+    - edge-balance: rows per hash(src)-partition (max/min spread tells
+      whether a hub vertex has unbalanced the layout);
+    - edge-cut: fraction of edges whose endpoints hash to different
+      partitions (every cut edge is a message crossing executors in a
+      superstep — the 1D-layout communication cost);
+    - replication factor: average number of distinct partitions a
+      vertex's edges touch under the hash(src) layout (the PowerGraph
+      vertex-cut metric; 1.0 = perfectly local).
+
+    One row per metric (metric, value_e6) in e6 fixed point, all from
+    integer counts (edge-cut and replication are exact rationals).
+    Partition id is ``pmod(portable hash60 of the vertex id, P)`` so the
+    oracle reproduces the assignment byte-for-byte.
+
+    Plan shape: two combiner-backed groupBys over the edge table (by
+    partition id, and by vertex for the replication count) — no joins,
+    no windows; scales as two shuffles of pre-aggregated partials.
+    """
+    from ..functions.text import hash60
+
+    def part_of(col):
+        return F.pmod(hash60(F.concat(F.lit("part:"), col.cast("string"))),
+                      F.lit(n_parts))
+
+    tagged = edges.select(
+        part_of(F.col("src")).alias("ps"), part_of(F.col("dst")).alias("pd"),
+        F.col("src"), F.col("dst"),
+    )
+    balance = tagged.groupBy("ps").agg(F.count(F.lit(1)).alias("c")).agg(
+        F.max("c").alias("mx"), F.min("c").alias("mn"),
+    ).select(
+        F.lit("edge_balance_max_over_min").alias("metric"),
+        F.expr("(mx * 1000000) div mn").cast("long").alias("value_e6"),
+    )
+    cut = tagged.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.when(F.col("ps") != F.col("pd"), 1).otherwise(0)).alias("x"),
+    ).select(
+        F.lit("edge_cut_fraction").alias("metric"),
+        F.expr("(x * 1000000) div m").cast("long").alias("value_e6"),
+    )
+    verts = tagged.select(F.col("src").alias("v"), F.col("ps").alias("p")) \
+        .unionByName(tagged.select(F.col("dst").alias("v"),
+                                   F.col("ps").alias("p")))
+    repl = verts.distinct().groupBy("v").agg(
+        F.count(F.lit(1)).alias("np")
+    ).agg(
+        F.sum("np").alias("tot"), F.count(F.lit(1)).alias("nv")
+    ).select(
+        F.lit("replication_factor").alias("metric"),
+        F.expr("(tot * 1000000) div nv").cast("long").alias("value_e6"),
+    )
+    return balance.unionByName(cut).unionByName(repl)

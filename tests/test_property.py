@@ -369,3 +369,63 @@ def test_multi_source_bfs_matches_python_bfs(spark, pairs):
     res = multi_source_bfs(spark, e, sdf, max_iters=30, resume=False)
     got = {(r["bsrc"], r["id"], r["dist"]) for r in res.state.collect()}
     assert got == want
+
+
+doc_corpora = st.lists(
+    st.lists(st.sampled_from("abcdefq"), min_size=0, max_size=24).map(
+        lambda cs: " ".join(cs)
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(texts=doc_corpora)
+@settings(**SETTINGS)
+def test_paragraph_dedup_invariants(spark, texts):
+    from l_space_spark.operators.dedup import paragraph_dedup_stats
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = paragraph_dedup_stats(df, "doc_id", "text", para_tokens=3).collect()
+    assert {r["id"] for r in out} == set(range(len(texts)))
+    n_tok = {i: len(t.split()) if t.strip() else 0 for i, t in rows}
+    total_paras = total_kept = 0
+    for r in out:
+        # paragraph count is ceil(n/3); kept tokens never exceed doc tokens
+        assert r["n_paras"] == -(-n_tok[r["id"]] // 3)
+        assert 0 <= r["n_dup_paras"] <= r["n_paras"]
+        assert 0 <= r["kept_tokens"] <= n_tok[r["id"]]
+        total_paras += r["n_paras"]
+        total_kept += r["n_paras"] - r["n_dup_paras"]
+    # corpus-wide: exactly one kept instance per distinct paragraph text
+    distinct = set()
+    for i, t in rows:
+        ts = t.split()
+        for j in range(0, len(ts), 3):
+            distinct.add(" ".join(ts[j:j + 3]))
+    assert total_kept == len(distinct)
+
+
+@given(
+    pairs=st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)),
+                   min_size=1, max_size=12, unique=True),
+    wts=st.dictionaries(st.integers(0, 9), st.integers(1, 50),
+                        min_size=1, max_size=10),
+)
+@settings(**SETTINGS)
+def test_negative_samples_invariants(spark, pairs, wts):
+    from l_space_spark.operators.sampling import negative_samples
+
+    out = negative_samples(
+        spark,
+        spark.createDataFrame(pairs, "center long, context long"),
+        spark.createDataFrame(list(wts.items()), "id long, w long"),
+        k=2, blocks=4,
+    ).collect()
+    # exactly k draws per pair, every negative is a weighted id
+    assert len(out) == 2 * len(pairs)
+    assert {(r["center"], r["context"], r["k"]) for r in out} == {
+        (c, x, j) for c, x in pairs for j in range(2)
+    }
+    assert all(r["neg"] in wts for r in out)
