@@ -72,6 +72,14 @@ def item_cooccurrence_topk(
             .where(F.col("__r2") <= max_basket)
             .select("o", "p")
         )
+    # persist WITHOUT an eager unpersist: three consumers (deg + both
+    # join sides) share the cache on first materialization; an unpersist
+    # at plan-build time would evict before the caller ever collects
+    # (the returned frame is lazy), making the persist a no-op.  The
+    # cache drops with the plan's lineage (triangles_per_vertex
+    # precedent).  localCheckpoint is wrong here: deg must keep its
+    # stats so the da/db dimension sides stay broadcast-eligible
+    # (operators/msf.py lesson).
     li = li.persist()
     deg = li.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("d"))
     a = li.select(F.col("o"), F.col("p").alias("pa"))
@@ -95,8 +103,15 @@ def item_cooccurrence_topk(
         .join(db, "y")
         .select(
             "x", "y", "cooc",
-            F.expr("(cooc * cooc * 1000000) div (dx * dy)")
-            .cast("long").alias("score_e6"),
+            # widen intermediates to decimal(38,0): cooc² · 10⁶ wraps a
+            # BIGINT once cooc > ~3.04e6, silently inverting the ranking
+            # under non-ANSI arithmetic.  The FINAL value always fits
+            # (cooc ≤ min(dx,dy) ⇒ score ≤ 10⁶), so only the product
+            # needs the width.  Oracle mirrors with HUGEINT.
+            F.expr(
+                "CAST((CAST(cooc AS DECIMAL(38,0)) * cooc * 1000000)"
+                " div (CAST(dx AS DECIMAL(38,0)) * dy) AS BIGINT)"
+            ).alias("score_e6"),
         )
         .withColumn("__s", F.pmod(hash60(F.col("y").cast("string")),
                                   F.lit(shards)))
@@ -115,5 +130,4 @@ def item_cooccurrence_topk(
             "cooc", "score_e6", F.col("rnk").cast("long").alias("rnk"),
         )
     )
-    li.unpersist(blocking=False)
     return out

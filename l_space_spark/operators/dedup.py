@@ -360,6 +360,13 @@ def exact_substring_coverage(df: DataFrame, id_col: str,
         .select("id", (F.col("pos0") + 1).alias("pos"),
                 hash60(F.col("g")).alias("gh"))
     )
+    # persist: both the doc-frequency groupBy and the hits join consume
+    # pos_grams, and ReuseExchange cannot merge them (one side exchanges
+    # partial aggregates, the other raw rows) — without the cache the
+    # tokenize+gram scan (the measured 10× hot path) runs twice.  Cache
+    # drops with lineage; no build-time unpersist (it would evict before
+    # the caller materializes the lazy result).
+    pos_grams = pos_grams.persist()
     dup = (
         pos_grams.groupBy("gh")
         .agg(F.count_distinct("id").alias("__nd"))
@@ -460,6 +467,9 @@ def paragraph_dedup_stats(df: DataFrame, id_col: str,
             hash60(F.col("para")).alias("ph"),
         )
     )
+    # shared by the owner groupBy and the verdict join — same
+    # persist-no-unpersist rationale as exact_substring_coverage
+    paras = paras.persist()
     owners = paras.groupBy("ph").agg(
         F.min(F.struct("id", "pos")).alias("first")
     )

@@ -358,8 +358,10 @@ def partition_stats(edges: DataFrame, n_parts: int) -> DataFrame:
     table — the planning statistic the north rule's "partitioning /
     shuffle handled explicitly" demands be measurable, not guessed:
 
-    - edge-balance: rows per hash(src)-partition (max/min spread tells
-      whether a hub vertex has unbalanced the layout);
+    - edge-balance: rows per hash(src)-partition (max/min spread over
+      the non-empty partitions tells whether a hub vertex has
+      unbalanced the layout), plus the count of EMPTY partitions
+      (idle executors — the imbalance max/min alone cannot see);
     - edge-cut: fraction of edges whose endpoints hash to different
       partitions (every cut edge is a message crossing executors in a
       superstep — the 1D-layout communication cost);
@@ -386,12 +388,28 @@ def partition_stats(edges: DataFrame, n_parts: int) -> DataFrame:
         part_of(F.col("src")).alias("ps"), part_of(F.col("dst")).alias("pd"),
         F.col("src"), F.col("dst"),
     )
-    balance = tagged.groupBy("ps").agg(F.count(F.lit(1)).alias("c")).agg(
+    # max/min is over NON-EMPTY partitions (groupBy emits no row for an
+    # idle one); the companion empty_partitions metric reports exactly
+    # that blind spot — 24 idle partitions with the rest balanced would
+    # otherwise read as "perfect"
+    per_part = tagged.groupBy("ps").agg(F.count(F.lit(1)).alias("c"))
+    balance = per_part.agg(
         F.max("c").alias("mx"), F.min("c").alias("mn"),
+        F.count(F.lit(1)).alias("np"),
     ).select(
-        F.lit("edge_balance_max_over_min").alias("metric"),
-        F.expr("(mx * 1000000) div mn").cast("long").alias("value_e6"),
-    )
+        F.array(
+            F.struct(
+                F.lit("edge_balance_max_over_min").alias("metric"),
+                F.expr("(mx * 1000000) div mn").cast("long")
+                .alias("value_e6"),
+            ),
+            F.struct(
+                F.lit("empty_partitions").alias("metric"),
+                ((F.lit(n_parts) - F.col("np")) * 1000000)
+                .cast("long").alias("value_e6"),
+            ),
+        ).alias("rows"),
+    ).select(F.explode("rows").alias("r")).select("r.metric", "r.value_e6")
     cut = tagged.agg(
         F.count(F.lit(1)).alias("m"),
         F.sum(F.when(F.col("ps") != F.col("pd"), 1).otherwise(0)).alias("x"),

@@ -58,10 +58,13 @@ def khop_fanout_sample(
         .persist()
     )
     adj.count()
+    # dedupe: a seed drawn twice (minibatch with replacement) would
+    # otherwise duplicate every candidate row, and the duplicate copies
+    # burn row_number fanout slots (fanout 3 → ~1.5 distinct neighbors)
     frontier = seeds.select(
         F.col("seed").cast("long").alias("seed"),
         F.col("seed").cast("long").alias("v"),
-    )
+    ).distinct()
     layers = []
     for h, fan in enumerate(fanouts, start=1):
         cand = frontier.hint("shuffle_hash").join(

@@ -6444,13 +6444,15 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("dst").alias("id"))
     )
     degs = sym.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("w"))
-    out = negative_samples(
+    # no build-time unpersist: the operator's internal eager checkpoint
+    # fills e's cache (via degs), and the returned lazy frame re-reads e
+    # for the pairs side — evicting here would force a recompute.  The
+    # cache drops with lineage.
+    return negative_samples(
         spark,
         e.select(F.col("src").alias("center"), F.col("dst").alias("context")),
         degs, k=NEG_K,
     ).orderBy("center", "context", "k")
-    e.unpersist(blocking=False)
-    return out
 
 
 NF_DIM = 64
@@ -6536,7 +6538,8 @@ und AS (SELECT pa AS x, pb AS y, cooc FROM pairs
         UNION ALL SELECT pb, pa, cooc FROM pairs),
 sc AS (
   SELECT u.x, u.y, u.cooc,
-         (u.cooc * u.cooc * 1000000) // (da.d * db.d) AS score_e6
+         (u.cooc::HUGEINT * u.cooc * 1000000) // (da.d::HUGEINT * db.d)
+           AS score_e6
   FROM und u JOIN deg da ON da.p = u.x JOIN deg db ON db.p = u.y
 ),
 rk AS (
@@ -6583,6 +6586,11 @@ bal AS (
          CAST((max(c) * 1000000) // min(c) AS BIGINT) AS value_e6
   FROM (SELECT ps, count(*) AS c FROM t GROUP BY ps)
 ),
+emp AS (
+  SELECT 'empty_partitions' AS metric,
+         CAST(({PART_P} - count(*)) * 1000000 AS BIGINT) AS value_e6
+  FROM (SELECT DISTINCT ps FROM t)
+),
 cut AS (
   SELECT 'edge_cut_fraction' AS metric,
          CAST((sum(CASE WHEN ps <> pd THEN 1 ELSE 0 END) * 1000000)
@@ -6597,6 +6605,7 @@ rep AS (
           UNION SELECT DISTINCT dst AS v, ps FROM t) GROUP BY v)
 )
 SELECT metric, value_e6 FROM bal
+UNION ALL SELECT metric, value_e6 FROM emp
 UNION ALL SELECT metric, value_e6 FROM cut
 UNION ALL SELECT metric, value_e6 FROM rep
 ORDER BY metric
@@ -6707,8 +6716,11 @@ _DRIVER_WINDOW: list[str] = [
     # ppr_sweep_cut, articulation_points, biconnected_components,
     # cocitation_coupling, densest_subgraph_rounds,
     # densest_subgraph_members, doc_chunks, pack_contexts,
-    # salsa_top20, triad_census, node2vec_walks) — rotate
-    # them in for r5, swapping out
+    # salsa_top20, triad_census, node2vec_walks, skipgram_pairs,
+    # mixture_allocation, exact_substring_dedup, paragraph_dedup,
+    # gopher_quality, khop_sample_edges, negative_samples,
+    # neighbor_feature_sums, item_cooccurrence_topk, partition_stats)
+    # — rotate them in for r5, swapping out
     # entries that go green in CORRECTNESS_r04.
 ]
 
