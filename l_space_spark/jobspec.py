@@ -40,7 +40,11 @@ Four spec kinds:
     max_hub_degree) · rectangle_count (params: max_hub_degree) ·
     bowtie · dag_levels (params: fixed_iters) · wl (params:
     fixed_iters) ·
-    simrank (params: walk_length, n_walks, max_bucket).
+    simrank (params: walk_length, n_walks, max_bucket) ·
+    khop_sample (GraphSAGE minibatch; params: seeds = JSON id list
+    REQUIRED, fanouts, tag, shards) · negative_samples (degree-weighted
+    word2vec/LINE draws for every distinct non-loop edge; params: k,
+    tag, blocks).
     ``checkpoint_dir``+``resume`` make the run restartable (north rule); the
     result DataFrame is written to ``output`` (or shown when absent).
 
@@ -359,6 +363,43 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
                 "not ranked); use starts/n_walks to bound the output"
             )
         return random_walks(spark, edges, **params)
+    if algo == "khop_sample":
+        from .operators.sage import khop_fanout_sample
+
+        if not isinstance(params.get("seeds"), list):
+            raise ValueError("khop_sample needs params['seeds'] "
+                             "(a JSON list of seed vertex ids)")
+        seeds = spark.createDataFrame(
+            [(int(s),) for s in params.pop("seeds")], "seed long"
+        )
+        if "fanouts" in params:
+            params["fanouts"] = [int(f) for f in params["fanouts"]]
+        if spec.get("top_k"):
+            raise ValueError(
+                "top_k is not meaningful for 'khop_sample' (samples are "
+                "not ranked); use fanouts to bound the output"
+            )
+        return khop_fanout_sample(spark, edges, seeds, **params).orderBy(
+            "seed", "hop", "src", "dst"
+        )
+    if algo == "negative_samples":
+        from .operators.sampling import negative_samples
+
+        e = (
+            edges.where(F.col("src") != F.col("dst"))
+            .select("src", "dst").distinct().persist()
+        )
+        degs = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("w"))
+        )
+        return negative_samples(
+            spark,
+            e.select(F.col("src").alias("center"),
+                     F.col("dst").alias("context")),
+            degs, **params,
+        ).orderBy("center", "context", "k")
     if algo == "neighbor_jaccard":
         from .operators.linkpred import neighbor_jaccard
 

@@ -583,3 +583,38 @@ def test_densest_and_directed_wedge_specs(spark, tmp_path):
         spark, {"kind": "algorithm", "algorithm": "bibliographic_coupling",
                 "input": inp, "params": {"max_fanin": 3}})
     assert bc.columns == ["u", "w", "coupling"]
+
+
+def test_sampling_specs(spark, tmp_path):
+    path = str(tmp_path / "edges_smp")
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (2, 3), (3, 0), (4, 4)]
+    edges_df(spark, pairs).write.parquet(path)
+    inp = {"edges_parquet": path}
+
+    kh = run_job(spark, {
+        "kind": "algorithm", "algorithm": "khop_sample",
+        "params": {"seeds": [0, 1], "fanouts": [2, 1]}, "input": inp,
+    }).collect()
+    assert {r["seed"] for r in kh} == {0, 1}
+    assert all(r["hop"] in (1, 2) for r in kh)
+    # fanout cap: at most 2 hop-1 edges per seed
+    from collections import Counter
+    c = Counter((r["seed"], r["hop"], r["src"]) for r in kh)
+    assert max(c.values()) <= 2
+
+    ns = run_job(spark, {
+        "kind": "algorithm", "algorithm": "negative_samples",
+        "params": {"k": 2}, "input": inp,
+    }).collect()
+    # 6 distinct non-loop edges x 2 draws, negatives from the vertex set
+    assert len(ns) == 12
+    assert {r["neg"] for r in ns} <= {0, 1, 2, 3}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="seeds"):
+        run_job(spark, {"kind": "algorithm", "algorithm": "khop_sample",
+                        "input": inp})
+    with _pytest.raises(ValueError, match="top_k"):
+        run_job(spark, {"kind": "algorithm", "algorithm": "khop_sample",
+                        "params": {"seeds": [0]}, "input": inp,
+                        "top_k": 3})
