@@ -409,6 +409,66 @@ def exact_substring_coverage(df: DataFrame, id_col: str,
     )
 
 
+def paragraph_instances(toks: DataFrame, para_tokens: int) -> DataFrame:
+    """(id, pos, para, ph) rows: fixed ``para_tokens``-token windows of a
+    MATERIALIZED token-array table ``(id, ts)``, with the portable 60-bit
+    paragraph hash.  Shared by the dedup-rewrite and clustering tiers."""
+    p = F.lit(para_tokens)
+    return (
+        toks.where(F.size("ts") > 0)
+        .select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.floor(
+                            (F.size("ts") + (para_tokens - 1)) / p
+                        ).cast("int"),
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("ts"), (i - 1) * p + 1, para_tokens)
+                    ),
+                )
+            ).alias("pos0", "para"),
+        )
+        .select(
+            "id", (F.col("pos0") + 1).alias("pos"), "para",
+            hash60(F.col("para")).alias("ph"),
+        )
+    )
+
+
+def boilerplate_star_edges(df: DataFrame, id_col: str,
+                           text_col: str = "text",
+                           para_tokens: int = 8) -> DataFrame:
+    """(src, dst) edges linking every document to the OWNER (min doc id)
+    of each paragraph it shares with at least one other document — the
+    star topology that makes shared-boilerplate clustering scale: a
+    paragraph held by 10⁹ documents contributes 10⁹−1 star edges, not a
+    10¹⁸-pair clique, and connectivity (hence the clusters) is
+    identical.  Feed to connected_components for boilerplate clusters.
+
+    One combiner-backed groupBy on the paragraph hash (owner + distinct
+    holder count) and one equi-join back; no per-paragraph windows.
+    """
+    from ..functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("ts")
+    )
+    paras = paragraph_instances(toks, para_tokens).select("id", "ph").distinct()
+    owners = paras.groupBy("ph").agg(
+        F.min("id").alias("owner"), F.count(F.lit(1)).alias("nd")
+    ).where(F.col("nd") >= 2).select("ph", "owner")
+    return (
+        paras.join(owners, "ph")
+        .where(F.col("id") != F.col("owner"))
+        .select(F.col("owner").alias("src"), F.col("id").alias("dst"))
+        .distinct()
+    )
+
+
 def paragraph_dedup_stats(df: DataFrame, id_col: str,
                           text_col: str = "text",
                           para_tokens: int = 8) -> DataFrame:
@@ -440,33 +500,10 @@ def paragraph_dedup_stats(df: DataFrame, id_col: str,
         raise ValueError(f"para_tokens must be >= 1, got {para_tokens}")
     from ..functions.text import tokens
 
-    p = F.lit(para_tokens)
     toks = df.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("ts")
     )
-    paras = (
-        toks.where(F.size("ts") > 0)
-        .select(
-            "id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(
-                        F.lit(1),
-                        F.floor(
-                            (F.size("ts") + (para_tokens - 1)) / p
-                        ).cast("int"),
-                    ),
-                    lambda i: F.concat_ws(
-                        " ", F.slice(F.col("ts"), (i - 1) * p + 1, para_tokens)
-                    ),
-                )
-            ).alias("pos0", "para"),
-        )
-        .select(
-            "id", (F.col("pos0") + 1).alias("pos"), "para",
-            hash60(F.col("para")).alias("ph"),
-        )
-    )
+    paras = paragraph_instances(toks, para_tokens)
     # shared by the owner groupBy and the verdict join — same
     # persist-no-unpersist rationale as exact_substring_coverage
     paras = paras.persist()

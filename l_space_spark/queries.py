@@ -6625,6 +6625,126 @@ def q_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partition_stats(mod_edges(spark, sf_dir), PART_P).orderBy("metric")
 
 
+@register(
+    "source_quality_rollup",  # per-source curation dashboard
+    f"""
+WITH g AS ({_GOPHER_SQL.replace("ORDER BY id", "")}),
+j AS (SELECT d.source, g.n_tokens, g.ok
+      FROM g JOIN documents d ON d.doc_id = g.id)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS ok_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       CAST(sum(CASE WHEN ok THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS ok_tokens,
+       CAST((sum(CASE WHEN ok THEN 1 ELSE 0 END) * 1000000) // count(*)
+            AS BIGINT) AS ok_share_e6
+FROM j GROUP BY source ORDER BY source
+""".strip(),
+)
+def q_source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard: the Gopher rule verdicts rolled up
+    by provenance — document and token counts, how many survive the
+    rule filter, and the survival share in e6 fixed point.  The
+    domain-level quality view a crawl-curation pipeline keys its
+    source-weighting decisions on (cf. mixture_allocation); one
+    combiner-backed groupBy over the shuffle-free gopher projection."""
+    from .functions.text import gopher_quality
+
+    d = load(spark, sf_dir, "documents")
+    g = gopher_quality(d, "doc_id", "text")
+    j = g.join(d.select(F.col("doc_id").alias("id"), "source"), "id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("ok"), 1).otherwise(0))
+            .cast("long").alias("ok_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+            F.sum(F.when(F.col("ok"), F.col("n_tokens")).otherwise(0))
+            .cast("long").alias("ok_tokens"),
+        )
+        .withColumn(
+            "ok_share_e6",
+            F.expr("(ok_docs * 1000000) div n_docs").cast("long"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "boilerplate_clusters",  # shared-paragraph components (star edges)
+    f"""
+WITH RECURSIVE
+toks AS MATERIALIZED (SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents),
+paras AS MATERIALIZED (
+  SELECT DISTINCT t.doc_id, {_hash60_sql(
+    f"array_to_string(t.ts[(g.pos - 1) * {PARA_TOKENS} + 1 : "
+    f"least(len(t.ts), g.pos * {PARA_TOKENS})], ' ')")} AS ph
+  FROM toks t, LATERAL (
+    SELECT unnest(generate_series(
+      1, (len(t.ts) + {PARA_TOKENS - 1}) // {PARA_TOKENS})) AS pos) g
+  WHERE len(t.ts) > 0
+),
+owners AS (
+  SELECT ph, min(doc_id) AS owner
+  FROM paras GROUP BY ph HAVING count(*) >= 2
+),
+star AS (
+  SELECT DISTINCT o.owner AS a, p.doc_id AS b
+  FROM paras p JOIN owners o USING (ph)
+  WHERE p.doc_id <> o.owner
+),
+und AS (SELECT a AS src, b AS dst FROM star UNION SELECT b, a FROM star),
+reach(id, comp) AS (
+  SELECT DISTINCT src, src FROM und
+  UNION
+  SELECT u.dst, r.comp FROM reach r JOIN und u ON u.src = r.id
+),
+cc AS (SELECT id, min(comp) AS cluster FROM reach GROUP BY id),
+alldocs AS (
+  SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+),
+csizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM alldocs GROUP BY cluster)
+SELECT a.doc_id, a.cluster, s.cluster_size
+FROM alldocs a JOIN csizes s USING (cluster)
+ORDER BY doc_id
+""".strip(),
+)
+def q_boilerplate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-sharing clusters: documents linked whenever they hold
+    the same 8-token paragraph, clustered by hash-min connected
+    components — the span-level sibling of ``dedup_cluster_canonical``
+    (which clusters by whole-doc MinHash similarity).  The edge set is
+    the STAR topology (every holder → the paragraph's min-id owner,
+    ``dedup.boilerplate_star_edges``): a paragraph shared by 10⁹ docs
+    contributes linear star edges, never a quadratic clique, with
+    identical connectivity."""
+    from .operators.components import connected_components
+    from .operators.dedup import boilerplate_star_edges
+
+    d = load(spark, sf_dir, "documents")
+    edges = boilerplate_star_edges(d, "doc_id", "text",
+                                   para_tokens=PARA_TOKENS)
+    res = connected_components(spark, edges, max_iters=50, resume=False,
+                               num_partitions=_small_graph_parts(spark))
+    comp = res.state.select(F.col("id").alias("doc_id"),
+                            F.col("component").alias("cluster"))
+    alldocs = (
+        d.select("doc_id").join(comp, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("cluster", F.col("doc_id")).alias("cluster"))
+    )
+    sizes = alldocs.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return alldocs.join(sizes, "cluster").select(
+        "doc_id", "cluster", "cluster_size"
+    ).orderBy("doc_id")
+
+
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
 # in iteration order.  Registration order above is historical (round 1 → 3),
 # so without reordering the round-2/3 algorithm family would never receive a

@@ -336,3 +336,17 @@ def test_gopher_quality(spark):
         "doc_id", "text").collect()[0]
     # sorted: a a b b b c -> best run 3 = freq of "b"; 5*3 > 6 -> r_rep False
     assert one["n_tokens"] == 6 and not one["r_rep"]
+
+
+def test_boilerplate_star_edges(spark):
+    rows = [
+        (1, "a b c x1 y1 z1"),   # shares para "a b c" with 2 and 3
+        (2, "a b c x2 y2 z2"),
+        (3, "q r s a b c"),      # holds it at a different position
+        (4, "unique only here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["src"], r["dst"]) for r in dedup.boilerplate_star_edges(
+        df, "doc_id", "text", para_tokens=3).collect()}
+    # star: owner (min id = 1) -> every other holder; no clique edge 2-3
+    assert got == {(1, 2), (1, 3)}
