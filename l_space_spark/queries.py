@@ -6745,6 +6745,50 @@ def q_boilerplate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+RMAT_SCALE = 10
+RMAT_PROBS = (5700, 1900, 1900, 500)
+
+
+@register(
+    "rmat_edges",  # deterministic distributed R-MAT synthesis
+    f"""
+WITH ids AS (SELECT CAST(c_custkey AS BIGINT) AS e FROM customer),
+bits AS (
+  SELECT i.e, g.b,
+         {_hash60_sql("'rmat:' || i.e::VARCHAR || ':' || g.b::VARCHAR")}
+           % 10000 AS r
+  FROM ids i, LATERAL (
+    SELECT unnest(generate_series(1, {RMAT_SCALE})) AS b) g
+),
+coords AS (
+  SELECT e,
+    CAST(sum(CASE WHEN r >= {RMAT_PROBS[0] + RMAT_PROBS[1]} THEN 1 ELSE 0 END
+             * (1 << ({RMAT_SCALE} - b))) AS BIGINT) AS src,
+    CAST(sum(CASE WHEN (r >= {RMAT_PROBS[0]}
+                        AND r < {RMAT_PROBS[0] + RMAT_PROBS[1]})
+                    OR r >= {RMAT_PROBS[0] + RMAT_PROBS[1] + RMAT_PROBS[2]}
+             THEN 1 ELSE 0 END * (1 << ({RMAT_SCALE} - b))) AS BIGINT) AS dst
+  FROM bits GROUP BY e
+)
+SELECT e, src, dst FROM coords ORDER BY e
+""".strip(),
+)
+def q_rmat_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed R-MAT synthesis (operators/rmat.py):
+    one edge per customer row on a 2^10-vertex universe with the
+    classic 0.57/0.19/0.19/0.05 quadrant weights in e4 integers — the
+    benchmark-graph generator tier.  Every coordinate bit is a
+    counter-based hash draw folded inside the scan stage (zero
+    shuffles at any edge count, identical under any partitioning);
+    the oracle replays the same arithmetic with shift-and-sum."""
+    from .operators.rmat import rmat_edges
+
+    ids = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("e")
+    )
+    return rmat_edges(ids, scale=RMAT_SCALE, probs_e4=RMAT_PROBS).orderBy("e")
+
+
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
 # in iteration order.  Registration order above is historical (round 1 → 3),
 # so without reordering the round-2/3 algorithm family would never receive a

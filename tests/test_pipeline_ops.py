@@ -350,3 +350,33 @@ def test_boilerplate_star_edges(spark):
         df, "doc_id", "text", para_tokens=3).collect()}
     # star: owner (min id = 1) -> every other holder; no clique edge 2-3
     assert got == {(1, 2), (1, 3)}
+
+
+def test_rmat_edges_replica_and_skew(spark):
+    import hashlib
+
+    from l_space_spark.operators.rmat import rmat_edges
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def replica(e, scale, pa, pb, pc):
+        src = dst = 0
+        for b in range(1, scale + 1):
+            r = h60(f"rmat:{e}:{b}") % 10000
+            src = src * 2 + (1 if r >= pa + pb else 0)
+            dst = dst * 2 + (1 if (pa <= r < pa + pb or r >= pa + pb + pc)
+                             else 0)
+        return src, dst
+
+    ids = spark.range(0, 400).select(F.col("id").alias("e"))
+    got = {r["e"]: (r["src"], r["dst"])
+           for r in rmat_edges(ids, scale=6).collect()}
+    assert len(got) == 400
+    for e in (0, 1, 7, 123, 399):
+        assert got[e] == replica(e, 6, 5700, 1900, 1900), e
+    # skew: quadrant (0,0) dominance concentrates mass on low ids
+    assert sum(1 for s, d in got.values() if s < 32) > 250
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="sum"):
+        rmat_edges(ids, scale=6, probs_e4=(5000, 1000, 1000, 500))
