@@ -137,3 +137,48 @@ def cluster_sizes(assignment: DataFrame) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+def pq_codes(
+    df: DataFrame,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Product-quantization codebook assignment (Jégou et al. 2011) —
+    the compression stage that turns IVF into IVF-PQ: the vector is cut
+    into ``n_sub`` contiguous ``sub_dim``-dim subvectors, each clustered
+    independently with the deterministic integer Lloyd rounds
+    (``kmeans_fixed``), and the vector's code is its per-subspace
+    centroid ids — ``n_sub · log2(k)`` bits instead of ``dim`` floats.
+
+    Returns (vec_id, m, code, dist2): one row per (vector, subspace),
+    ``dist2`` the exact integer squared quantization error in that
+    subspace.  Every subspace run is the same broadcast-centroid
+    integer-exact shape as ``kmeans_fixed`` — n·k scored rows per
+    round, never n·k·dim — and the subspaces are independent jobs a
+    scheduler can overlap.
+    """
+    outs = []
+    for m in range(n_sub):
+        sub = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), m * sub_dim + 1, sub_dim)
+            .alias(vec_col),
+        )
+        outs.append(
+            kmeans_fixed(sub, k=k, iters=iters, id_col=id_col,
+                         vec_col=vec_col, scale=scale)
+            .select(
+                "vec_id", F.lit(m).cast("long").alias("m"),
+                F.col("cluster").alias("code"), "dist2",
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
