@@ -32,7 +32,7 @@ quadratic in n; the only growth knob is k.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -83,9 +83,17 @@ def kmeans_fixed(
 
 
 def _lloyd(pts: DataFrame, k: int, iters: int) -> DataFrame:
+    return _lloyd_with_model(pts, k, iters)[0]
+
+
+def _lloyd_with_model(
+    pts: DataFrame, k: int, iters: int
+) -> tuple[DataFrame, DataFrame]:
     """The assignment rounds over persisted ``pts``; the final
     assignment is localCheckpointed (result-sized) so the caller can
-    release the points cache before returning the lazy frame."""
+    release the points cache before returning the lazy frame.  Also
+    returns the centroid table ``(c, cv)`` the final assignment was
+    scored against (the trained model — what ADC lookup needs)."""
     cents = (
         pts.orderBy("id").limit(k)
         .select(F.col("id").alias("c"), F.col("v").alias("cv"))
@@ -121,7 +129,7 @@ def _lloyd(pts: DataFrame, k: int, iters: int) -> DataFrame:
                 )
                 .localCheckpoint(eager=True)
             )
-    return assign.localCheckpoint(eager=True)
+    return assign.localCheckpoint(eager=True), cents
 
 
 def cluster_sizes(assignment: DataFrame) -> DataFrame:
@@ -182,3 +190,67 @@ def pq_codes(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    n_queries: int,
+    top_k: int = 5,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over the PQ codes (Jégou
+    et al. 2011 §IV) — the query path that makes IVF-PQ work at scale:
+    the database is represented ONLY by its per-subspace codes, each
+    query precomputes a tiny (k × n_sub) table of exact integer squared
+    distances to the subspace centroids, and the approximate distance
+    is a code-keyed LOOKUP-JOIN + sum — never a full-vector scan of the
+    corpus.
+
+    Queries are the ``n_queries`` smallest ids (they remain in the
+    database; self-hits are excluded from the ranking).  Returns
+    (query_id, neighbor, adist2, rnk ≤ top_k), ties broken by neighbor.
+
+    Plan shape: codes are |n|·n_sub skinny rows; the distance tables
+    are Q·k·n_sub rows, broadcast; the join key (m, code) has at most
+    n_sub·k distinct values, but each key's matches are summed per
+    (query, vector) by a combiner-backed groupBy — no window touches a
+    corpus-sized partition.
+    """
+    out = None
+    for m in range(n_sub):
+        sub = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), m * sub_dim + 1, sub_dim)
+            .alias(vec_col),
+        )
+        pts = quantize_vectors(sub, id_col, vec_col, scale).persist()
+        assign, cents = _lloyd_with_model(pts, k, iters)
+        qs = pts.where(F.col("id") < n_queries).select(
+            F.col("id").alias("qid"), F.col("v").alias("qv")
+        )
+        dtab = qs.join(F.broadcast(cents)).select(
+            "qid", "c", _sqdist(F.col("qv"), F.col("cv")).alias("d2")
+        )
+        part = assign.select("id", "c").join(dtab, "c").select(
+            "qid", "id", F.col("d2").alias("d2m")
+        )
+        pts.unpersist()  # assign is checkpointed; dtab/qs consumed lazily
+        out = part if out is None else out.unionByName(part)
+    approx = out.groupBy("qid", "id").agg(
+        F.sum("d2m").cast("long").alias("adist2")
+    ).where(F.col("qid") != F.col("id"))
+    w = Window.partitionBy("qid").orderBy("adist2", "id")
+    return (
+        approx.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top_k)
+        .select(
+            F.col("qid").alias("query_id"), F.col("id").alias("neighbor"),
+            "adist2", F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

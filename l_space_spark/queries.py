@@ -6795,10 +6795,11 @@ PQ_K = 4
 PQ_ITERS = 2
 
 
-def _pq_sql() -> str:
-    """Per-subspace unrolled Lloyd (the _kmeans_cte chain with an index
-    offset per subspace), UNION ALL of the final assignments."""
-    parts = ["WITH"]
+def _pq_blocks() -> list[str]:
+    """Per-subspace unrolled Lloyd CTE blocks (the _kmeans_cte chain
+    with an index offset per subspace) — shared by pq_codes (final
+    assignments) and pq_adc_topk (which also reads the c1 centroids)."""
+    parts = []
     for m in range(PQ_SUB):
         off = m * PQ_SUBDIM
         s = f"_{m}"
@@ -6836,6 +6837,11 @@ def _pq_sql() -> str:
                     f" FROM a{t}{s} a JOIN pts{s} p ON p.id = a.id"
                     " GROUP BY a.c, p.idx),"
                 )
+    return parts
+
+
+def _pq_sql() -> str:
+    parts = ["WITH"] + _pq_blocks()
     parts[-1] = parts[-1].rstrip(",")
     sel = "\nUNION ALL ".join(
         f"SELECT id AS vec_id, CAST({m} AS BIGINT) AS m,"
@@ -6844,6 +6850,47 @@ def _pq_sql() -> str:
         for m in range(PQ_SUB)
     )
     return "\n".join(parts) + "\n" + sel + "\nORDER BY vec_id, m"
+
+
+PQ_NQ = 5
+PQ_TOPK = 5
+
+
+def _pq_adc_sql() -> str:
+    parts = ["WITH"] + _pq_blocks()
+    for m in range(PQ_SUB):
+        s = f"_{m}"
+        parts.append(
+            f"q{s} AS (SELECT id AS qid, idx, val FROM pts{s}"
+            f" WHERE id < {PQ_NQ}),"
+        )
+        parts.append(
+            f"dt{s} AS (SELECT q.qid, c.c,"
+            " sum((q.val - c.cval) * (q.val - c.cval)) AS d2"
+            f" FROM q{s} q JOIN c{PQ_ITERS - 1}{s} c ON c.idx = q.idx"
+            " GROUP BY q.qid, c.c),"
+        )
+        parts.append(
+            f"ap{s} AS (SELECT d.qid, a.id, d.d2"
+            f" FROM a{PQ_ITERS}{s} a JOIN dt{s} d ON d.c = a.c),"
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT qid, id, d2 FROM ap_{m}" for m in range(PQ_SUB)
+    )
+    parts.append(f"allsub AS ({union}),")
+    parts.append(
+        "approx AS (SELECT qid, id, CAST(sum(d2) AS BIGINT) AS adist2"
+        " FROM allsub WHERE qid <> id GROUP BY qid, id),"
+    )
+    parts.append(
+        "ranked AS (SELECT qid, id, adist2,"
+        " row_number() OVER (PARTITION BY qid ORDER BY adist2, id) AS rn"
+        " FROM approx)"
+    )
+    return "\n".join(parts) + f"""
+SELECT qid AS query_id, id AS neighbor, adist2, CAST(rn AS BIGINT) AS rnk
+FROM ranked WHERE rn <= {PQ_TOPK} ORDER BY query_id, rnk
+""".rstrip()
 
 
 @register("pq_codes", _pq_sql())
@@ -6859,6 +6906,23 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_codes(
         e, n_sub=PQ_SUB, sub_dim=PQ_SUBDIM, k=PQ_K, iters=PQ_ITERS
     ).orderBy("vec_id", "m")
+
+
+@register("pq_adc_topk", _pq_adc_sql())
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k search over the PQ codes (operators/clustering
+    ``pq_adc_topk``): each of 5 queries precomputes a 4×4 integer
+    distance table to the subspace centroids and ranks the whole corpus
+    by a code-keyed lookup-join sum — the IVF-PQ query path, which never
+    scans full vectors.  Oracle extends the unrolled subspace Lloyd
+    chains with the distance-table and lookup CTEs."""
+    from .operators.clustering import pq_adc_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        e, n_queries=PQ_NQ, top_k=PQ_TOPK, n_sub=PQ_SUB,
+        sub_dim=PQ_SUBDIM, k=PQ_K, iters=PQ_ITERS,
+    ).orderBy("query_id", "rnk")
 
 
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
