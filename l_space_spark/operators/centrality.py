@@ -163,3 +163,77 @@ def harmonic_centrality_sampled(
             ).alias("harmonic")
         )
     )
+
+
+# ---- eigenvector centrality (fixed-point power iteration) -------------------
+
+EIG_TARGET = 1 << 40  # renormalization target for the total mass
+EIG_ITERS = 6
+
+
+def eigenvector_centrality_fixed(
+    edges: DataFrame,
+    iters: int = EIG_ITERS,
+    target: int = EIG_TARGET,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Eigenvector centrality by ``iters`` rounds of INTEGER power
+    iteration (Bonacich 1972) — the undamped, in-degree-weighted parent
+    of Katz/PageRank: ``x_{j+1}(v) = Σ_{u→v} x_j(u)``, renormalized each
+    round by the shared integer denominator ``q = max(1, total // target)``
+    (``x' = x // q``), so every value is an exact bigint on both engines
+    and the direction converges to the principal eigenvector of Aᵀ.
+
+    Bounds (why this never overflows a long): after renormalization the
+    TOTAL mass is ≤ ``target + |V|`` (each vertex's floor loses < 1 unit
+    of q, and q ≥ total/2target once renormalizing), so any single
+    propagated value — a sum over in-neighbors of values whose global sum
+    is ~target — is ≤ ~2·target ≈ 2^41, and the propagation total is
+    ≤ target·maxdeg ≪ 2^63.
+
+    Scale shape: identical inner loop to Katz/PageRank — the |V|-row
+    vector equi-joins the src-keyed edge cache, one combiner-backed sum,
+    one broadcast 1-row total per round. Returns ``(id, score)`` with
+    zero-in-degree vertices at 0.
+
+    Reference analog: none directly (L-space has no algorithm library);
+    expressible there only as a hand-rolled Repeat loop
+    (core/.../librarian/task — the traversal executors).
+    """
+    links = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst").distinct()
+    )
+    if num_partitions:
+        links = links.repartition(num_partitions, "src")
+    links = links.persist()
+    verts = (
+        links.select(F.col("src").alias("id"))
+        .unionByName(links.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    x = verts.select("id", F.lit(int(target)).cast("long").alias("x"))
+    for _ in range(iters):
+        prop = (
+            links.join(x.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("x").alias("x"))
+        )
+        # `div` keeps every step in exact LONG arithmetic — a float `/`
+        # could round an exact quotient boundary and break the oracle
+        q = prop.agg(F.sum("x").alias("t")).select(
+            F.expr(f"greatest(CAST(1 AS BIGINT), t div {int(target)})")
+            .alias("q")
+        )
+        x = (
+            verts.join(prop, "id", "left")
+            .crossJoin(F.broadcast(q))
+            .select(
+                "id",
+                F.expr("coalesce(x, CAST(0 AS BIGINT)) div q").alias("x"),
+            )
+        )
+        # shallow lineage: each round otherwise re-derives every prior
+        # propagation on the final action (same discipline as katz_top20)
+        x = x.localCheckpoint(eager=False)
+    return x.select("id", F.col("x").alias("score"))

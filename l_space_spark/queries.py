@@ -4014,6 +4014,56 @@ def q_katz_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acc.orderBy(F.col("katz_num").desc(), "id").limit(20)
 
 
+EIG_ITERS_Q = 6
+EIG_TARGET_Q = 1 << 40
+
+
+def _eig_oracle(edges_sql: str, iters: int, target: int) -> str:
+    # DuckDB's sum(BIGINT) is HUGEINT — `//` stays exact at any width;
+    # the final CAST narrows back to the long range the bounds guarantee.
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({edges_sql}),",
+        "links AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0"
+        " WHERE src <> dst),",
+        "verts AS MATERIALIZED (SELECT src AS id FROM links"
+        " UNION SELECT dst FROM links),",
+        f"x0 AS MATERIALIZED (SELECT id, CAST({target} AS BIGINT) AS x"
+        " FROM verts),",
+    ]
+    for j in range(iters):
+        parts += [
+            f"p{j} AS MATERIALIZED (SELECT l.dst AS id, sum(x.x) AS x"
+            f" FROM x{j} x JOIN links l ON l.src = x.id GROUP BY l.dst),",
+            f"q{j} AS MATERIALIZED (SELECT greatest(CAST(1 AS BIGINT),"
+            f" CAST(sum(x) // {target} AS BIGINT)) AS q FROM p{j}),",
+            f"x{j+1} AS MATERIALIZED (SELECT v.id,"
+            f" coalesce(p.x, 0) // (SELECT q FROM q{j}) AS x"
+            f" FROM verts v LEFT JOIN p{j} p ON p.id = v.id),",
+        ]
+    parts.append(
+        f"fin AS (SELECT id, CAST(x AS BIGINT) AS score FROM x{iters})"
+    )
+    parts.append("SELECT id, score FROM fin ORDER BY score DESC, id LIMIT 20")
+    return "\n".join(parts)
+
+
+@register("eigencentrality_top20",
+          _eig_oracle(MOD_EDGES_SQL, EIG_ITERS_Q, EIG_TARGET_Q))
+def q_eigencentrality_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality (operators/centrality
+    ``eigenvector_centrality_fixed``): the undamped parent of
+    Katz/PageRank — integer power iteration with a shared-denominator
+    renormalization each round (``x' = x div max(1, total div 2^40)``),
+    exact on both engines; top-20 by final score."""
+    from .operators.centrality import eigenvector_centrality_fixed
+
+    res = eigenvector_centrality_fixed(
+        mod_edges(spark, sf_dir), iters=EIG_ITERS_Q, target=EIG_TARGET_Q,
+        num_partitions=_small_graph_parts(spark),
+    )
+    return res.orderBy(F.col("score").desc(), "id").limit(20)
+
+
 @register(
     "adamic_adar_pairs",
     f"""
