@@ -97,3 +97,79 @@ def kmv_estimate(sketches: DataFrame, k: int = 64) -> DataFrame:
         .otherwise(F.lit(float(k - 1)) * F.lit(DOMAIN) / kth)
         .alias("est"),
     )
+
+
+# ---- HyperLogLog (capped-register, pure-integer estimate) --------------------
+
+HLL_M = 64        # buckets (b = 6 bits via modulo on the 60-bit hash)
+HLL_W = 54        # rank window: w = h div 64 < 2^54
+HLL_RCAP = 26     # register cap — keeps the estimate numerator in int64
+HLL_ALPHA_E5 = 70934  # round(1e5 · 0.7213 / (1 + 1.079/64))
+
+
+def hll_registers(df: DataFrame, group_col: str, item_col: str,
+                  m: int = HLL_M, rcap: int = HLL_RCAP) -> DataFrame:
+    """Per-group HyperLogLog register table ``(g, b, reg)`` (Flajolet et
+    al. 2007) over the portable 60-bit hash: bucket ``b = h mod m``, rank
+    ``ρ = leading zeros of the remaining W-bit window + 1`` computed as
+    ``W+1 − bitlength(w)`` with ``bin()`` (minimal binary — identical in
+    Spark and DuckDB), capped at ``rcap``.
+
+    MERGEABLE: registers combine by per-bucket max, so shard-local
+    sketches union + re-aggregate into the global sketch — the property
+    that makes the sketch one combiner-backed groupBy at any scale (no
+    distinct shuffle of the raw items, unlike exact count-distinct).
+    """
+    # two-step projection so the window shift is exact LONG `div` —
+    # h < 2^60 exceeds the 2^53 float-exact range, a `/` would round
+    hashed = df.select(
+        F.col(group_col).alias("g"), hash60(F.col(item_col)).alias("h")
+    ).select("g", F.pmod(F.col("h"), F.lit(m)).alias("b"),
+             F.expr(f"h div {m}").alias("w"))
+    rho = F.when(F.col("w") > 0,
+                 F.lit(HLL_W + 1) - F.length(F.bin(F.col("w")))) \
+           .otherwise(F.lit(HLL_W + 1))
+    return (
+        hashed.select(
+            "g", "b", F.least(rho, F.lit(rcap)).cast("long").alias("r")
+        )
+        .groupBy("g", "b")
+        .agg(F.max("r").alias("reg"))
+    )
+
+
+def hll_merge(registers: DataFrame) -> DataFrame:
+    """Merge register tables from any number of shards: per-bucket max."""
+    return registers.groupBy("g", "b").agg(F.max("reg").alias("reg"))
+
+
+def hll_estimate(registers: DataFrame, m: int = HLL_M,
+                 rcap: int = HLL_RCAP) -> DataFrame:
+    """(g, n_buckets, denom, est_e5): the raw HLL estimate
+    ``α_m · m² / Σ 2^−reg`` in PURE INTEGER arithmetic — denominator
+    ``D = Σ 2^(rcap−reg)`` (absent buckets contribute ``2^rcap``, i.e.
+    reg=0), estimate ``est_e5 = α_e5 · m² · 2^rcap div D``.  Numerator
+    ≈ 1.95e16 < 2^63; exact on both engines.  No small/large-range
+    correction — this is the raw estimator, documented as such (the KMV
+    sketch covers the small-cardinality regime exactly)."""
+    a_num = HLL_ALPHA_E5 * m * m * (1 << rcap)
+    return (
+        registers.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST({rcap} - reg AS INT))"
+            )).alias("d_present"),
+        )
+        .select(
+            "g",
+            F.col("n_buckets").cast("long").alias("n_buckets"),
+            (F.col("d_present")
+             + (F.lit(m) - F.col("n_buckets")) * F.lit(1 << rcap))
+            .cast("long").alias("denom"),
+        )
+        .select(
+            "g", "n_buckets", "denom",
+            F.expr(f"CAST({a_num} AS BIGINT) div denom").alias("est_e5"),
+        )
+    )

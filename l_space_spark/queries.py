@@ -2007,6 +2007,72 @@ def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hll_distinct_sketch",
+    f"""
+WITH tk AS MATERIALIZED (
+  SELECT doc_id, source, {_TOKENS_SQL} AS ts FROM documents
+),
+pos AS (SELECT doc_id, source, unnest(ts) AS w,
+               generate_subscripts(ts, 1) AS i FROM tk),
+toks AS MATERIALIZED (
+  SELECT p1.source, p1.w || ' ' || p2.w AS w
+  FROM pos p1 JOIN pos p2 ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1
+),
+h AS (SELECT source AS g,
+             ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM toks),
+bw AS (SELECT g, h % 64 AS b, h // 64 AS w FROM h),
+reg AS (SELECT g, b,
+               max(least(CASE WHEN w > 0 THEN 55 - length(bin(w))
+                              ELSE 55 END, 26)) AS reg
+        FROM bw GROUP BY g, b),
+agg AS (SELECT g, count(*) AS nb,
+               sum((CAST(1 AS BIGINT) << (26 - reg))) AS dp
+        FROM reg GROUP BY g),
+fin AS (SELECT g, CAST(nb AS BIGINT) AS n_buckets,
+               CAST(dp + (64 - nb) * (CAST(1 AS BIGINT) << 26) AS BIGINT)
+                 AS denom
+        FROM agg),
+ex AS (SELECT source AS g, count(DISTINCT w) AS exact FROM toks GROUP BY 1)
+SELECT f.g AS source, n_buckets, denom,
+       CAST(19498189451165696 // denom AS BIGINT) AS est_e5,
+       CAST(ex.exact AS BIGINT) AS exact
+FROM fin f JOIN ex ON ex.g = f.g ORDER BY source
+""".strip(),
+)
+def q_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped-register HyperLogLog (operators/sketch.py hll_*): estimated
+    vs exact distinct token bigrams per document source.  The registers are one
+    combiner-backed groupBy over (source, bucket) — NO distinct shuffle
+    of the raw token stream, which is the whole point at 100 TB (the
+    `exact` column here is the validation twin, not the scale path) —
+    and merge across shards by per-bucket max (pinned in
+    tests/test_pipeline_ops.py).  Estimate arithmetic is pure integer
+    (bin()-derived ranks, shift-sum denominator, one bigint div), so the
+    DuckDB oracle reproduces the approximate value exactly."""
+    from .functions.text import shingles, tokens  # noqa: F401
+    from .operators.sketch import hll_estimate, hll_registers
+
+    d = load(spark, sf_dir, "documents")
+    # per-doc DISTINCT bigrams vs the oracle's all-occurrence bigrams:
+    # equivalent under both max-register and count-distinct (set
+    # semantics), and ~900+ distinct grams/source puts the raw estimator
+    # in its accurate n ≫ m regime (tokens alone would be n < m, where
+    # raw HLL famously needs the linear-counting correction we omit)
+    ex = d.select(
+        "source", F.explode(shingles(F.col("text"), 2)).alias("tok")
+    )
+    est = hll_estimate(hll_registers(ex, "source", "tok"))
+    exact = ex.groupBy("source").agg(
+        F.countDistinct("tok").cast("long").alias("exact")
+    )
+    return (
+        est.join(exact, est["g"] == exact["source"])
+        .select(F.col("source"), "n_buckets", "denom", "est_e5", "exact")
+        .orderBy("source")
+    )
+
+
+@register(
     "hypertable_rollup",
     """
 SELECT date_trunc('hour', ts) AS bucket, event_type,

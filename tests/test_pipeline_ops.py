@@ -380,3 +380,54 @@ def test_rmat_edges_replica_and_skew(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="sum"):
         rmat_edges(ids, scale=6, probs_e4=(5000, 1000, 1000, 500))
+
+
+def test_hll_sketch_merge_and_accuracy(spark):
+    """HLL: merged per-shard registers equal whole-input registers; the
+    raw estimate lands within the ~1.04/sqrt(64)≈13% regime for
+    cardinalities well above m (these fixed sets sit within ~2σ)."""
+    from l_space_spark.operators import sketch
+
+    df = spark.range(0, 3000).select(
+        F.pmod("id", F.lit(2)).cast("string").alias("grp"),
+        F.concat(
+            F.lit("h"),
+            F.when(F.pmod("id", F.lit(2)) == 0, F.floor(F.col("id") / 2))
+            .otherwise(F.pmod(F.floor(F.col("id") / 2), F.lit(400)))
+            .cast("string"),
+        ).alias("item"),
+    )
+    whole = sketch.hll_registers(df, "grp", "item")
+    est = {r["g"]: r["est_e5"] / 1e5
+           for r in sketch.hll_estimate(whole).collect()}
+    exact = {r["grp"]: r["n"] for r in df.groupBy("grp").agg(
+        F.countDistinct("item").alias("n")).collect()}
+    for g in ("0", "1"):
+        assert abs(est[g] - exact[g]) / exact[g] < 0.27
+
+    sharded = df.withColumn("shard", F.pmod(F.xxhash64("item"), F.lit(4)))
+    parts = [
+        sketch.hll_registers(
+            sharded.where(F.col("shard") == s), "grp", "item"
+        )
+        for s in range(4)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    merged = sketch.hll_merge(u)
+    a = {(r["g"], r["b"]): r["reg"] for r in whole.collect()}
+    b = {(r["g"], r["b"]): r["reg"] for r in merged.collect()}
+    assert a == b
+
+
+def test_hll_register_cap_and_window(spark):
+    """Registers never exceed RCAP and buckets stay within [0, m)."""
+    from l_space_spark.operators import sketch
+
+    df = spark.range(0, 5000).select(
+        F.lit("g").alias("grp"), F.col("id").cast("string").alias("item")
+    )
+    regs = sketch.hll_registers(df, "grp", "item").collect()
+    assert all(1 <= r["reg"] <= sketch.HLL_RCAP for r in regs)
+    assert all(0 <= r["b"] < sketch.HLL_M for r in regs)
