@@ -314,3 +314,86 @@ def gopher_quality(df, id_col: str, text_col: str = "text"):
         r_rep.alias("r_rep"),
         (r_count & r_wordlen & r_stop & r_rep).alias("ok"),
     )
+
+
+# ---- tokenizer training: first BPE merge step ---------------------------------
+
+def bpe_pair_counts(df, text_col: str = "text"):
+    """Corpus-weighted adjacent symbol-pair counts — the statistic ONE
+    round of byte-pair-encoding merge selection maximizes (Sennrich et
+    al. 2016 §3.2, char-level start symbols): ``weight(ab) = Σ_words
+    freq(word) · #adjacent (a,b) in word``.
+
+    Scale shape: the only corpus-sized stage is the token explode +
+    word-frequency groupBy (one combiner-backed shuffle); pair extraction
+    then runs over the DISTINCT-WORD table (vocabulary-sized, ≪ corpus)
+    as an array transform per word — no join, no second pass over text.
+
+    Returns (pair, weight). A full BPE trainer is a driver loop that
+    re-derives this table after applying the argmax merge; each round is
+    this same job over the rewritten vocab.
+    """
+    wf = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = (
+        wf.where(F.length("w") >= 2)
+        .select(
+            "cnt",
+            F.explode(F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substr(w, i, 2))"
+            )).alias("pair"),
+        )
+    )
+    return pairs.groupBy("pair").agg(F.sum("cnt").alias("weight"))
+
+
+# ---- bigram-LM familiarity (CCNet-style quality signal) ------------------------
+
+def lm_familiarity(df, id_col: str, text_col: str):
+    """Per-document language-model familiarity — the CCNet/KenLM-style
+    quality cut, relationalized: train the "LM" as corpus bigram counts
+    (one groupBy), score each document by the MEAN CORPUS FREQUENCY of
+    its bigram occurrences, in 1e-6 fixed point (round-half-up integer
+    arithmetic → exact cross-engine oracle; a log-prob variant would put
+    IEEE ``ln`` on both engines and forfeit exactness).
+
+    Low score = bigrams the corpus has rarely seen (gibberish, OCR
+    noise); high = boilerplate-common phrasing. Returns
+    ``(id, n_bigrams, lm_score_e6)``, docs with ≥1 bigram.
+
+    Scale shape: bigrams come from a per-row array transform (no
+    position self-join); the train stage is one combiner-backed groupBy;
+    scoring is an equi-join of doc-bigram occurrences against the count
+    table on the gram key — all linear, all shuffled on one key.
+    """
+    ts = df.select(F.col(id_col).alias("id"),
+                   tokens(F.col(text_col)).alias("ts"))
+    # element_at is 1-BASED (brackets would be 0-based and skip the
+    # first pair); matches the oracle's generate_subscripts convention
+    grams = F.expr(
+        "transform(sequence(1, size(ts) - 1),"
+        " i -> concat_ws(' ', element_at(ts, i), element_at(ts, i + 1)))"
+    )
+    big = (
+        ts.where(F.size("ts") >= 2)
+        .select("id", F.explode(grams).alias("g"))
+    )
+    corpus = big.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    doc = (
+        big.join(corpus, "g")
+        .groupBy("id")
+        .agg(F.sum("c").alias("s"), F.count(F.lit(1)).alias("nb"))
+    )
+    # round-half-up at 1e6, exact at any magnitude (the fp() discipline:
+    # widen to decimal, make the numerator an exact multiple, divide)
+    a = F.col("s").cast("decimal(38,0)") * 2_000_000 \
+        + F.col("nb").cast("decimal(38,0)")
+    b = F.col("nb").cast("decimal(38,0)") * 2
+    return doc.select(
+        "id",
+        F.col("nb").cast("long").alias("n_bigrams"),
+        ((a - F.pmod(a, b)) / b).cast("long").alias("lm_score_e6"),
+    )

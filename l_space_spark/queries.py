@@ -1276,6 +1276,72 @@ FUNNEL_CAP = 8
 
 
 @register(
+    "bpe_merge_candidates",
+    f"""
+WITH toks AS MATERIALIZED (SELECT {_TOKENS_SQL} AS ts FROM documents),
+wf AS (SELECT w, count(*) AS cnt
+       FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w),
+ch AS (SELECT w, cnt, regexp_extract_all(w, '.') AS cs
+       FROM wf WHERE length(w) >= 2),
+pos AS (SELECT w, cnt, unnest(cs) AS c, generate_subscripts(cs, 1) AS i
+        FROM ch),
+pr AS (SELECT p1.cnt, p1.c || p2.c AS pair
+       FROM pos p1 JOIN pos p2 ON p1.w = p2.w AND p2.i = p1.i + 1)
+SELECT pair, CAST(sum(cnt) AS BIGINT) AS weight
+FROM pr GROUP BY pair ORDER BY weight DESC, pair LIMIT 30
+""".strip(),
+)
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge-selection statistic (functions/text
+    ``bpe_pair_counts``): the 30 highest corpus-weighted adjacent
+    char-pair counts over the word-frequency table — the argmax of this
+    table IS the first tokenizer merge; the trainer loop re-runs the
+    same job on the rewritten vocab.  Corpus-sized work is one token
+    explode + groupBy; pairs come from the vocabulary-sized word table
+    only."""
+    from .functions.text import bpe_pair_counts
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        bpe_pair_counts(d, "text")
+        .orderBy(F.col("weight").desc(), "pair")
+        .limit(30)
+    )
+
+
+@register(
+    "lm_familiarity_scores",
+    f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents
+),
+pos AS (SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i
+        FROM toks),
+big AS MATERIALIZED (
+  SELECT p1.doc_id, p1.w || ' ' || p2.w AS g
+  FROM pos p1 JOIN pos p2 ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1
+),
+corpus AS (SELECT g, count(*) AS c FROM big GROUP BY g),
+doc AS (SELECT b.doc_id, sum(c.c) AS s, count(*) AS nb
+        FROM big b JOIN corpus c ON c.g = b.g GROUP BY b.doc_id)
+SELECT doc_id AS id, CAST(nb AS BIGINT) AS n_bigrams,
+       CAST((s * 2000000 + nb) // (2 * nb) AS BIGINT) AS lm_score_e6
+FROM doc ORDER BY id
+""".strip(),
+)
+def q_lm_familiarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM familiarity quality score (functions/text
+    ``lm_familiarity``): CCNet-style LM filtering relationalized — train
+    = corpus bigram counts, score = mean corpus frequency of each doc's
+    bigram occurrences at 1e-6 fixed point, exact on both engines."""
+    from .functions.text import lm_familiarity
+
+    d = load(spark, sf_dir, "documents")
+    return lm_familiarity(d, "doc_id", "text").orderBy("id")
+
+
+
+@register(
     "curation_funnel",
     f"""
 WITH raw AS (

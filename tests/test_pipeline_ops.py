@@ -431,3 +431,53 @@ def test_hll_register_cap_and_window(spark):
     regs = sketch.hll_registers(df, "grp", "item").collect()
     assert all(1 <= r["reg"] <= sketch.HLL_RCAP for r in regs)
     assert all(0 <= r["b"] < sketch.HLL_M for r in regs)
+
+
+def test_bpe_pair_counts_twin(spark):
+    """Weighted adjacent char-pair counts match a python twin."""
+    import re
+    from collections import Counter
+
+    from l_space_spark.functions.text import bpe_pair_counts
+
+    texts = ["the cat sat on the mat", "a cat! A CAT sat", "banana bandana"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {r["pair"]: r["weight"]
+           for r in bpe_pair_counts(df, "text").collect()}
+    words = Counter(
+        w for t in texts for w in re.findall("[a-z0-9]+", t.lower())
+    )
+    want = Counter()
+    for w, cnt in words.items():
+        for i in range(len(w) - 1):
+            want[w[i:i + 2]] += cnt
+    assert got == dict(want)
+    assert got["at"] == words["cat"] + words["sat"] + words["mat"]
+
+
+def test_lm_familiarity_twin(spark):
+    """Mean corpus bigram frequency at 1e-6 fixed point, half-up."""
+    import re
+    from collections import Counter
+
+    from l_space_spark.functions.text import lm_familiarity
+
+    texts = [(1, "the cat sat"), (2, "the cat ran"), (3, "zq"), (4, "x")]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["id"]: (r["n_bigrams"], r["lm_score_e6"])
+           for r in lm_familiarity(df, "doc_id", "text").collect()}
+
+    def bigrams(t):
+        ts = re.findall("[a-z0-9]+", t.lower())
+        return [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+
+    corpus = Counter(g for _, t in texts for g in bigrams(t))
+    want = {}
+    for i, t in texts:
+        bs = bigrams(t)
+        if bs:
+            s, nb = sum(corpus[g] for g in bs), len(bs)
+            want[i] = (nb, (s * 2_000_000 + nb) // (2 * nb))
+    assert got == want
+    assert 3 not in got and 4 not in got  # <2 tokens -> no bigram row
+    assert got[1][1] > 1_000_000  # 'the cat' seen twice -> mean > 1
