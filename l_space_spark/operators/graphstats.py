@@ -429,3 +429,66 @@ def partition_stats(edges: DataFrame, n_parts: int) -> DataFrame:
         F.expr("(tot * 1000000) div nv").cast("long").alias("value_e6"),
     )
     return balance.unionByName(cut).unionByName(repl)
+
+
+def attack_robustness(
+    spark,
+    edges: DataFrame,
+    ks: tuple = (0, 8, 32),
+    max_iters: int = 100,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Degree-targeted attack robustness curve (Albert–Jeong–Barabási
+    2000): for each ``k`` in ``ks``, delete the ``k`` highest-degree
+    vertices (undirected degree, ties by lowest id — deterministic) and
+    report the surviving giant weakly-connected component.
+
+    Returns ``(k, n_left, giant)`` — vertices remaining and the largest
+    component size among them.  The scale-free signature is a giant
+    component that collapses under degree attack at a k where random
+    failure barely dents it.
+
+    Scale shape: degree = one combiner-backed groupBy; the top-k hub set
+    is tiny (broadcast anti-join per k); each surviving graph reruns the
+    SAME hash-min CC superstep over the shared undirected closure — the
+    per-k jobs differ only in the broadcast filter, so the edge scan is
+    reused, not re-derived.  Isolated survivors (all neighbors removed)
+    count as size-1 components via the vertex-side anti-join.
+    """
+    from .components import connected_components
+
+    und = undirect(edges).persist()
+    verts = und.select(F.col("src").alias("id")).distinct()
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    out = None
+    for k in sorted(set(int(k) for k in ks)):
+        hubs = deg.orderBy(F.col("d").desc(), "id").limit(k).select("id")
+        vleft = verts.join(F.broadcast(hubs), "id", "left_anti")
+        eleft = (
+            und.join(F.broadcast(hubs.withColumnRenamed("id", "src")),
+                     "src", "left_anti")
+            .join(F.broadcast(hubs.withColumnRenamed("id", "dst")),
+                  "dst", "left_anti")
+        )
+        res = connected_components(
+            spark, eleft, vertices=vleft, max_iters=max_iters,
+            resume=False, num_partitions=num_partitions,
+        )
+        sizes = res.state.groupBy("component").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        row = (
+            vleft.agg(F.count(F.lit(1)).alias("n_left"))
+            .crossJoin(F.broadcast(
+                sizes.agg(F.coalesce(F.max("n"), F.lit(0)).alias("giant"))
+            ))
+            .select(
+                F.lit(k).cast("long").alias("k"),
+                F.col("n_left").cast("long").alias("n_left"),
+                F.col("giant").cast("long").alias("giant"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -5129,6 +5129,88 @@ def q_eccentricity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ATTACK_KS = (0, 64, 256)
+
+
+@register(
+    "attack_robustness_curve",
+    f"""
+WITH RECURSIVE e0 AS MATERIALIZED ({SPARSE_DIGRAPH_SQL}),
+und AS MATERIALIZED (
+  SELECT src, dst FROM e0 WHERE src <> dst
+  UNION
+  SELECT dst, src FROM e0 WHERE src <> dst
+),
+verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM und),
+deg AS (SELECT src AS id, count(*) AS d FROM und GROUP BY src),
+rk AS (SELECT id, row_number() OVER (ORDER BY d DESC, id) AS r FROM deg),
+hub0 AS (SELECT id FROM rk WHERE r <= 0),
+v0 AS (SELECT id FROM verts WHERE id NOT IN (SELECT id FROM hub0)),
+ed0 AS (SELECT src, dst FROM und
+          WHERE src NOT IN (SELECT id FROM hub0)
+            AND dst NOT IN (SELECT id FROM hub0)),
+reach0(id, comp) AS (
+  SELECT id, id FROM v0
+  UNION
+  SELECT u.dst, r.comp FROM reach0 r JOIN ed0 u ON u.src = r.id
+),
+comp0 AS (SELECT id, min(comp) AS comp FROM reach0 GROUP BY id),
+sz0 AS (SELECT comp, count(*) AS n FROM comp0 GROUP BY comp),
+row0 AS (SELECT CAST(0 AS BIGINT) AS k,
+        (SELECT CAST(count(*) AS BIGINT) FROM v0) AS n_left,
+        coalesce((SELECT CAST(max(n) AS BIGINT) FROM sz0),
+                 CAST(0 AS BIGINT)) AS giant),hub64 AS (SELECT id FROM rk WHERE r <= 64),
+v64 AS (SELECT id FROM verts WHERE id NOT IN (SELECT id FROM hub64)),
+ed64 AS (SELECT src, dst FROM und
+          WHERE src NOT IN (SELECT id FROM hub64)
+            AND dst NOT IN (SELECT id FROM hub64)),
+reach64(id, comp) AS (
+  SELECT id, id FROM v64
+  UNION
+  SELECT u.dst, r.comp FROM reach64 r JOIN ed64 u ON u.src = r.id
+),
+comp64 AS (SELECT id, min(comp) AS comp FROM reach64 GROUP BY id),
+sz64 AS (SELECT comp, count(*) AS n FROM comp64 GROUP BY comp),
+row64 AS (SELECT CAST(64 AS BIGINT) AS k,
+        (SELECT CAST(count(*) AS BIGINT) FROM v64) AS n_left,
+        coalesce((SELECT CAST(max(n) AS BIGINT) FROM sz64),
+                 CAST(0 AS BIGINT)) AS giant),hub256 AS (SELECT id FROM rk WHERE r <= 256),
+v256 AS (SELECT id FROM verts WHERE id NOT IN (SELECT id FROM hub256)),
+ed256 AS (SELECT src, dst FROM und
+          WHERE src NOT IN (SELECT id FROM hub256)
+            AND dst NOT IN (SELECT id FROM hub256)),
+reach256(id, comp) AS (
+  SELECT id, id FROM v256
+  UNION
+  SELECT u.dst, r.comp FROM reach256 r JOIN ed256 u ON u.src = r.id
+),
+comp256 AS (SELECT id, min(comp) AS comp FROM reach256 GROUP BY id),
+sz256 AS (SELECT comp, count(*) AS n FROM comp256 GROUP BY comp),
+row256 AS (SELECT CAST(256 AS BIGINT) AS k,
+        (SELECT CAST(count(*) AS BIGINT) FROM v256) AS n_left,
+        coalesce((SELECT CAST(max(n) AS BIGINT) FROM sz256),
+                 CAST(0 AS BIGINT)) AS giant)
+SELECT * FROM row0 UNION ALL SELECT * FROM row64 UNION ALL SELECT * FROM row256
+ORDER BY k
+""".strip(),
+)
+def q_attack_robustness_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-targeted attack robustness (operators/graphstats
+    ``attack_robustness``, Albert-Jeong-Barabási 2000): giant weakly-
+    connected-component size after deleting the k highest-degree hubs,
+    k ∈ (0, 64, 256) — on the sparse hashed digraph near the percolation
+    threshold, where hub deletion actually fragments the giant (the
+    bowtie fixture argument).  Each k reruns the shared-closure hash-min
+    CC; the recursive-SQL oracle is bounded by the graph's constant
+    1024-vertex universe."""
+    from .operators.graphstats import attack_robustness
+
+    return attack_robustness(
+        spark, sparse_digraph_edges(spark, sf_dir), ks=ATTACK_KS,
+        num_partitions=_small_graph_parts(spark),
+    ).orderBy("k")
+
+
 @register(
     "k4_count",
     f"""

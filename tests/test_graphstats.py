@@ -368,3 +368,22 @@ def test_avg_neighbor_degree_random_matches_twin(spark):
     got = {r["d"]: (r["n_ends"], r["knn_e6"]) for r in
            avg_neighbor_degree(edges_df(spark, pairs)).collect()}
     assert got == want
+
+
+def test_attack_robustness(spark):
+    """Hub deletion fragments a star; k=0 matches plain CC; counts are
+    (survivors, giant)."""
+    from l_space_spark.operators.graphstats import attack_robustness
+
+    from conftest import edges_df
+
+    # two stars (hubs 0 and 100) bridged by an edge between the hubs
+    pairs = ([(0, i) for i in range(1, 10)]
+             + [(100, 100 + i) for i in range(1, 10)] + [(0, 100)])
+    res = attack_robustness(spark, edges_df(spark, pairs), ks=(0, 1, 2))
+    got = {r["k"]: (r["n_left"], r["giant"]) for r in res.collect()}
+    assert got[0] == (20, 20)       # one bridged component
+    # k=1 removes hub 0 (degree 10 > hub 100's 10? tie -> lowest id): star
+    # 100 survives intact (10 verts), star 0's leaves isolate
+    assert got[1] == (19, 10)
+    assert got[2] == (18, 1)        # both hubs gone: 18 singletons
