@@ -7283,7 +7283,10 @@ _DRIVER_WINDOW: list[str] = [
     # salsa_top20, triad_census, node2vec_walks, skipgram_pairs,
     # mixture_allocation, exact_substring_dedup, paragraph_dedup,
     # gopher_quality, khop_sample_edges, negative_samples,
-    # neighbor_feature_sums, item_cooccurrence_topk, partition_stats)
+    # neighbor_feature_sums, item_cooccurrence_topk, partition_stats,
+    # source_quality_rollup, boilerplate_clusters, rmat_edges, pq_codes,
+    # pq_adc_topk, eigencentrality_top20, hll_distinct_sketch,
+    # bpe_merge_candidates, lm_familiarity_scores, attack_robustness_curve)
     # — rotate them in for r5, swapping out
     # entries that go green in CORRECTNESS_r04.
 ]
