@@ -184,12 +184,18 @@ def eigenvector_centrality_fixed(
     (``x' = x // q``), so every value is an exact bigint on both engines
     and the direction converges to the principal eigenvector of Aᵀ.
 
-    Bounds (why this never overflows a long): after renormalization the
-    TOTAL mass is ≤ ``target + |V|`` (each vertex's floor loses < 1 unit
-    of q, and q ≥ total/2target once renormalizing), so any single
-    propagated value — a sum over in-neighbors of values whose global sum
-    is ~target — is ≤ ~2·target ≈ 2^41, and the propagation total is
-    ≤ target·maxdeg ≪ 2^63.
+    Bounds (why this never overflows a long): x₀ is the UNIFORM vector
+    ``max(1, target // |V|)`` per vertex, so the total mass is ≤
+    ~``target + |V|`` from round 0 onward (each renormalization floor
+    loses < 1 unit of q per vertex); any single propagated value — a sum
+    over in-neighbors of values whose global sum is ~target — is
+    ≤ ~2·target ≈ 2^41, and the propagation TOTAL is ≤ total·maxoutdeg,
+    i.e. safe while ``target · maxoutdeg < 2^63`` (maxoutdeg < 2^22 at
+    the default target; lower ``target`` for hubbier graphs — the knob
+    trades per-round precision against headroom).  A target-valued init
+    for every vertex (the first cut) broke its own bound in ROUND 1:
+    q's sum over prop would reach |E|·target — int64-wrapping from
+    |E| ≥ 2^23 — while the HUGEINT DuckDB oracle stayed exact.
 
     Scale shape: identical inner loop to Katz/PageRank — the |V|-row
     vector equi-joins the src-keyed edge cache, one combiner-backed sum,
@@ -212,7 +218,11 @@ def eigenvector_centrality_fixed(
         .unionByName(links.select(F.col("dst").alias("id")))
         .distinct()
     )
-    x = verts.select("id", F.lit(int(target)).cast("long").alias("x"))
+    n = verts.count()
+    if n == 0:
+        return verts.select("id", F.lit(0).cast("long").alias("score"))
+    x0 = max(1, int(target) // n)
+    x = verts.select("id", F.lit(x0).cast("long").alias("x"))
     for _ in range(iters):
         prop = (
             links.join(x.withColumnRenamed("id", "src"), "src")

@@ -237,10 +237,14 @@ def pq_adc_topk(
         dtab = qs.join(F.broadcast(cents)).select(
             "qid", "c", _sqdist(F.col("qv"), F.col("cv")).alias("d2")
         )
+        # dtab still derives from pts: checkpoint it (Q·k rows, eager)
+        # BEFORE releasing the cache, or the final action re-runs the
+        # slice+quantize scan once per subspace through the cold lineage
+        dtab = dtab.localCheckpoint(eager=True)
         part = assign.select("id", "c").join(dtab, "c").select(
             "qid", "id", F.col("d2").alias("d2m")
         )
-        pts.unpersist()  # assign is checkpointed; dtab/qs consumed lazily
+        pts.unpersist()
         out = part if out is None else out.unionByName(part)
     approx = out.groupBy("qid", "id").agg(
         F.sum("d2m").cast("long").alias("adist2")

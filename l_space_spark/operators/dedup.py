@@ -454,10 +454,15 @@ def boilerplate_star_edges(df: DataFrame, id_col: str,
     """
     from ..functions.text import tokens
 
+    if para_tokens < 1:
+        raise ValueError(f"para_tokens must be >= 1, got {para_tokens}")
     toks = df.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("ts")
     )
-    paras = paragraph_instances(toks, para_tokens).select("id", "ph").distinct()
+    # persist: consumed twice (owner groupBy + the join-back probe) —
+    # without it the tokenize+hash scan over the corpus runs twice
+    paras = (paragraph_instances(toks, para_tokens)
+             .select("id", "ph").distinct().persist())
     owners = paras.groupBy("ph").agg(
         F.min("id").alias("owner"), F.count(F.lit(1)).alias("nd")
     ).where(F.col("nd") >= 2).select("ph", "owner")

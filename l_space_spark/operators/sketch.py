@@ -102,9 +102,23 @@ def kmv_estimate(sketches: DataFrame, k: int = 64) -> DataFrame:
 # ---- HyperLogLog (capped-register, pure-integer estimate) --------------------
 
 HLL_M = 64        # buckets (b = 6 bits via modulo on the 60-bit hash)
-HLL_W = 54        # rank window: w = h div 64 < 2^54
 HLL_RCAP = 26     # register cap — keeps the estimate numerator in int64
-HLL_ALPHA_E5 = 70934  # round(1e5 · 0.7213 / (1 + 1.079/64))
+
+
+def _hll_w(m: int) -> int:
+    """Rank-window width for m buckets: w = h div m < 2^(60 - log2 m).
+    m must be a power of two — a ragged modulo would skew both the
+    bucket distribution and the window width."""
+    b = m.bit_length() - 1
+    if m <= 0 or (1 << b) != m:
+        raise ValueError(f"HLL m must be a power of two, got {m}")
+    return 60 - b
+
+
+def _hll_alpha_e5(m: int) -> int:
+    """round(1e5 · α_m), α_m = 0.7213 / (1 + 1.079/m) (Flajolet §4) —
+    a compile-time integer constant, so both engines stay float-free."""
+    return round(1e5 * 0.7213 / (1 + 1.079 / m))
 
 
 def hll_registers(df: DataFrame, group_col: str, item_col: str,
@@ -122,13 +136,14 @@ def hll_registers(df: DataFrame, group_col: str, item_col: str,
     """
     # two-step projection so the window shift is exact LONG `div` —
     # h < 2^60 exceeds the 2^53 float-exact range, a `/` would round
+    w_bits = _hll_w(m)
     hashed = df.select(
         F.col(group_col).alias("g"), hash60(F.col(item_col)).alias("h")
     ).select("g", F.pmod(F.col("h"), F.lit(m)).alias("b"),
              F.expr(f"h div {m}").alias("w"))
     rho = F.when(F.col("w") > 0,
-                 F.lit(HLL_W + 1) - F.length(F.bin(F.col("w")))) \
-           .otherwise(F.lit(HLL_W + 1))
+                 F.lit(w_bits + 1) - F.length(F.bin(F.col("w")))) \
+           .otherwise(F.lit(w_bits + 1))
     return (
         hashed.select(
             "g", "b", F.least(rho, F.lit(rcap)).cast("long").alias("r")
@@ -152,7 +167,12 @@ def hll_estimate(registers: DataFrame, m: int = HLL_M,
     ≈ 1.95e16 < 2^63; exact on both engines.  No small/large-range
     correction — this is the raw estimator, documented as such (the KMV
     sketch covers the small-cardinality regime exactly)."""
-    a_num = HLL_ALPHA_E5 * m * m * (1 << rcap)
+    _hll_w(m)  # validates the power-of-two contract for estimates too
+    a_num = _hll_alpha_e5(m) * m * m * (1 << rcap)
+    if a_num >= 1 << 63:
+        raise ValueError(
+            f"α·m²·2^rcap = {a_num} overflows int64 — lower rcap or m"
+        )
     return (
         registers.groupBy("g")
         .agg(

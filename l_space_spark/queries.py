@@ -4159,7 +4159,9 @@ def _eig_oracle(edges_sql: str, iters: int, target: int) -> str:
         " WHERE src <> dst),",
         "verts AS MATERIALIZED (SELECT src AS id FROM links"
         " UNION SELECT dst FROM links),",
-        f"x0 AS MATERIALIZED (SELECT id, CAST({target} AS BIGINT) AS x"
+        "nv AS (SELECT count(*) AS n FROM verts),",
+        f"x0 AS MATERIALIZED (SELECT id, CAST(greatest(1,"
+        f" {target} // (SELECT n FROM nv)) AS BIGINT) AS x"
         " FROM verts),",
     ]
     for j in range(iters):

@@ -8,7 +8,7 @@ from conftest import edges_df
 def twin(pairs, iters, target):
     links = {(s, d) for s, d in pairs if s != d}
     verts = sorted({v for e in links for v in e})
-    x = {v: target for v in verts}
+    x = {v: max(1, target // len(verts)) for v in verts}
     for _ in range(iters):
         p = {v: 0 for v in verts}
         for s, d in links:
