@@ -4198,6 +4198,45 @@ def q_eigencentrality_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.orderBy(F.col("score").desc(), "id").limit(20)
 
 
+RP_DIMS, RP_ITERS, RP_SCALE = 8, 3, 1048576
+
+
+@register(
+    "fastrp_embeddings",
+    f"""
+WITH e0 AS MATERIALIZED ({MOD_EDGES_SQL}),
+links AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+verts AS MATERIALIZED (SELECT src AS id FROM links UNION SELECT dst FROM links),
+indeg AS MATERIALIZED (SELECT dst AS id, count(*) AS indeg FROM links GROUP BY dst),
+dims AS (SELECT unnest(range(0, 8)) AS dim),
+x0 AS MATERIALIZED (SELECT v.id, d.dim, CAST(CASE WHEN (('0x' || substr(md5(CAST(v.id AS VARCHAR) || ':' || CAST(d.dim AS VARCHAR)), 1, 15))::BIGINT % 2) = 0 THEN 1048576 ELSE -1048576 END AS BIGINT) AS x FROM verts v CROSS JOIN dims d),
+m0 AS MATERIALIZED (SELECT l.dst AS id, x.dim, CAST(sum(x.x) AS BIGINT) AS m FROM x0 x JOIN links l ON l.src = x.id GROUP BY l.dst, x.dim),
+x1 AS MATERIALIZED (SELECT m.id, m.dim, CAST(CASE WHEN m.m >= 0 THEN m.m // i.indeg ELSE -((-m.m) // i.indeg) END AS BIGINT) AS x FROM m0 m JOIN indeg i ON i.id = m.id),
+m1 AS MATERIALIZED (SELECT l.dst AS id, x.dim, CAST(sum(x.x) AS BIGINT) AS m FROM x1 x JOIN links l ON l.src = x.id GROUP BY l.dst, x.dim),
+x2 AS MATERIALIZED (SELECT m.id, m.dim, CAST(CASE WHEN m.m >= 0 THEN m.m // i.indeg ELSE -((-m.m) // i.indeg) END AS BIGINT) AS x FROM m1 m JOIN indeg i ON i.id = m.id),
+m2 AS MATERIALIZED (SELECT l.dst AS id, x.dim, CAST(sum(x.x) AS BIGINT) AS m FROM x2 x JOIN links l ON l.src = x.id GROUP BY l.dst, x.dim),
+x3 AS MATERIALIZED (SELECT m.id, m.dim, CAST(CASE WHEN m.m >= 0 THEN m.m // i.indeg ELSE -((-m.m) // i.indeg) END AS BIGINT) AS x FROM m2 m JOIN indeg i ON i.id = m.id),
+acc AS (SELECT id, dim, CAST(sum(x) AS BIGINT) AS emb FROM (SELECT * FROM x1 UNION ALL SELECT * FROM x2 UNION ALL SELECT * FROM x3) GROUP BY id, dim)
+SELECT g.id, g.dim, CAST(coalesce(a.emb, 0) AS BIGINT) AS emb FROM (SELECT v.id, d.dim FROM verts v CROSS JOIN dims d) g LEFT JOIN acc a ON a.id = g.id AND a.dim = g.dim ORDER BY g.id, g.dim
+""".strip(),
+)
+def q_fastrp_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer FastRP graph embeddings (operators/fastrp.py): ±2^20 sign
+    projection from the portable hash, 3 rounds of sign-split
+    trunc-mean neighbor averaging, hop-summed — the training-free
+    embedding stage of a graph-ML feature pipeline, exact on both
+    engines.  Full (id, dim) grid over the hashed mod graph."""
+    from .operators.fastrp import fastrp_embeddings
+
+    res = fastrp_embeddings(
+        mod_edges(spark, sf_dir), dims=RP_DIMS, iters=RP_ITERS,
+        scale=RP_SCALE, num_partitions=_small_graph_parts(spark),
+    )
+    return res.select(
+        "id", F.col("dim").cast("long").alias("dim"), "emb"
+    ).orderBy("id", "dim")
+
+
 @register(
     "adamic_adar_pairs",
     f"""
