@@ -1679,6 +1679,79 @@ def q_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "canonical", "cluster_size").orderBy("doc_id")
 
 
+WINNOW_GRAMS_SQL = f"""
+toks AS MATERIALIZED (SELECT doc_id AS doc, {_TOKENS_SQL} AS ts
+                      FROM documents WHERE len({_TOKENS_SQL}) >= 4),
+grams AS MATERIALIZED (
+  SELECT doc, CAST(gi AS BIGINT) AS i,
+         {_hash60_sql("ts[gi] || ' ' || ts[gi+1] || ' ' || ts[gi+2]"
+                      " || ' ' || ts[gi+3]")} AS h
+  FROM (SELECT doc, ts, unnest(range(1, len(ts) - 2)) AS gi FROM toks)
+),
+ngt AS (SELECT doc, max(i) AS ng FROM grams GROUP BY doc),
+grid AS MATERIALIZED (
+  SELECT g.doc, g.i, g.h,
+         CAST(unnest(range(greatest(g.i - 3, 1),
+                           least(g.i, greatest(n.ng - 3, 1)) + 1))
+              AS BIGINT) AS s
+  FROM grams g JOIN ngt n ON n.doc = g.doc
+),
+wmin AS (SELECT doc, s, min(h) AS mh FROM grid GROUP BY doc, s),
+sel AS (SELECT g.doc, g.s, g.h, max(g.i) AS pos
+        FROM grid g JOIN wmin w ON w.doc = g.doc AND w.s = g.s
+                                AND g.h = w.mh
+        GROUP BY g.doc, g.s, g.h),
+fps AS (SELECT DISTINCT doc, CAST(pos AS BIGINT) AS pos, h AS fp FROM sel)
+""".strip()
+
+
+@register(
+    "winnow_fingerprints",
+    f"""
+WITH {WINNOW_GRAMS_SQL}
+SELECT doc, pos, fp FROM fps ORDER BY doc, pos, fp
+""".strip(),
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints over the documents table: per window
+    of w=4 consecutive k=4-gram hashes, the rightmost minimal hash
+    (operators/winnow.py) — the position-robust copy-detection index a
+    code-corpus pipeline builds before near-copy matching."""
+    from .operators.winnow import winnow_fingerprints
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        winnow_fingerprints(d, k=4, w=4)
+        .select("doc", F.col("pos").cast("long").alias("pos"), "fp")
+        .orderBy("doc", "pos", "fp")
+    )
+
+
+@register(
+    "winnow_match_pairs",
+    f"""
+WITH {WINNOW_GRAMS_SQL},
+dfps AS (SELECT DISTINCT doc, fp FROM fps),
+ok AS (SELECT fp FROM dfps GROUP BY fp HAVING count(*) <= 16)
+SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(count(*) AS BIGINT) AS shared
+FROM dfps a JOIN ok USING (fp) JOIN dfps b USING (fp)
+WHERE a.doc < b.doc
+GROUP BY doc_a, doc_b HAVING count(*) >= 2
+ORDER BY doc_a, doc_b
+""".strip(),
+)
+def q_winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-copy candidate pairs: inverted-index equi-join on winnowing
+    fingerprints with a document-frequency cap (boilerplate fingerprints
+    never become a quadratic hot key), ≥2 shared fingerprints."""
+    from .operators.winnow import winnow_match_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return winnow_match_pairs(
+        d, k=4, w=4, min_shared=2, max_df=16
+    ).orderBy("doc_a", "doc_b")
+
+
 def _simhash_sql() -> str:
     return f"""
 WITH toks AS (
@@ -7327,7 +7400,8 @@ _DRIVER_WINDOW: list[str] = [
     # neighbor_feature_sums, item_cooccurrence_topk, partition_stats,
     # source_quality_rollup, boilerplate_clusters, rmat_edges, pq_codes,
     # pq_adc_topk, eigencentrality_top20, hll_distinct_sketch,
-    # bpe_merge_candidates, lm_familiarity_scores, attack_robustness_curve)
+    # bpe_merge_candidates, lm_familiarity_scores, attack_robustness_curve,
+    # fastrp_embeddings, winnow_fingerprints, winnow_match_pairs)
     # — rotate them in for r5, swapping out
     # entries that go green in CORRECTNESS_r04.
 ]
