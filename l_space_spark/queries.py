@@ -1752,6 +1752,73 @@ def q_winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+@register(
+    "scan_roles",
+    f"""
+WITH RECURSIVE e0 AS ({MOD_EDGES_SQL}),
+und AS (SELECT src, dst FROM e0 WHERE src <> dst
+        UNION SELECT dst, src FROM e0 WHERE src <> dst),
+deg AS (SELECT src AS id, count(*) AS d FROM und GROUP BY src),
+canon AS (SELECT src AS u, dst AS v FROM und WHERE src < dst),
+cmn AS (SELECT a.dst AS u, b.dst AS v, count(*) AS cn
+        FROM und a JOIN und b ON a.src = b.src AND a.dst < b.dst
+        GROUP BY a.dst, b.dst),
+ee AS (SELECT c.u, c.v, coalesce(m.cn, 0) AS cn,
+              du.d + 1 AS du1, dv.d + 1 AS dv1
+       FROM canon c LEFT JOIN cmn m ON m.u = c.u AND m.v = c.v
+       JOIN deg du ON du.id = c.u JOIN deg dv ON dv.id = c.v),
+sim AS (SELECT u, v FROM ee WHERE (cn+2)*(cn+2)*25 >= 9*du1*dv1),
+nsim AS (SELECT id, count(*) AS n FROM
+         (SELECT u AS id FROM sim UNION ALL SELECT v AS id FROM sim)
+         GROUP BY id),
+cores AS (SELECT d.id FROM deg d LEFT JOIN nsim s ON s.id = d.id
+          WHERE coalesce(s.n, 0) + 1 >= 3),
+cse AS (SELECT s.u AS src, s.v AS dst FROM sim s
+        JOIN cores a ON a.id = s.u JOIN cores b ON b.id = s.v
+        UNION
+        SELECT s.v, s.u FROM sim s
+        JOIN cores a ON a.id = s.u JOIN cores b ON b.id = s.v),
+reach(id, comp) AS (SELECT id, id FROM cores
+                    UNION
+                    SELECT c.dst, r.comp FROM reach r
+                    JOIN cse c ON c.src = r.id),
+clab AS (SELECT id, min(comp) AS cluster FROM reach GROUP BY id),
+corerows AS (SELECT id, cluster, 'core' AS role FROM clab),
+simdir AS (SELECT u, v FROM sim UNION SELECT v, u FROM sim),
+border AS (SELECT sd.u AS id, min(cr.cluster) AS cluster,
+                  'border' AS role
+           FROM simdir sd JOIN corerows cr ON cr.id = sd.v
+           WHERE sd.u NOT IN (SELECT id FROM cores)
+           GROUP BY sd.u),
+assigned AS (SELECT * FROM corerows UNION ALL SELECT * FROM border),
+rest AS (SELECT id FROM deg
+         WHERE id NOT IN (SELECT id FROM assigned)),
+nbrcl AS (SELECT u.src AS id, count(DISTINCT a.cluster) AS nc
+          FROM und u JOIN assigned a ON a.id = u.dst
+          JOIN rest r ON r.id = u.src
+          GROUP BY u.src)
+SELECT id, CAST(cluster AS BIGINT) AS cluster, role FROM assigned
+UNION ALL
+SELECT r.id, CAST(-1 AS BIGINT) AS cluster,
+       CASE WHEN coalesce(n.nc, 0) >= 2 THEN 'hub' ELSE 'outlier' END
+FROM rest r LEFT JOIN nbrcl n ON n.id = r.id
+ORDER BY id
+""".strip(),
+)
+def q_scan_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCAN structural clustering (operators/scan.py) at ε=3/5, μ=3 over
+    the hashed mod graph: every vertex classified core/border/hub/outlier
+    with its cluster label (min core id, −1 unclustered) — the
+    structural-role companion to the Louvain/label-propagation entries,
+    integer-exact on both engines."""
+    from .operators.scan import scan_clusters
+
+    return scan_clusters(
+        spark, mod_edges(spark, sf_dir), eps_num=3, eps_den=5, mu=3,
+        num_partitions=_small_graph_parts(spark),
+    ).orderBy("id")
+
+
 def _simhash_sql() -> str:
     return f"""
 WITH toks AS (
