@@ -3920,6 +3920,96 @@ ORACLES["personalized_pagerank"] = _ppr_oracle(
 )
 
 
+def _spam_mass_oracle(edges_sql: str, iters: int, seeds: list[int],
+                      damping: float = 0.85) -> str:
+    """Global-PageRank and TrustRank chains unrolled side by side over the
+    same links table, joined into the relative-spam-mass readout."""
+    tp = (f"CASE WHEN id IN ({', '.join(map(str, seeds))})"
+          f" THEN {1.0 / len(seeds)} ELSE 0.0 END")
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({edges_sql}),",
+        "links AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),",
+        "verts AS MATERIALIZED (SELECT src AS id FROM links UNION SELECT dst FROM links),",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS d FROM links GROUP BY src),",
+        "nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM verts),",
+        "g0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM verts),",
+        f"t0 AS MATERIALIZED (SELECT id, {tp} AS rank FROM verts),",
+    ]
+    for k in range(iters):
+        parts += [
+            f"gm{k} AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0.0) AS mass FROM g{k} r"
+            f" LEFT JOIN deg d ON d.src = r.id WHERE d.src IS NULL),",
+            f"gc{k} AS MATERIALIZED (SELECT l.dst AS id, sum(r.rank / d.d) AS contrib"
+            f" FROM g{k} r JOIN deg d ON d.src = r.id JOIN links l ON l.src = r.id"
+            f" GROUP BY l.dst),",
+            f"g{k+1} AS MATERIALIZED (SELECT v.id,"
+            f" (1 - {damping}) / (SELECT n FROM nn)"
+            f" + {damping} * ((SELECT mass FROM gm{k}) / (SELECT n FROM nn)"
+            f"                + coalesce(c.contrib, 0.0)) AS rank"
+            f" FROM verts v LEFT JOIN gc{k} c ON c.id = v.id),",
+            f"tm{k} AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0.0) AS mass FROM t{k} r"
+            f" LEFT JOIN deg d ON d.src = r.id WHERE d.src IS NULL),",
+            f"tc{k} AS MATERIALIZED (SELECT l.dst AS id, sum(r.rank / d.d) AS contrib"
+            f" FROM t{k} r JOIN deg d ON d.src = r.id JOIN links l ON l.src = r.id"
+            f" GROUP BY l.dst),",
+            f"t{k+1} AS MATERIALIZED (SELECT v.id,"
+            f" (1 - {damping}) * ({tp.replace('id', 'v.id')})"
+            f" + {damping} * (SELECT mass FROM tm{k}) * ({tp.replace('id', 'v.id')})"
+            f" + {damping} * coalesce(c.contrib, 0.0) AS rank"
+            f" FROM verts v LEFT JOIN tc{k} c ON c.id = v.id),",
+        ]
+    parts.append(
+        f"fin AS (SELECT g.id,"
+        f" CAST(floor(g.rank * 1e6 + 0.5) AS BIGINT) AS pr_e6,"
+        f" CAST(floor((g.rank - t.rank) / g.rank * 1e6 + 0.5) AS BIGINT)"
+        f" AS spam_mass_e6"
+        f" FROM g{iters} g JOIN t{iters} t ON t.id = g.id)"
+    )
+    parts.append(
+        "SELECT id, pr_e6, spam_mass_e6 FROM fin"
+        " ORDER BY spam_mass_e6 DESC, id LIMIT 20"
+    )
+    return "\n".join(parts)
+
+
+@register("spam_mass_top", None)  # oracle attached below
+def q_spam_mass_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative spam mass (Gyöngyi, Berkhin, Garcia-Molina, Pedersen 2006,
+    "Link Spam Detection Based on Mass Estimation"): run global PageRank
+    and TrustRank (personalized PageRank whose teleport AND dangling mass
+    concentrate on a trusted seed set — ``operators/pagerank.pagerank``
+    with ``seeds=``) over the SAME link graph for the same fixed iteration
+    count, then rank vertices by ``(p − t) / p`` — the fraction of a
+    vertex's PageRank that does NOT flow through the trusted core, the
+    classic web-spam demotion signal for a 10^12-page link graph.  Both
+    power-iteration chains are the already-driver-green shapes (only
+    |V|-row state shuffles per superstep; the edge cache is partitioned
+    once); the composition adds one |V|-row join."""
+    edges = customer_supplier_edges(spark, sf_dir)
+    seed_df = spark.createDataFrame([(s,) for s in PPR_SEEDS], "id long")
+    p = pagerank(spark, edges, damping=0.85, tol=-1.0, max_iters=PPR_ITERS,
+                 resume=False).state.select("id", F.col("rank").alias("p"))
+    t = pagerank(spark, edges, damping=0.85, tol=-1.0, max_iters=PPR_ITERS,
+                 resume=False, seeds=seed_df,
+                 ).state.select("id", F.col("rank").alias("t"))
+    return (
+        p.join(t, "id")
+        .select(
+            "id",
+            fixed_point(F.col("p"), 1e6).alias("pr_e6"),
+            fixed_point((F.col("p") - F.col("t")) / F.col("p"), 1e6)
+            .alias("spam_mass_e6"),
+        )
+        .orderBy(F.col("spam_mass_e6").desc(), F.col("id"))
+        .limit(20)
+    )
+
+
+ORACLES["spam_mass_top"] = _spam_mass_oracle(
+    CUSTOMER_SUPPLIER_EDGES_SQL, PPR_ITERS, PPR_SEEDS
+)
+
+
 @register(
     "json_props_extract",  # semi-structured column → typed extraction + agg
     """
@@ -7468,7 +7558,8 @@ _DRIVER_WINDOW: list[str] = [
     # source_quality_rollup, boilerplate_clusters, rmat_edges, pq_codes,
     # pq_adc_topk, eigencentrality_top20, hll_distinct_sketch,
     # bpe_merge_candidates, lm_familiarity_scores, attack_robustness_curve,
-    # fastrp_embeddings, winnow_fingerprints, winnow_match_pairs)
+    # fastrp_embeddings, winnow_fingerprints, winnow_match_pairs,
+    # scan_roles, spam_mass_top)
     # — rotate them in for r5, swapping out
     # entries that go green in CORRECTNESS_r04.
 ]
