@@ -193,3 +193,83 @@ def hll_estimate(registers: DataFrame, m: int = HLL_M,
             F.expr(f"CAST({a_num} AS BIGINT) div denom").alias("est_e5"),
         )
     )
+
+
+# ---- Bloom filter (bit_or-mergeable membership sketch) -----------------------
+
+BLOOM_WORD_BITS = 60   # bits used per int64 word — the sign bit never set
+BLOOM_WORDS = 256      # default filter width: 256 words = 15360 bits
+BLOOM_K = 3            # hash functions
+
+
+def _bloom_pos(col, i: int, m_bits: int):
+    """Position of hash function ``i`` for item ``col`` in a ``m_bits``-bit
+    filter: the portable 60-bit hash of ``item:i`` mod m."""
+    return F.pmod(
+        hash60(F.concat(col.cast("string"), F.lit(f":{i}"))), F.lit(m_bits)
+    )
+
+
+def bloom_build(df: DataFrame, item_col: str, k: int = BLOOM_K,
+                words: int = BLOOM_WORDS) -> DataFrame:
+    """(word, bits): Bloom filter over the items (Bloom 1970) as a sparse
+    int64 word table — bit ``p mod 60`` of word ``p div 60`` set for each
+    of the ``k`` hash positions ``p`` of each item.
+
+    MERGEABLE: filters over shards combine by per-word ``bit_or`` — the
+    same one-line aggregation that builds them (``bloom_merge``), so a
+    100-TB corpus builds its membership filter as one combiner-backed
+    groupBy and re-aggregates it across days/partitions like count+sum.
+    Only bits 0..59 of each word are used, so words stay nonnegative and
+    every shift/div below is portable trunc-division arithmetic."""
+    m_bits = words * BLOOM_WORD_BITS
+    pos = df.select(
+        F.explode(F.array(*[
+            _bloom_pos(F.col(item_col), i, m_bits) for i in range(k)
+        ])).alias("p")
+    )
+    return (
+        pos.select(
+            F.expr(f"p div {BLOOM_WORD_BITS}").alias("word"),
+            F.pmod(F.col("p"), F.lit(BLOOM_WORD_BITS)).alias("b"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or(F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"
+        )).alias("bits"))
+    )
+
+
+def bloom_merge(filters: DataFrame) -> DataFrame:
+    """Merge word tables from any number of shards: per-word bit_or."""
+    return filters.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_probe(flt: DataFrame, probes: DataFrame, item_col: str,
+                k: int = BLOOM_K, words: int = BLOOM_WORDS) -> DataFrame:
+    """(id = probe item, predicted): membership verdict per DISTINCT probe
+    item — 1 iff all ``k`` bit positions are set (no false negatives by
+    construction; false positives at the classic ``(1−e^{−kn/m})^k``
+    rate).  The probe is an equi-join on the word key against the sparse
+    filter table — at scale the filter (≤ ``words`` rows) broadcasts."""
+    m_bits = words * BLOOM_WORD_BITS
+    ppos = probes.select(F.col(item_col).alias("id")).distinct().select(
+        "id",
+        F.explode(F.array(*[
+            _bloom_pos(F.col("id"), i, m_bits) for i in range(k)
+        ])).alias("p"),
+    ).select(
+        "id",
+        F.expr(f"p div {BLOOM_WORD_BITS}").alias("word"),
+        F.pmod(F.col("p"), F.lit(BLOOM_WORD_BITS)).alias("b"),
+    )
+    bit = F.expr(
+        "(coalesce(bits, CAST(0 AS BIGINT))"
+        " div shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))) % 2"
+    )
+    return (
+        ppos.join(flt, "word", "left")
+        .select("id", bit.alias("bit"))
+        .groupBy("id")
+        .agg(F.min("bit").cast("long").alias("predicted"))
+    )

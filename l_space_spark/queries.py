@@ -2278,6 +2278,95 @@ def q_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 64 words × 60 bits — deliberately tight at test scale (~1.4k members in
+# 3840 bits → ~31% FP rate) so the confusion matrix exercises the
+# false-positive path, not just the all-ones diagonal
+_BLOOM_WORDS = 64
+_BLOOM_M = _BLOOM_WORDS * 60
+
+
+def _bloom_pos_sql(val: str, i: int) -> str:
+    return (f"(('0x' || substr(md5(CAST({val} AS VARCHAR) || ':{i}'),"
+            f" 1, 15))::BIGINT % {_BLOOM_M})")
+
+
+@register(
+    "bloom_membership",
+    f"""
+WITH members AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS v FROM orders WHERE o_orderstatus = 'P'),
+ks AS (SELECT 0 AS i UNION ALL SELECT 1 UNION ALL SELECT 2),
+mpos AS MATERIALIZED (
+  SELECT CASE k.i WHEN 0 THEN {_bloom_pos_sql('m.v', 0)}
+                  WHEN 1 THEN {_bloom_pos_sql('m.v', 1)}
+                  ELSE {_bloom_pos_sql('m.v', 2)} END AS p
+  FROM members m CROSS JOIN ks k),
+flt AS MATERIALIZED (
+  SELECT p // 60 AS word,
+         bit_or((CAST(1 AS BIGINT) << CAST(p % 60 AS INT))) AS bits
+  FROM mpos GROUP BY p // 60),
+probes AS MATERIALIZED (SELECT DISTINCT c_custkey AS v FROM customer),
+ppos AS MATERIALIZED (
+  SELECT p.v, CASE k.i WHEN 0 THEN {_bloom_pos_sql('p.v', 0)}
+                       WHEN 1 THEN {_bloom_pos_sql('p.v', 1)}
+                       ELSE {_bloom_pos_sql('p.v', 2)} END AS p
+  FROM probes p CROSS JOIN ks k),
+pbit AS (SELECT pp.v,
+                (coalesce(f.bits, 0) //
+                 (CAST(1 AS BIGINT) << CAST(pp.p % 60 AS INT))) % 2 AS bit
+         FROM ppos pp LEFT JOIN flt f ON f.word = pp.p // 60),
+pred AS (SELECT v, min(bit) AS predicted FROM pbit GROUP BY v),
+act AS (SELECT p.v,
+               CASE WHEN m.v IS NULL THEN 0 ELSE 1 END AS actual
+        FROM probes p LEFT JOIN members m ON m.v = p.v)
+SELECT CAST(a.actual AS BIGINT) AS actual,
+       CAST(pr.predicted AS BIGINT) AS predicted,
+       CAST(count(*) AS BIGINT) AS n
+FROM act a JOIN pred pr ON pr.v = a.v
+GROUP BY a.actual, pr.predicted
+ORDER BY actual, predicted
+""".strip(),
+)
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership sketch (operators/sketch.py bloom_*): build
+    the filter over the customers with a pending ('P') order, probe EVERY
+    customer, and report the (actual, predicted) confusion counts — no
+    false negatives by construction; the filter is sized deliberately
+    tight (3840 bits, k=3) so the false-positive cell is populated at
+    test scale.  Build and merge are one combiner-backed ``bit_or``
+    groupBy (mergeable across shards like count+sum, tests/test_bloom.py);
+    the probe equi-joins the ≤64-row word table, which broadcasts at any
+    corpus scale — the pre-join existence filter a 100-TB pipeline uses
+    before touching the big side.  Bits live in 0..59 of each int64 word,
+    so the whole sketch is portable nonnegative-integer arithmetic with
+    an exact DuckDB oracle."""
+    from .operators.sketch import bloom_build, bloom_probe
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    members = (
+        o.where(F.col("o_orderstatus") == "P")
+        .select(F.col("o_custkey").alias("v")).distinct()
+    )
+    flt = bloom_build(members, "v", words=_BLOOM_WORDS)
+    pred = bloom_probe(
+        flt, c.select(F.col("c_custkey").alias("v")), "v",
+        words=_BLOOM_WORDS,
+    )
+    actual = (
+        c.select(F.col("c_custkey").alias("id")).distinct()
+        .join(members.withColumnRenamed("v", "id")
+              .withColumn("__m", F.lit(1)), "id", "left")
+        .select("id", F.coalesce("__m", F.lit(0)).cast("long").alias("actual"))
+    )
+    return (
+        actual.join(pred, "id")
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("actual", "predicted")
+    )
+
+
 @register(
     "hypertable_rollup",
     """
@@ -7559,7 +7648,7 @@ _DRIVER_WINDOW: list[str] = [
     # pq_adc_topk, eigencentrality_top20, hll_distinct_sketch,
     # bpe_merge_candidates, lm_familiarity_scores, attack_robustness_curve,
     # fastrp_embeddings, winnow_fingerprints, winnow_match_pairs,
-    # scan_roles, spam_mass_top)
+    # scan_roles, spam_mass_top, bloom_membership)
     # — rotate them in for r5, swapping out
     # entries that go green in CORRECTNESS_r04.
 ]
