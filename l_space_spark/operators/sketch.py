@@ -273,3 +273,72 @@ def bloom_probe(flt: DataFrame, probes: DataFrame, item_col: str,
         .groupBy("id")
         .agg(F.min("bit").cast("long").alias("predicted"))
     )
+
+
+# ---- Count-Min sketch (sum-mergeable frequency sketch) ------------------------
+
+CMS_DEPTH = 3      # hash rows
+CMS_WIDTH = 1024   # counters per row
+
+
+def _cms_col(col, i: int, w: int):
+    """Counter column of hash row ``i`` for item ``col``: the portable
+    60-bit hash of ``item:i`` mod the row width."""
+    return F.pmod(
+        hash60(F.concat(col.cast("string"), F.lit(f":{i}"))), F.lit(w)
+    )
+
+
+def cms_build(df: DataFrame, item_col: str, depth: int = CMS_DEPTH,
+              width: int = CMS_WIDTH) -> DataFrame:
+    """(row, col, cnt): Count-Min sketch (Cormode & Muthukrishnan 2005)
+    over the item stream — each occurrence increments one counter per
+    hash row.
+
+    MERGEABLE: sketches over shards/days combine by per-cell SUM
+    (``cms_merge``) — the frequency analog of the Bloom filter's bit_or
+    and the HLL registers' max; one combiner-backed groupBy builds it at
+    any scale, with at most depth·width cells ever materialized."""
+    cells = df.select(F.explode(F.array(*[
+        F.struct(
+            F.lit(i).alias("row"),
+            _cms_col(F.col(item_col), i, width).alias("col"),
+        )
+        for i in range(depth)
+    ])).alias("c")).select("c.row", "c.col")
+    return (
+        cells.groupBy("row", "col")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(sketches: DataFrame) -> DataFrame:
+    """Merge cell tables from any number of shards: per-cell sum."""
+    return sketches.groupBy("row", "col").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def cms_query(cms: DataFrame, probes: DataFrame, item_col: str,
+              depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """(id = probe item, est): point-frequency estimate per DISTINCT probe
+    — min over the item's ``depth`` counters (absent cell → 0).  Never
+    underestimates; overestimates by collision mass at the classic
+    ``ε = e/width`` rate.  The probe equi-joins the ≤ depth·width-row
+    cell table, which broadcasts at any corpus scale."""
+    ppos = probes.select(F.col(item_col).alias("id")).distinct().select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("row"),
+                _cms_col(F.col("id"), i, width).alias("col"),
+            )
+            for i in range(depth)
+        ])).alias("c"),
+    ).select("id", "c.row", "c.col")
+    return (
+        ppos.join(cms, ["row", "col"], "left")
+        .select("id", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+        .groupBy("id")
+        .agg(F.min("cnt").cast("long").alias("est"))
+    )

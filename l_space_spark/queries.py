@@ -2367,6 +2367,75 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_W = 1024
+
+
+def _cms_col_sql(val: str, i: int) -> str:
+    return (f"(('0x' || substr(md5({val} || ':{i}'), 1, 15))::BIGINT"
+            f" % {_CMS_W})")
+
+
+@register(
+    "cms_heavy_hitters",
+    f"""
+WITH toks AS MATERIALIZED (
+  SELECT unnest({_TOKENS_SQL}) AS t FROM documents),
+exact AS MATERIALIZED (
+  SELECT t, CAST(count(*) AS BIGINT) AS exact_n FROM toks GROUP BY t),
+top AS MATERIALIZED (
+  SELECT t, exact_n FROM exact ORDER BY exact_n DESC, t LIMIT 20),
+ks AS (SELECT 0 AS i UNION ALL SELECT 1 UNION ALL SELECT 2),
+cells AS MATERIALIZED (
+  SELECT k.i AS row,
+         CASE k.i WHEN 0 THEN {_cms_col_sql('tk.t', 0)}
+                  WHEN 1 THEN {_cms_col_sql('tk.t', 1)}
+                  ELSE {_cms_col_sql('tk.t', 2)} END AS col,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM toks tk CROSS JOIN ks k GROUP BY 1, 2),
+ppos AS (
+  SELECT tp.t, k.i AS row,
+         CASE k.i WHEN 0 THEN {_cms_col_sql('tp.t', 0)}
+                  WHEN 1 THEN {_cms_col_sql('tp.t', 1)}
+                  ELSE {_cms_col_sql('tp.t', 2)} END AS col
+  FROM top tp CROSS JOIN ks k),
+est AS (
+  SELECT p.t, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_n
+  FROM ppos p LEFT JOIN cells c ON c.row = p.row AND c.col = p.col
+  GROUP BY p.t)
+SELECT tp.t AS token, tp.exact_n, e.est_n
+FROM top tp JOIN est e ON e.t = tp.t
+ORDER BY exact_n DESC, token
+""".strip(),
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (operators/sketch.py cms_*): estimated vs exact
+    occurrence counts for the corpus's 20 most frequent tokens.  The
+    sketch is one combiner-backed groupBy into ≤ 3·1024 cells — NO
+    token-level shuffle survives it, the property that makes frequency
+    tracking one broadcastable table at 100 TB (the ``exact_n`` column is
+    the validation twin, not the scale path) — and merges across
+    shards/days by per-cell sum (tests/test_cms.py).  Estimates never
+    underestimate; overflow mass at the e/width rate.  Pure integer
+    arithmetic on the portable 60-bit hash, so the DuckDB oracle
+    reproduces the approximate values exactly."""
+    from .functions.text import tokens as _tok
+    from .operators.sketch import cms_build, cms_query
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(_tok(F.col("text"))).alias("t")).persist()
+    exact = toks.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    top = exact.orderBy(F.col("exact_n").desc(), "t").limit(20)
+    est = cms_query(cms_build(toks, "t", width=_CMS_W), top, "t",
+                    width=_CMS_W).select("id", F.col("est").alias("est_n"))
+    return (
+        top.join(est, top["t"] == est["id"])
+        .select(F.col("t").alias("token"), "exact_n", "est_n")
+        .orderBy(F.col("exact_n").desc(), "token")
+    )
+
+
 @register(
     "hypertable_rollup",
     """
@@ -7648,7 +7717,7 @@ _DRIVER_WINDOW: list[str] = [
     # pq_adc_topk, eigencentrality_top20, hll_distinct_sketch,
     # bpe_merge_candidates, lm_familiarity_scores, attack_robustness_curve,
     # fastrp_embeddings, winnow_fingerprints, winnow_match_pairs,
-    # scan_roles, spam_mass_top, bloom_membership)
+    # scan_roles, spam_mass_top, bloom_membership, cms_heavy_hitters)
     # — rotate them in for r5, swapping out
     # entries that go green in CORRECTNESS_r04.
 ]
