@@ -554,3 +554,75 @@ def paragraph_dedup_stats(df: DataFrame, id_col: str,
             hash60(F.coalesce("kept_text", F.lit(""))).alias("kept_hash"),
         )
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text",
+    j_num: int = 1, j_den: int = 2,
+) -> DataFrame:
+    """(a, b, inter_n, size_a, size_b): document pairs whose token-SET
+    Jaccard ≥ j_num/j_den, found via PREFIX FILTERING (Chaudhuri, Ganti,
+    Kaushik ICDE 2006; Xiao et al. WWW 2008 — the PPJoin family).
+
+    Scale story vs the plain inverted index (``ngram_jaccard_pairs``):
+    order every document's tokens by ascending global document frequency
+    (ties by token — a total order, identical in both engines) and index
+    only the first ``n − ⌈t·n⌉ + 1`` tokens.  Any pair with Jaccard ≥ t
+    MUST collide on a prefix token, so candidate generation joins on the
+    RAREST tokens only — the hot boilerplate tokens that dominate
+    Σbucket² in a naive index never enter the join.  A size filter
+    (``t·|A| ≤ |B| ≤ |A|/t``) prunes candidates before the exact-overlap
+    verification, which runs only over surviving pairs.
+
+    All threshold arithmetic is integer cross-multiplication: prefix
+    length uses ``⌈t·n⌉ = (j_num·n + j_den − 1) div j_den`` (nonnegative
+    div — portable), the final test is ``(j_den+j_num)·i ≥
+    j_num·(|A|+|B|)``.  The per-document rank window is doc-local
+    (bounded by document length, the winnow/chunking discipline)."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    ts = (
+        df.select(F.col(id_col).alias("id"),
+                  F.explode(tokens(F.col(text_col))).alias("t"))
+        .distinct().persist()
+    )
+    dfs = ts.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    sizes = ts.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    ranked = ts.join(dfs, "t").withColumn(
+        "r", F.row_number().over(Window.partitionBy("id").orderBy("df", "t"))
+    )
+    plen = (
+        F.col("n")
+        - F.expr(f"({j_num} * n + {j_den} - 1) div {j_den}")
+        + F.lit(1)
+    )
+    pref = ranked.join(sizes, "id").where(F.col("r") <= plen)
+    pa = pref.select(F.col("id").alias("a"), "t", F.col("n").alias("na"))
+    pb = pref.select(F.col("id").alias("b"), "t", F.col("n").alias("nb"))
+    cand = (
+        pa.join(pb, "t")
+        .where(
+            (F.col("a") < F.col("b"))
+            & (F.lit(j_den) * F.col("nb") >= F.lit(j_num) * F.col("na"))
+            & (F.lit(j_den) * F.col("na") >= F.lit(j_num) * F.col("nb"))
+        )
+        .select("a", "b").distinct()
+    )
+    ov = (
+        cand.join(ts.select(F.col("id").alias("a"), "t"), "a")
+        .join(ts.select(F.col("id").alias("b"), "t"), ["b", "t"])
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter_n"))
+    )
+    return (
+        ov.join(sizes.select(F.col("id").alias("a"),
+                             F.col("n").alias("size_a")), "a")
+        .join(sizes.select(F.col("id").alias("b"),
+                           F.col("n").alias("size_b")), "b")
+        .where(
+            F.lit(j_den + j_num) * F.col("inter_n")
+            >= F.lit(j_num) * (F.col("size_a") + F.col("size_b"))
+        )
+        .select("a", "b", "inter_n", "size_a", "size_b")
+    )

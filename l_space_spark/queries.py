@@ -7618,6 +7618,40 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rnk")
 
 
+_PREFIX_JACCARD_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id, unnest({_TOKENS_SQL}) AS t FROM documents)),
+sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ai, b.doc_id AS bi, count(*) AS i
+  FROM toks a JOIN toks b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT ai AS a, bi AS b, i AS inter_n, sa.n AS size_a, sb.n AS size_b
+FROM inter JOIN sizes sa ON sa.doc_id = ai JOIN sizes sb ON sb.doc_id = bi
+WHERE 3 * i >= sa.n + sb.n  -- token-set Jaccard ≥ 1/2, exact int arithmetic
+ORDER BY a, b
+""".strip()
+
+
+@register("prefix_jaccard_pairs", _PREFIX_JACCARD_SQL)
+def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-family prefix-filtered set-similarity self-join
+    (operators/dedup.prefix_jaccard_pairs): token-set Jaccard ≥ 1/2
+    pairs where candidate generation joins ONLY on each document's
+    rarest ``n − ⌈t·n⌉ + 1`` tokens (ascending-df prefix), so hot
+    boilerplate tokens never enter the join — the scale-path upgrade
+    over the full inverted index of ``dedup_ngram_jaccard``.  The
+    oracle is the naive exact join: prefix filtering is lossless, so
+    results must match token-for-token."""
+    from .operators.dedup import prefix_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return prefix_jaccard_pairs(d, "doc_id", "text", j_num=1, j_den=2).orderBy(
+        "a", "b"
+    )
+
+
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
 # in iteration order.  Registration order above is historical (round 1 → 3),
 # so without reordering the round-2/3 algorithm family would never receive a
@@ -7717,7 +7751,8 @@ _DRIVER_WINDOW: list[str] = [
     # pq_adc_topk, eigencentrality_top20, hll_distinct_sketch,
     # bpe_merge_candidates, lm_familiarity_scores, attack_robustness_curve,
     # fastrp_embeddings, winnow_fingerprints, winnow_match_pairs,
-    # scan_roles, spam_mass_top, bloom_membership, cms_heavy_hitters)
+    # scan_roles, spam_mass_top, bloom_membership, cms_heavy_hitters,
+    # prefix_jaccard_pairs)
     # — rotate them in for r5, swapping out
     # entries that go green in CORRECTNESS_r04.
 ]

@@ -39,6 +39,40 @@ def test_ngram_jaccard_pairs(docs):
     assert not any(3 in p or 5 in p for p in pairs)
 
 
+def _brute_jaccard_pairs(rows, j_num, j_den):
+    import re
+
+    toks = {r["doc_id"]: set(re.findall(r"[a-z0-9]+", r["text"].lower()))
+            for r in rows}
+    expect = {}
+    ids = sorted(toks)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(toks[a] & toks[b])
+            if (j_den + j_num) * inter >= j_num * (len(toks[a]) + len(toks[b])):
+                expect[(a, b)] = (inter, len(toks[a]), len(toks[b]))
+    return expect
+
+
+def test_prefix_jaccard_pairs(docs):
+    got = {(r["a"], r["b"]): (r["inter_n"], r["size_a"], r["size_b"])
+           for r in dedup.prefix_jaccard_pairs(docs, "doc_id").collect()}
+    assert got == _brute_jaccard_pairs(docs.collect(), 1, 2)
+
+
+def test_prefix_jaccard_pairs_threshold_two_thirds(spark):
+    # a second threshold exercises the ceil-based prefix-length arithmetic;
+    # corpus built so some pairs fall between 1/2 and 2/3
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    rows = [(i, " ".join(words[j] for j in range(8) if (i >> j) & 1 or j < 3))
+            for i in range(1, 17)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["a"], r["b"]): (r["inter_n"], r["size_a"], r["size_b"])
+           for r in dedup.prefix_jaccard_pairs(df, "doc_id",
+                                               j_num=2, j_den=3).collect()}
+    assert got == _brute_jaccard_pairs(df.collect(), 2, 3)
+
+
 def test_minhash_lsh_recall_on_exact_dups(docs):
     sig = dedup.minhash_signatures(docs, "doc_id")
     rows = {r["id"]: tuple(r[f"h{i}"] for i in range(8)) for r in sig.collect()}
