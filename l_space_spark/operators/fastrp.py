@@ -55,6 +55,8 @@ def fastrp_embeddings(
     x_k``.  |x| ≤ scale at every round (a mean of values bounded by
     scale), so sums are ≤ indeg·scale ≪ 2^63 and emb ≤ iters·scale.
     """
+    if iters < 1:
+        raise ValueError(f"iters must be ≥ 1, got {iters}")
     links = (
         edges.where(F.col("src") != F.col("dst"))
         .select("src", "dst").distinct()

@@ -202,11 +202,13 @@ BLOOM_WORDS = 256      # default filter width: 256 words = 15360 bits
 BLOOM_K = 3            # hash functions
 
 
-def _bloom_pos(col, i: int, m_bits: int):
-    """Position of hash function ``i`` for item ``col`` in a ``m_bits``-bit
-    filter: the portable 60-bit hash of ``item:i`` mod m."""
+def _hash_mod(col, i: int, m: int):
+    """Portable 60-bit hash of ``item:i`` mod ``m`` — the position
+    convention shared by the Bloom filter (bit position in an m-bit
+    filter) and Count-Min (counter column in an m-wide row), mirrored
+    expression-for-expression by the DuckDB oracles."""
     return F.pmod(
-        hash60(F.concat(col.cast("string"), F.lit(f":{i}"))), F.lit(m_bits)
+        hash60(F.concat(col.cast("string"), F.lit(f":{i}"))), F.lit(m)
     )
 
 
@@ -225,7 +227,7 @@ def bloom_build(df: DataFrame, item_col: str, k: int = BLOOM_K,
     m_bits = words * BLOOM_WORD_BITS
     pos = df.select(
         F.explode(F.array(*[
-            _bloom_pos(F.col(item_col), i, m_bits) for i in range(k)
+            _hash_mod(F.col(item_col), i, m_bits) for i in range(k)
         ])).alias("p")
     )
     return (
@@ -256,7 +258,7 @@ def bloom_probe(flt: DataFrame, probes: DataFrame, item_col: str,
     ppos = probes.select(F.col(item_col).alias("id")).distinct().select(
         "id",
         F.explode(F.array(*[
-            _bloom_pos(F.col("id"), i, m_bits) for i in range(k)
+            _hash_mod(F.col("id"), i, m_bits) for i in range(k)
         ])).alias("p"),
     ).select(
         "id",
@@ -281,14 +283,6 @@ CMS_DEPTH = 3      # hash rows
 CMS_WIDTH = 1024   # counters per row
 
 
-def _cms_col(col, i: int, w: int):
-    """Counter column of hash row ``i`` for item ``col``: the portable
-    60-bit hash of ``item:i`` mod the row width."""
-    return F.pmod(
-        hash60(F.concat(col.cast("string"), F.lit(f":{i}"))), F.lit(w)
-    )
-
-
 def cms_build(df: DataFrame, item_col: str, depth: int = CMS_DEPTH,
               width: int = CMS_WIDTH) -> DataFrame:
     """(row, col, cnt): Count-Min sketch (Cormode & Muthukrishnan 2005)
@@ -302,7 +296,7 @@ def cms_build(df: DataFrame, item_col: str, depth: int = CMS_DEPTH,
     cells = df.select(F.explode(F.array(*[
         F.struct(
             F.lit(i).alias("row"),
-            _cms_col(F.col(item_col), i, width).alias("col"),
+            _hash_mod(F.col(item_col), i, width).alias("col"),
         )
         for i in range(depth)
     ])).alias("c")).select("c.row", "c.col")
@@ -331,7 +325,7 @@ def cms_query(cms: DataFrame, probes: DataFrame, item_col: str,
         F.explode(F.array(*[
             F.struct(
                 F.lit(i).alias("row"),
-                _cms_col(F.col("id"), i, width).alias("col"),
+                _hash_mod(F.col("id"), i, width).alias("col"),
             )
             for i in range(depth)
         ])).alias("c"),

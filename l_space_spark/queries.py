@@ -2286,8 +2286,8 @@ _BLOOM_M = _BLOOM_WORDS * 60
 
 
 def _bloom_pos_sql(val: str, i: int) -> str:
-    return (f"(('0x' || substr(md5(CAST({val} AS VARCHAR) || ':{i}'),"
-            f" 1, 15))::BIGINT % {_BLOOM_M})")
+    inner = f"CAST({val} AS VARCHAR) || ':{i}'"
+    return f"({_hash60_sql(inner)} % {_BLOOM_M})"
 
 
 @register(
@@ -2371,8 +2371,8 @@ _CMS_W = 1024
 
 
 def _cms_col_sql(val: str, i: int) -> str:
-    return (f"(('0x' || substr(md5({val} || ':{i}'), 1, 15))::BIGINT"
-            f" % {_CMS_W})")
+    inner = f"{val} || ':{i}'"
+    return f"({_hash60_sql(inner)} % {_CMS_W})"
 
 
 @register(

@@ -73,3 +73,10 @@ def test_embedding_is_a_function_of_in_neighborhood(spark):
     v3 = [got[(3, k)] for k in range(8)]
     assert v1 == v2
     assert v3 != v1
+
+
+def test_iters_zero_rejected(spark):
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="iters"):
+        fastrp_embeddings(edges_df(spark, [(0, 1)]), dims=4, iters=0)

@@ -45,7 +45,9 @@ def _brute_jaccard_pairs(rows, j_num, j_den):
     toks = {r["doc_id"]: set(re.findall(r"[a-z0-9]+", r["text"].lower()))
             for r in rows}
     expect = {}
-    ids = sorted(toks)
+    # token-less docs never reach the operator's explode/join pipeline —
+    # without this skip a pair of empty docs would "pass" (0 ≥ 0) here
+    ids = sorted(i for i in toks if toks[i])
     for i, a in enumerate(ids):
         for b in ids[i + 1:]:
             inter = len(toks[a] & toks[b])
@@ -55,9 +57,13 @@ def _brute_jaccard_pairs(rows, j_num, j_den):
 
 
 def test_prefix_jaccard_pairs(docs):
+    # +1 token-less doc: must be silently absent from pairs, not crash
+    aug = docs.unionByName(docs.sparkSession.createDataFrame(
+        [(6, "!!! ---")], "doc_id long, text string"))
     got = {(r["a"], r["b"]): (r["inter_n"], r["size_a"], r["size_b"])
-           for r in dedup.prefix_jaccard_pairs(docs, "doc_id").collect()}
-    assert got == _brute_jaccard_pairs(docs.collect(), 1, 2)
+           for r in dedup.prefix_jaccard_pairs(aug, "doc_id").collect()}
+    assert got == _brute_jaccard_pairs(aug.collect(), 1, 2)
+    assert not any(6 in p for p in got)
 
 
 def test_prefix_jaccard_pairs_threshold_two_thirds(spark):

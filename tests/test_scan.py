@@ -44,10 +44,16 @@ def twin(pairs, eps_num, eps_den, mu):
                 lab = label[c]
                 if cur is None or lab < cur[0]:
                     out[b] = (lab, "border")
+    # snapshot the core/border assignments BEFORE classifying hubs/
+    # outliers: the neighbor-cluster set must see only real cluster
+    # labels, never the -1 of an earlier-classified hub/outlier (the
+    # operator and oracle both count distinct clusters of ASSIGNED
+    # neighbors only)
+    assigned = dict(out)
     for x in adj:
         if x in out:
             continue
-        ncl = {out[n][0] for n in adj[x] if n in out}
+        ncl = {assigned[n][0] for n in adj[x] if n in assigned}
         out[x] = (-1, "hub" if len(ncl) >= 2 else "outlier")
     return out
 
