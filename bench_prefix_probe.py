@@ -103,7 +103,8 @@ def main() -> None:
         out[f"prefix_{label}"] = {
             "docs": n, "pairs": np_, "wall_s": round(time.time() - t0, 2),
         }
-        assert np_ == n // 100, (np_, n)
+        # planted pairs are (100k, 100k+1) for every 100k+1 < n
+        assert np_ == len(range(0, n - 1, 100)), (np_, n)
         if label == "small":
             t0 = time.time()
             nn = naive_pairs(docs).count()

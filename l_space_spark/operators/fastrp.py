@@ -57,6 +57,10 @@ def fastrp_embeddings(
     """
     if iters < 1:
         raise ValueError(f"iters must be ≥ 1, got {iters}")
+    if dims < 1:
+        # sequence(0, dims-1) auto-steps DESCENDING when dims-1 < 0, so
+        # without this guard dims=0 silently yields dims [0, -1]
+        raise ValueError(f"dims must be ≥ 1, got {dims}")
     links = (
         edges.where(F.col("src") != F.col("dst"))
         .select("src", "dst").distinct()

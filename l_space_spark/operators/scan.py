@@ -108,10 +108,19 @@ def scan_clusters(
         sim.join(core_u, "u", "semi").join(core_v, "v", "semi")
         .select(F.col("u").alias("src"), F.col("v").alias("dst"))
     )
-    cc = connected_components(
+    cc_res = connected_components(
         spark, core_edges, max_iters=max_iters, resume=False,
         num_partitions=num_partitions,
-    ).state
+    )
+    if not cc_res.converged:
+        # an unconverged hash-min pass would silently leave far cores
+        # with non-minimal cluster ids, breaking the "cluster = min core
+        # id" contract this function (and its oracle) promises
+        raise RuntimeError(
+            f"scan_clusters: core-graph hash-min did not converge in "
+            f"{max_iters} supersteps; raise max_iters"
+        )
+    cc = cc_res.state
     # isolated cores (no core–core ε-edge) are their own cluster
     core_rows = (
         cores.join(cc, "id", "left")

@@ -2347,7 +2347,7 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = (
         o.where(F.col("o_orderstatus") == "P")
         .select(F.col("o_custkey").alias("v")).distinct()
-    )
+    ).persist()  # consumed twice: filter build + actual-label join
     flt = bloom_build(members, "v", words=_BLOOM_WORDS)
     pred = bloom_probe(
         flt, c.select(F.col("c_custkey").alias("v")), "v",

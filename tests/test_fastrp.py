@@ -80,3 +80,10 @@ def test_iters_zero_rejected(spark):
 
     with _pt.raises(ValueError, match="iters"):
         fastrp_embeddings(edges_df(spark, [(0, 1)]), dims=4, iters=0)
+
+
+def test_dims_zero_rejected(spark):
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="dims"):
+        fastrp_embeddings(edges_df(spark, [(0, 1)]), dims=0, iters=1)

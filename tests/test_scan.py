@@ -122,3 +122,17 @@ def test_hub_between_two_clusters(spark):
     assert got[6] == (-1, "hub")
     assert {got[i][0] for i in (1, 2)} == {0}
     assert {got[i][0] for i in (4, 5)} == {3}
+
+
+def test_unconverged_core_graph_raises(spark):
+    import pytest
+
+    # a long path of mutually ε-similar cores: hash-min needs one
+    # superstep per hop, so max_iters=1 cannot converge on 12 cores
+    pairs = []
+    for i in range(12):
+        pairs += [(3 * i, 3 * i + 3), (3 * i, 3 * i + 1),
+                  (3 * i, 3 * i + 2), (3 * i + 1, 3 * i + 2)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        scan_clusters(spark, edges_df(spark, pairs),
+                      eps_num=1, eps_den=2, mu=2, max_iters=1).collect()
