@@ -3800,8 +3800,11 @@ def _anf_curve_parts(edges_sql: str, max_t: int, k: int) -> list[str]:
             f" ELSE CAST({k - 1} AS DOUBLE) * {_POW60}"
             f" / CAST(max(CASE WHEN rn = {k} THEN h END) AS DOUBLE) END"
             f" AS est FROM h{t} WHERE rn <= {k} GROUP BY v),",
-            f"s{t} AS (SELECT {t} AS t, SUM(CAST(floor(est * 1000.0 + 0.5)"
-            f" AS BIGINT)) AS total_e3 FROM e{t}),",
+            f"s{t} AS (SELECT {t} AS t, CAST(SUM(CAST(floor(est * 1000.0"
+            # DuckDB SUM(BIGINT) widens to HUGEINT, which pandas renders
+            # as float64 — the driver's canonicalizer would then hash
+            # "100000.0" against Spark's "100000"
+            f" + 0.5) AS BIGINT)) AS BIGINT) AS total_e3 FROM e{t}),",
         ]
     return parts
 
@@ -7652,6 +7655,88 @@ def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LMK_K = 4        # landmarks (top undirected degree, lowest-id tie-break)
+LMK_ROUNDS = 6   # BFS horizon
+LMK_NQ = 20      # query vertices → 190 query pairs
+
+
+def _landmark_oracle() -> str:
+    from .sources import SPARSE_DIGRAPH_SQL
+
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({SPARSE_DIGRAPH_SQL}),",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        " SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0"
+        ") WHERE src <> dst),",
+        f"lm AS MATERIALIZED (SELECT src AS id FROM e GROUP BY src"
+        f" ORDER BY COUNT(*) DESC, src LIMIT {LMK_K}),",
+        "b0 AS MATERIALIZED (SELECT id AS bsrc, id, 0::BIGINT AS dist"
+        " FROM lm),",
+    ]
+    for k in range(1, LMK_ROUNDS + 1):
+        parts.append(
+            f"b{k} AS MATERIALIZED ("
+            f" SELECT bsrc, id, MIN(dist) AS dist FROM ("
+            f"  SELECT bsrc, id, dist FROM b{k - 1}"
+            f"  UNION ALL"
+            f"  SELECT p.bsrc, e.dst AS id, p.dist + 1"
+            f"  FROM b{k - 1} p JOIN e ON e.src = p.id"
+            f" ) GROUP BY bsrc, id),"
+        )
+    parts.append(
+        f"q AS MATERIALIZED (SELECT DISTINCT src AS id FROM e"
+        f" ORDER BY src LIMIT {LMK_NQ}),"
+    )
+    parts.append(
+        "pairs AS (SELECT a.id AS u, b.id AS v FROM q a JOIN q b"
+        " ON a.id < b.id),"
+    )
+    parts.append(
+        f"bnd AS (SELECT p.u, p.v, MIN(da.dist + db.dist) AS bound"
+        f" FROM pairs p JOIN b{LMK_ROUNDS} da ON da.id = p.u"
+        f" JOIN b{LMK_ROUNDS} db ON db.id = p.v AND db.bsrc = da.bsrc"
+        f" GROUP BY p.u, p.v)"
+    )
+    parts.append(
+        "SELECT p.u, p.v, b.bound FROM pairs p"
+        " LEFT JOIN bnd b ON b.u = p.u AND b.v = p.v ORDER BY p.u, p.v"
+    )
+    return "\n".join(parts)
+
+
+@register("landmark_distance_bounds", _landmark_oracle())
+def q_landmark_distance_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark distance oracle (operators/landmarks.py — Potamias et al.
+    CIKM 2009) over the sparse hashed digraph's undirected closure: BFS
+    once from the LMK_K highest-degree landmarks (one multi-source
+    superstep job, LMK_ROUNDS fixed rounds), then answer the 190 query
+    pairs drawn from the LMK_NQ lowest-id vertices with the
+    triangle-inequality upper bound ``min_l d(u,l)+d(l,v)`` — two
+    equi-joins + combiner min per batch, never an all-pairs walk; NULL
+    when no landmark reaches both ends inside the horizon.  Integer hop
+    arithmetic, exact unrolled-CTE oracle."""
+    from .operators.landmarks import (
+        distance_bounds, landmark_distances, undirected_closure,
+    )
+    from .sources import sparse_digraph_edges
+
+    e = sparse_digraph_edges(spark, sf_dir)
+    dists = landmark_distances(
+        spark, e, n_landmarks=LMK_K, max_iters=LMK_ROUNDS,
+        num_partitions=_small_graph_parts(spark), resume=False,
+    )
+    und = undirected_closure(e)
+    q = (
+        und.select(F.col("src").alias("id")).distinct()
+        .orderBy("id").limit(LMK_NQ)
+    )
+    pairs = (
+        q.select(F.col("id").alias("u"))
+        .join(q.select(F.col("id").alias("v")), F.col("u") < F.col("v"))
+    )
+    return distance_bounds(dists, pairs).orderBy("u", "v")
+
+
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
 # in iteration order.  Registration order above is historical (round 1 → 3),
 # so without reordering the round-2/3 algorithm family would never receive a
@@ -7752,7 +7837,7 @@ _DRIVER_WINDOW: list[str] = [
     # bpe_merge_candidates, lm_familiarity_scores, attack_robustness_curve,
     # fastrp_embeddings, winnow_fingerprints, winnow_match_pairs,
     # scan_roles, spam_mass_top, bloom_membership, cms_heavy_hitters,
-    # prefix_jaccard_pairs)
+    # prefix_jaccard_pairs, landmark_distance_bounds)
     # — rotate them in for r5, swapping out
     # entries that go green in CORRECTNESS_r04.
 ]
