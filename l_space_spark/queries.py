@@ -372,7 +372,7 @@ tri AS (
 corners AS (
   SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
 ),
-verts AS (SELECT a AS id FROM canon UNION SELECT b FROM canon)
+verts AS (SELECT DISTINCT id FROM (SELECT a AS id FROM canon UNION ALL SELECT b FROM canon))
 SELECT v.id, CAST(coalesce(c.n, 0) AS BIGINT) AS triangles
 FROM verts v LEFT JOIN (SELECT id, count(*) AS n FROM corners GROUP BY id) c
   ON c.id = v.id
@@ -1756,8 +1756,12 @@ def q_winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_roles",
     f"""
 WITH RECURSIVE e0 AS ({MOD_EDGES_SQL}),
-und AS (SELECT src, dst FROM e0 WHERE src <> dst
-        UNION SELECT dst, src FROM e0 WHERE src <> dst),
+-- explicit DISTINCT: DuckDB 1.0 drops the dedup of a bare UNION inside a
+-- WITH RECURSIVE list (observed: 5924 rows vs 4380 distinct), which
+-- silently inflates deg/cn and flips every σ test
+und AS (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM e0 WHERE src <> dst
+        UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)),
 deg AS (SELECT src AS id, count(*) AS d FROM und GROUP BY src),
 canon AS (SELECT src AS u, dst AS v FROM und WHERE src < dst),
 cmn AS (SELECT a.dst AS u, b.dst AS v, count(*) AS cn
@@ -6133,7 +6137,7 @@ WITH RECURSIVE {_BRIDGES_CTE},
 nb AS (SELECT c.a, c.b FROM canon c LEFT JOIN brs
        ON brs.a = c.a AND brs.b = c.b WHERE brs.a IS NULL),
 undnb AS (SELECT a AS src, b AS dst FROM nb UNION ALL SELECT b, a FROM nb),
-verts AS (SELECT a AS id FROM canon UNION SELECT b FROM canon),
+verts AS (SELECT DISTINCT id FROM (SELECT a AS id FROM canon UNION ALL SELECT b FROM canon)),
 r2(v, w) AS (
   SELECT id, id FROM verts
   UNION
@@ -6308,7 +6312,7 @@ canon AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
           FROM e0 WHERE src <> dst),
 und AS (SELECT a AS src, b AS dst FROM canon
         UNION ALL SELECT b, a FROM canon),
-adj AS (SELECT a AS v, b AS n FROM canon UNION SELECT b, a FROM canon),
+adj AS (SELECT DISTINCT v, n FROM (SELECT a AS v, b AS n FROM canon UNION ALL SELECT b, a FROM canon)),
 seeds AS (SELECT v, min(n) AS x FROM adj GROUP BY v),
 r(v, x) AS (
   SELECT v, x FROM seeds
@@ -6552,7 +6556,8 @@ p AS (SELECT doc_id, n_tok,
              coalesce(sum(n_tok) OVER (ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
              AS prefix FROM t)
-SELECT doc_id, n_tok, prefix // 200 AS bin, prefix % 200 AS pos_in_bin
+SELECT doc_id, n_tok, CAST(prefix // 200 AS BIGINT) AS bin,
+       CAST(prefix % 200 AS BIGINT) AS pos_in_bin
 FROM p ORDER BY doc_id
 """.strip(),
 )
@@ -6861,9 +6866,10 @@ r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
              (SELECT {MIX_BUDGET} - sum(base) FROM q) AS leftover
       FROM q)
 SELECT source, n_docs, n_tok, weight,
-       base + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END) AS alloc_tokens,
-       (1000000 * (base + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END)))
-       // {MIX_BUDGET} AS share_e6
+       CAST(base + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+            AS BIGINT) AS alloc_tokens,
+       CAST((1000000 * (base + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END)))
+            // {MIX_BUDGET} AS BIGINT) AS share_e6
 FROM r ORDER BY source
 """.strip(),
 )
