@@ -38,22 +38,25 @@ def multi_source_bfs(
     num_partitions: int | None = None,
     resume: bool = True,
     config_extra: dict | None = None,
+    canonical: bool = False,
 ) -> SuperstepResult:
     """Hop distances from every source at once: state ``(src long, id
     long, dist long)`` holding the reached (source, vertex) pairs; each
     superstep relaxes one hop (state ⋈ edges → min per (src, dst)).
     ``sources`` is a DataFrame with an ``id`` column; rows never reached
     from a source simply don't appear (sparse representation — the dense
-    NULL form would be S·V rows regardless of reach)."""
+    NULL form would be S·V rows regardless of reach).  ``canonical=True``
+    asserts ``edges`` is already distinct and self-loop-free, skipping
+    the defensive dedup shuffle (callers that just built the closure)."""
     num_partitions = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
     import hashlib
 
-    e = (
-        edges.select("src", "dst").where(F.col("src") != F.col("dst"))
-        .distinct().repartition(num_partitions, "src").persist()
-    )
+    e = edges.select("src", "dst")
+    if not canonical:
+        e = e.where(F.col("src") != F.col("dst")).distinct()
+    e = e.repartition(num_partitions, "src").persist()
     verts = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))

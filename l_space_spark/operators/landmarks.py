@@ -25,15 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .centrality import multi_source_bfs
-
-
-def undirected_closure(edges: DataFrame) -> DataFrame:
-    """Distinct symmetric edge set with self-loops dropped (distance is a
-    metric on the undirected graph)."""
-    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
-    return e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+from .components import undirect as undirected_closure
 
 
 def select_landmarks(edges_und: DataFrame, k: int) -> DataFrame:
@@ -56,16 +48,19 @@ def landmark_distances(
     num_partitions: int | None = None,
     resume: bool = False,
     checkpoint_dir: str | None = None,
+    edges_und: DataFrame | None = None,
 ) -> DataFrame:
     """(bsrc, id, dist): hop distance from each landmark to every vertex
     reached within ``max_iters`` rounds (sparse — unreached pairs are
-    absent).  One multi-source BFS job regardless of k."""
-    und = undirected_closure(edges)
+    absent).  One multi-source BFS job regardless of k.  Pass a
+    precomputed ``edges_und`` (distinct symmetric closure) to share one
+    closure shuffle with the caller instead of rebuilding it here."""
+    und = edges_und if edges_und is not None else undirected_closure(edges)
     lm = select_landmarks(und, n_landmarks)
     return multi_source_bfs(
         spark, und, lm, max_iters=max_iters, fixed_iters=True,
         num_partitions=num_partitions, resume=resume,
-        checkpoint_dir=checkpoint_dir,
+        checkpoint_dir=checkpoint_dir, canonical=True,
         config_extra={"role": "landmark_distances"},
     ).state
 

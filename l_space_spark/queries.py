@@ -3904,7 +3904,10 @@ ORACLES["anf_distance_stats"] = _anf_stats_oracle(MOD_EDGES_SQL, ANF_T, ANF_K)
 SCC_ORACLE_SQL = f"""
 WITH RECURSIVE e0 AS ({MOD_EDGES_SQL}),
 links AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
-verts AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+-- explicit DISTINCT: DuckDB 1.0 gives bare UNION bag semantics inside a
+-- WITH RECURSIVE list (see scan_roles note); the downstream GROUP BY
+-- happens to absorb duplicates today, but don't rely on it
+verts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0)),
 reach(a, b) AS (
     SELECT src, dst FROM links
     UNION
@@ -7690,8 +7693,11 @@ def _landmark_oracle() -> str:
             f" ) GROUP BY bsrc, id),"
         )
     parts.append(
-        f"q AS MATERIALIZED (SELECT DISTINCT src AS id FROM e"
-        f" ORDER BY src LIMIT {LMK_NQ}),"
+        # query vertices from the REACHED set: keeps the entry non-vacuous
+        # at every SF (outside the landmarks' horizon all bounds would be
+        # the -1 sentinel and the gate would compare two constant tables)
+        f"q AS MATERIALIZED (SELECT DISTINCT id FROM b{LMK_ROUNDS}"
+        f" ORDER BY id LIMIT {LMK_NQ}),"
     )
     parts.append(
         "pairs AS (SELECT a.id AS u, b.id AS v FROM q a JOIN q b"
@@ -7704,7 +7710,10 @@ def _landmark_oracle() -> str:
         f" GROUP BY p.u, p.v)"
     )
     parts.append(
-        "SELECT p.u, p.v, b.bound FROM pairs p"
+        # -1 sentinel for "no landmark reaches both": a NULL in a BIGINT
+        # column degrades to float64 through duckdb .df(), so the driver
+        # canonicalizer would hash '11.0' against Spark's '11'
+        "SELECT p.u, p.v, COALESCE(b.bound, -1) AS bound FROM pairs p"
         " LEFT JOIN bnd b ON b.u = p.u AND b.v = p.v ORDER BY p.u, p.v"
     )
     return "\n".join(parts)
@@ -7716,31 +7725,40 @@ def q_landmark_distance_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     CIKM 2009) over the sparse hashed digraph's undirected closure: BFS
     once from the LMK_K highest-degree landmarks (one multi-source
     superstep job, LMK_ROUNDS fixed rounds), then answer the 190 query
-    pairs drawn from the LMK_NQ lowest-id vertices with the
+    pairs drawn from the LMK_NQ lowest-id REACHED vertices with the
     triangle-inequality upper bound ``min_l d(u,l)+d(l,v)`` — two
-    equi-joins + combiner min per batch, never an all-pairs walk; NULL
-    when no landmark reaches both ends inside the horizon.  Integer hop
-    arithmetic, exact unrolled-CTE oracle."""
+    equi-joins + combiner min per batch, never an all-pairs walk; -1
+    sentinel when no landmark reaches both ends inside the horizon
+    (NULL would float64-degrade through the driver's pandas path).
+    Integer hop arithmetic, exact unrolled-CTE oracle.  The closure is
+    built ONCE and shared with the BFS job (``edges_und`` +
+    ``canonical`` — one distinct-shuffle over the edge table, not
+    three)."""
     from .operators.landmarks import (
         distance_bounds, landmark_distances, undirected_closure,
     )
     from .sources import sparse_digraph_edges
 
     e = sparse_digraph_edges(spark, sf_dir)
+    und = undirected_closure(e)
     dists = landmark_distances(
         spark, e, n_landmarks=LMK_K, max_iters=LMK_ROUNDS,
         num_partitions=_small_graph_parts(spark), resume=False,
+        edges_und=und,
     )
-    und = undirected_closure(e)
-    q = (
-        und.select(F.col("src").alias("id")).distinct()
-        .orderBy("id").limit(LMK_NQ)
-    )
+    q = dists.select("id").distinct().orderBy("id").limit(LMK_NQ)
     pairs = (
         q.select(F.col("id").alias("u"))
         .join(q.select(F.col("id").alias("v")), F.col("u") < F.col("v"))
     )
-    return distance_bounds(dists, pairs).orderBy("u", "v")
+    return (
+        distance_bounds(dists, pairs)
+        .select(
+            "u", "v",
+            F.coalesce(F.col("bound"), F.lit(-1)).cast("long").alias("bound"),
+        )
+        .orderBy("u", "v")
+    )
 
 
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
