@@ -331,7 +331,9 @@ def q_lp_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("intra_msgs") * F.lit(two_m)
             - F.col("deg_sum") * F.col("deg_sum"),
         )
-        .withColumn("two_m", F.lit(two_m))
+        # lit() of a Python int gives IntegerType when it fits — cast so
+        # the pandas dtype (int64) matches the oracle's BIGINT exactly
+        .withColumn("two_m", F.lit(two_m).cast("long"))
         .orderBy("label")
     )
 
@@ -2442,10 +2444,14 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hypertable_rollup",
+    # bucket as epoch-microseconds: a timestamp-typed output column would
+    # reach the driver's pandas canonicalizer as datetime64[us] (duckdb)
+    # vs datetime64[ns] (Spark Arrow) — same instant, different raw int64
     """
-SELECT date_trunc('hour', ts) AS bucket, event_type,
+SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS bucket_us,
+       event_type,
        CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value_r4
-FROM events GROUP BY 1, 2 ORDER BY bucket, event_type
+FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type
 """.strip(),
 )
 def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2472,9 +2478,10 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     refresh_rollup(spark, ht, ru)
     r = read_rollup(spark, ru)
     return r.select(
-        "bucket", "event_type", F.col("n").cast("long").alias("n"),
+        F.unix_micros(F.col("bucket").cast("timestamp")).alias("bucket_us"),
+        "event_type", F.col("n").cast("long").alias("n"),
         F.round(F.col("sum_value"), 4).alias("sum_value_r4"),
-    ).orderBy("bucket", "event_type")
+    ).orderBy("bucket_us", "event_type")
 
 
 @register(
@@ -2584,10 +2591,12 @@ def q_kafka_payload_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_hourly_windows",
+    # window start as epoch-microseconds (not a raw timestamp column):
+    # see the hypertable_rollup note on datetime64 resolution drift
     """
-SELECT date_trunc('hour', ts) AS window_start, event_type,
-       CAST(count(*) AS BIGINT) AS n
-FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_start_us,
+       event_type, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type
 """.strip(),
 )
 def q_events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2597,17 +2606,22 @@ def q_events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     return (
         e.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+            F.unix_micros(F.date_trunc("hour", F.col("ts")))
+            .alias("window_start_us"),
+            "event_type",
         )
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("window_start", "event_type")
+        .orderBy("window_start_us", "event_type")
     )
 
 
 @register(
     "dedup_stream_events",
+    # first_ts as epoch-microseconds (not a raw timestamp column):
+    # see the hypertable_rollup note on datetime64 resolution drift
     """
-SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+SELECT user_id, event_type, event_id AS first_event_id,
+       CAST(epoch_us(ts) AS BIGINT) AS first_ts_us
 FROM events
 QUALIFY row_number() OVER (PARTITION BY user_id, event_type
                            ORDER BY ts, event_id) = 1
@@ -2628,7 +2642,8 @@ def q_dedup_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__rn") == 1)
         .select("user_id", "event_type",
                 F.col("event_id").alias("first_event_id"),
-                F.col("ts").alias("first_ts"))
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                .alias("first_ts_us"))
         .orderBy("user_id", "event_type")
     )
 
@@ -3010,8 +3025,10 @@ s AS (
                  ROWS UNBOUNDED PRECEDING) AS sid
   FROM x
 )
-SELECT user_id, CAST(sid AS BIGINT) AS sid, min(ts) AS session_start,
-       max(ts) AS session_end, CAST(count(*) AS BIGINT) AS n_events
+SELECT user_id, CAST(sid AS BIGINT) AS sid,
+       CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+       CAST(epoch_us(max(ts)) AS BIGINT) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
 FROM s GROUP BY user_id, sid ORDER BY user_id, sid
 """.strip(),
 )
@@ -3032,8 +3049,12 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.withColumn("sid", sid)
         .groupBy("user_id", "sid")
         .agg(
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
+            # epoch-microseconds, not raw timestamps: see the
+            # hypertable_rollup note on datetime64 resolution drift
+            F.unix_micros(F.min("ts").cast("timestamp"))
+            .alias("session_start_us"),
+            F.unix_micros(F.max("ts").cast("timestamp"))
+            .alias("session_end_us"),
             F.count(F.lit(1)).alias("n_events"),
         )
         .orderBy("user_id", "sid")
@@ -5193,7 +5214,9 @@ def q_louvain_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("intra_msgs") * F.lit(two_m)
             - F.col("deg_sum") * F.col("deg_sum"),
         )
-        .withColumn("two_m", F.lit(two_m))
+        # lit() of a Python int gives IntegerType when it fits — cast so
+        # the pandas dtype (int64) matches the oracle's BIGINT exactly
+        .withColumn("two_m", F.lit(two_m).cast("long"))
         .orderBy("label")
     )
 

@@ -103,10 +103,20 @@ def test_sessionize_stateful_matches_batch_twin(spark, tmp_path):
     closed_batch = (
         batch.withColumn("last_sid", w)
         .where(F.col("sid") != F.col("last_sid"))
-        .select("user_id", "session_start", "session_end", "n_events")
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
     )
-    assert got.count() == closed_batch.count()
-    assert got.exceptAll(closed_batch).count() == 0
+    # the stream emits raw timestamps; the batch entry emits epoch-us
+    # (driver-canonicalizer dtype hardening) — align here
+    got_us = got.select(
+        "user_id",
+        F.unix_micros(F.col("session_start").cast("timestamp"))
+        .alias("session_start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp"))
+        .alias("session_end_us"),
+        "n_events",
+    )
+    assert got_us.count() == closed_batch.count()
+    assert got_us.exceptAll(closed_batch).count() == 0
     assert got.count() > 0
 
 
@@ -245,7 +255,7 @@ def test_reorder_stream_feeds_sessionizer_under_disorder(spark, tmp_path):
     from pyspark.sql import Window
 
     from l_space_spark import streaming
-    from l_space_spark.queries import SESSION_GAP_US, q_sessionize_events
+    from l_space_spark.queries import SESSION_GAP_US
 
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     src = str(tmp_path / "src")
@@ -280,7 +290,6 @@ def test_reorder_stream_feeds_sessionizer_under_disorder(spark, tmp_path):
     got = spark.table("sess_reordered")
 
     # batch twin restricted to released events: closed sessions must match
-    batch = q_sessionize_events(spark, "/root/testdata/sf0.001")
     released_ids = released.select("user_id", "event_id")
     ev_released = ev.join(released_ids, ["user_id", "event_id"], "left_semi")
     # recompute sessions over the released subset with the same rule
@@ -389,13 +398,16 @@ def test_dedup_stream_matches_batch_twin(spark, tmp_path):
         deduped, "dedup_stream_out", str(tmp_path / "ckpt_dd"),
         output_mode="append",
     )
-    got = {(r["user_id"], r["event_type"], r["ts"])
+    got = {(r["user_id"], r["event_type"], r["ts_us"])
            for r in spark.table("dedup_stream_out")
-           .select("user_id", "event_type", "ts").collect()}
+           .select("user_id", "event_type",
+                   F.unix_micros(F.col("ts").cast("timestamp"))
+                   .alias("ts_us")).collect()}
 
     from l_space_spark.queries import QUERIES
 
-    batch = {(r["user_id"], r["event_type"], r["first_ts"])
+    # the batch entry emits epoch-us (driver-canonicalizer hardening)
+    batch = {(r["user_id"], r["event_type"], r["first_ts_us"])
              for r in QUERIES["dedup_stream_events"](
                  spark, "/root/testdata/sf0.001").collect()}
     assert {k[:2] for k in got} == {k[:2] for k in batch}
