@@ -151,6 +151,29 @@ def biconnected_components(
     return edge_blocks
 
 
+def biconnected_components_canonical(
+    spark: SparkSession,
+    edges: DataFrame,
+    num_partitions: int | None = None,
+    max_rounds: int = 200,
+) -> DataFrame:
+    """``(a, b, block_a, block_b)``: every canonical edge labeled with
+    the lexicographically-minimal edge of its block.  The block
+    PARTITION is unique (unlike the internal min-child-id labels, which
+    depend on the hash-weight spanning forest), so this relabeling is
+    engine-independent and admits an exact cross-engine oracle.  One
+    combiner-backed min per block + one broadcastable join back
+    (#blocks ≤ |E|) on top of the decomposition."""
+    eb = biconnected_components(spark, edges, num_partitions, max_rounds)
+    m = eb.groupBy("block").agg(
+        F.min(F.struct(F.col("a"), F.col("b"))).alias("m")
+    )
+    return eb.join(m, "block").select(
+        "a", "b",
+        F.col("m.a").alias("block_a"), F.col("m.b").alias("block_b"),
+    )
+
+
 def articulation_points(
     spark: SparkSession,
     edges: DataFrame,

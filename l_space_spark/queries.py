@@ -6222,15 +6222,16 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "event_hour_anomalies",
     """
-WITH h AS (SELECT date_trunc('hour', ts) AS hour, count(*) AS c
+WITH h AS (SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT)
+                    AS hour_us, count(*) AS c
            FROM events GROUP BY 1),
 s AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(c) AS DOUBLE) AS sc,
              CAST(sum(c * c) AS DOUBLE) AS scc FROM h)
-SELECT hour, CAST(c AS BIGINT) AS n_events,
+SELECT hour_us, CAST(c AS BIGINT) AS n_events,
        CASE WHEN (n * scc - sc * sc) > 0 THEN
          CAST(floor((n * c - sc) / sqrt(n * scc - sc * sc) * 1000000.0
               + 0.5) AS BIGINT) END AS z_e6
-FROM h, s ORDER BY hour
+FROM h, s ORDER BY hour_us
 """.strip(),
 )
 def q_event_hour_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6242,7 +6243,10 @@ def q_event_hour_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats join — linear at any scale."""
     e = load(spark, sf_dir, "events")
     h = (
-        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        # epoch-microseconds, not a raw timestamp column: see the
+        # hypertable_rollup note on datetime64 resolution drift
+        e.groupBy(F.unix_micros(F.date_trunc("hour", F.col("ts")))
+                  .alias("hour_us"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
     s = h.agg(
@@ -6255,13 +6259,13 @@ def q_event_hour_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         h.join(F.broadcast(s))
         .select(
-            "hour",
+            "hour_us",
             F.col("c").cast("long").alias("n_events"),
             F.when(var > 0,
                    F.floor(z * F.lit(1e6) + F.lit(0.5)).cast("long"))
             .alias("z_e6"),
         )
-        .orderBy("hour")
+        .orderBy("hour_us")
     )
 
 
@@ -6367,18 +6371,88 @@ def q_articulation_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
-@register("biconnected_components", None)  # rows-only: the block labels
-# are spanning-tree-representation-dependent (min child id of the
-# hash-weight forest), so no engine-independent SQL ground truth exists;
-# the exact evidence is the pytest Tarjan-DFS twin (tests/
-# test_biconnect.py) plus the articulation_points / bridge_edges
-# ground-truth oracles this decomposition must stay consistent with.
+def _biconnected_oracle() -> str:
+    """GROUND-TRUTH oracle of the block PARTITION (the partition is
+    unique even though internal labels are spanning-tree-dependent):
+    edges (v,x) and (v,y) share a block iff x and y are connected in
+    G−v (classic common-cycle generator), transitively closed over the
+    edge set; each class is then named by its lexicographically minimal
+    edge.  Cost shape: the all-labels flood runs ONLY for cut vertices
+    (for a non-cut v, G−v keeps all its neighbors connected, so v's
+    incident edges are one class — no flood, no quadratic pair set);
+    classes are linked as STARS (class-min to each member), so the
+    edge-adjacency diameter is ~2× the vertex-graph diameter and the
+    recursive min-label closure converges in that many rounds (a
+    lead() CHAIN linking was measured 100× slower — ~block-size
+    rounds — and an unrolled pointer-jumping ladder exploded: DuckDB
+    1.0 inlines MATERIALIZED CTEs inside a WITH RECURSIVE list, so a
+    ladder referencing its predecessor 4× grows the plan 4^rounds)."""
+    return f"""
+WITH RECURSIVE e0 AS ({SPARSE_DIGRAPH_SQL}),
+canon AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM e0 WHERE src <> dst),
+und AS (SELECT a AS src, b AS dst FROM canon
+        UNION ALL SELECT b, a FROM canon),
+seeds AS (SELECT src AS v, min(dst) AS x FROM und GROUP BY src),
+ra(v, x) AS (
+  SELECT v, x FROM seeds
+  UNION
+  SELECT ra.v, u.dst FROM ra JOIN und u ON u.src = ra.x
+  WHERE u.src <> ra.v AND u.dst <> ra.v
+),
+aps AS (SELECT DISTINCT n.src AS v FROM und n
+        LEFT JOIN ra ON ra.v = n.src AND ra.x = n.dst
+        WHERE ra.x IS NULL),
+star0 AS (
+  SELECT src AS v, min(dst) OVER (PARTITION BY src) AS x, dst AS y
+  FROM und WHERE src NOT IN (SELECT v FROM aps)
+  QUALIFY y <> x
+),
+rb(v, z, l) AS (
+  SELECT src, dst, dst FROM und WHERE src IN (SELECT v FROM aps)
+  UNION
+  SELECT rb.v, u.dst, rb.l FROM rb JOIN und u ON u.src = rb.z
+  WHERE u.src <> rb.v AND u.dst <> rb.v
+),
+comp AS (SELECT v, z AS x, MIN(l) AS c FROM rb GROUP BY v, z),
+cn AS (SELECT c.v, c.x, c.c FROM comp c
+       JOIN und n ON n.src = c.v AND n.dst = c.x),
+star1 AS (
+  -- sx/sy names: DuckDB lateral aliases would bind a bare "x AS y"
+  -- to the new window alias, not the source column
+  SELECT v, min(x) OVER (PARTITION BY v, c) AS sx, x AS sy
+  FROM cn QUALIFY sy <> sx
+),
+prs AS (SELECT v, x, y FROM star0
+        UNION ALL SELECT v, sx AS x, sy AS y FROM star1),
+eids AS (SELECT a, b, row_number() OVER (ORDER BY a, b) AS eid
+         FROM canon),
+ad AS (SELECT ea.eid AS e1, eb.eid AS e2 FROM prs p
+       JOIN eids ea ON ea.a = least(p.v, p.x) AND ea.b = greatest(p.v, p.x)
+       JOIN eids eb ON eb.a = least(p.v, p.y) AND eb.b = greatest(p.v, p.y)),
+adsym AS (SELECT e1, e2 FROM ad UNION ALL SELECT e2, e1 FROM ad),
+bl(e, l) AS (
+  SELECT eid, eid FROM eids
+  UNION
+  SELECT s.e2, bl.l FROM bl JOIN adsym s ON s.e1 = bl.e
+),
+lab AS (SELECT e, MIN(l) AS l FROM bl GROUP BY e)
+SELECT c.a, c.b, m.a AS block_a, m.b AS block_b
+FROM eids c JOIN lab ON lab.e = c.eid JOIN eids m ON m.eid = lab.l
+ORDER BY c.a, c.b""".strip()
+
+
+@register("biconnected_components", _biconnected_oracle())
 def q_biconnected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every edge of the sparse hashed graph labeled with its
-    biconnected-component id (biconnect.biconnected_components)."""
-    from .operators.biconnect import biconnected_components
+    biconnected component, named by the block's lexicographically
+    minimal edge (biconnect.biconnected_components_canonical — the
+    Tarjan–Vishkin-style aux-graph decomposition plus a
+    representation-independent relabel, so the formerly rows-only
+    entry now has an exact cross-engine oracle)."""
+    from .operators.biconnect import biconnected_components_canonical
 
-    return biconnected_components(
+    return biconnected_components_canonical(
         spark, sparse_digraph_edges(spark, sf_dir),
         num_partitions=_small_graph_parts(spark),
     ).orderBy("a", "b")

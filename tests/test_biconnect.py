@@ -139,6 +139,27 @@ def test_random_graphs_match_tarjan(spark):
         assert _spark_blocks(spark, pairs) == want_blocks, f"seed {seed}"
 
 
+def test_canonical_relabel_matches_tarjan(spark):
+    """biconnected_components_canonical names every block by its
+    lexicographically-minimal edge — representation-independent, so it
+    must equal the Tarjan twin's partition with the same naming rule."""
+    from l_space_spark.operators.biconnect import (
+        biconnected_components_canonical,
+    )
+
+    rng = random.Random(11)
+    pairs = [(rng.randrange(20), rng.randrange(20)) for _ in range(28)]
+    want_blocks, _ = tarjan_blocks_and_aps(pairs)
+    want = {(a, b): min(blk) for blk in want_blocks
+            for (a, b) in blk}
+    rows = biconnected_components_canonical(
+        spark, edges_df(spark, pairs), num_partitions=4).collect()
+    got = {(r["a"], r["b"]): (r["block_a"], r["block_b"]) for r in rows}
+    assert got == want
+    # at least one non-singleton block, or the relabel wasn't exercised
+    assert len({v for v in got.values()}) < len(got)
+
+
 def test_jobspec_kinds(spark, tmp_path):
     from l_space_spark.jobspec import run_job
 
