@@ -7961,6 +7961,12 @@ _DRIVER_WINDOW: list[str] = [
     # prefix_jaccard_pairs, landmark_distance_bounds)
     # — rotate them in for r5, swapping out
     # entries that go green in CORRECTNESS_r04.
+    # r5 rotation planning data (sf0.01 wall, Spark+oracle, from
+    # rehearse_driver_gate.py on round-4-final code): biconnected_components
+    # ~77-105s, bowtie_classes ~43s, salsa_top20 ~18s, node2vec_walks ~13s,
+    # eigencentrality_top20/densest/*_betweenness ~5-10s; everything else
+    # <5s. Budget the 50-slot window so its total stays comparable to
+    # r4's (~4-5 min).
 ]
 
 
