@@ -91,6 +91,19 @@ PR_ITERS = 10
 
 
 
+def _epoch_us(col) -> "F.Column":
+    """Timestamp column → epoch-microsecond BIGINT.  The SINGLE place
+    the driver-canonicalizer timestamp hardening lives: a raw
+    timestamp-typed output column reaches the driver's pandas compare
+    as datetime64[us] from duckdb but datetime64[ns] from Spark Arrow —
+    the same instant, different raw int64 — so every catalog entry
+    emits epoch-us on both engines (DuckDB side: ``epoch_us(...)``).
+    Microsecond-exact: parquet ts is NTZ and the session timezone is
+    pinned UTC, so the cast is wall-clock identity."""
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def _small_graph_parts(spark: SparkSession) -> int:
     """Superstep partition count for the driver-scale derived graphs
     (≤1 M edges / ≤150 k state rows): the shuffle default (32) leaves
@@ -900,7 +913,7 @@ def q_events_max_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # microsecond-exact: no cross-engine truncation; parquet ts is NTZ and
     # the session timezone is pinned UTC, so the cast is wall-clock identity
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    us = _epoch_us("ts")
     return (
         e.withColumn("gap", us - F.lag(us).over(w))
         .where(F.col("gap").isNotNull())
@@ -2478,7 +2491,7 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     refresh_rollup(spark, ht, ru)
     r = read_rollup(spark, ru)
     return r.select(
-        F.unix_micros(F.col("bucket").cast("timestamp")).alias("bucket_us"),
+        _epoch_us("bucket").alias("bucket_us"),
         "event_type", F.col("n").cast("long").alias("n"),
         F.round(F.col("sum_value"), 4).alias("sum_value_r4"),
     ).orderBy("bucket_us", "event_type")
@@ -2523,8 +2536,8 @@ def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", F.col("view_value_r").alias("view_value"),
         F.when(
             F.col("ts_r").isNotNull(),
-            F.unix_micros(F.col("ts").cast("timestamp"))
-            - F.unix_micros(F.col("ts_r").cast("timestamp")),
+            _epoch_us("ts")
+            - _epoch_us("ts_r"),
         ).alias("us_since_view"),
     ).orderBy("event_id")
 
@@ -2591,8 +2604,7 @@ def q_kafka_payload_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_hourly_windows",
-    # window start as epoch-microseconds (not a raw timestamp column):
-    # see the hypertable_rollup note on datetime64 resolution drift
+    # window start as epoch-microseconds (rationale: _epoch_us)
     """
 SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_start_us,
        event_type, CAST(count(*) AS BIGINT) AS n
@@ -2606,7 +2618,7 @@ def q_events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     return (
         e.groupBy(
-            F.unix_micros(F.date_trunc("hour", F.col("ts")))
+            _epoch_us(F.date_trunc("hour", F.col("ts")))
             .alias("window_start_us"),
             "event_type",
         )
@@ -2617,8 +2629,7 @@ def q_events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_stream_events",
-    # first_ts as epoch-microseconds (not a raw timestamp column):
-    # see the hypertable_rollup note on datetime64 resolution drift
+    # first_ts as epoch-microseconds (rationale: _epoch_us)
     """
 SELECT user_id, event_type, event_id AS first_event_id,
        CAST(epoch_us(ts) AS BIGINT) AS first_ts_us
@@ -2642,7 +2653,7 @@ def q_dedup_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__rn") == 1)
         .select("user_id", "event_type",
                 F.col("event_id").alias("first_event_id"),
-                F.unix_micros(F.col("ts").cast("timestamp"))
+                _epoch_us("ts")
                 .alias("first_ts_us"))
         .orderBy("user_id", "event_type")
     )
@@ -3039,7 +3050,7 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_streaming.py) and the batch side gets a SQL oracle."""
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    us = _epoch_us("ts")
     brk = (
         F.lag(us).over(w).isNull()
         | ((us - F.lag(us).over(w)) > SESSION_GAP_US)
@@ -3049,11 +3060,9 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.withColumn("sid", sid)
         .groupBy("user_id", "sid")
         .agg(
-            # epoch-microseconds, not raw timestamps: see the
-            # hypertable_rollup note on datetime64 resolution drift
-            F.unix_micros(F.min("ts").cast("timestamp"))
+            _epoch_us(F.min("ts"))
             .alias("session_start_us"),
-            F.unix_micros(F.max("ts").cast("timestamp"))
+            _epoch_us(F.max("ts"))
             .alias("session_end_us"),
             F.count(F.lit(1)).alias("n_events"),
         )
@@ -6006,7 +6015,7 @@ def temporal_contact_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.select(
             "event_type", "ts", "event_id", "user_id",
-            F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+            _epoch_us("ts").alias("t"),
         )
         .withColumn("src", F.lag("user_id").over(w))
         .where(F.col("src").isNotNull() & (F.col("src") != F.col("user_id")))
@@ -6243,9 +6252,7 @@ def q_event_hour_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats join — linear at any scale."""
     e = load(spark, sf_dir, "events")
     h = (
-        # epoch-microseconds, not a raw timestamp column: see the
-        # hypertable_rollup note on datetime64 resolution drift
-        e.groupBy(F.unix_micros(F.date_trunc("hour", F.col("ts")))
+        e.groupBy(_epoch_us(F.date_trunc("hour", F.col("ts")))
                   .alias("hour_us"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -6386,7 +6393,14 @@ def _biconnected_oracle() -> str:
     lead() CHAIN linking was measured 100× slower — ~block-size
     rounds — and an unrolled pointer-jumping ladder exploded: DuckDB
     1.0 inlines MATERIALIZED CTEs inside a WITH RECURSIVE list, so a
-    ladder referencing its predecessor 4× grows the plan 4^rounds)."""
+    ladder referencing its predecessor 4× grows the plan 4^rounds).
+    HONEST BOUND: the closure's dedup state is Σ block_size² (every
+    edge of a block accumulates every other edge's label before the
+    final MIN — plain recursive SQL cannot aggregate inside the
+    recursion), ~1.8M rows / ~27 s on sf0.01's giant block.  That is
+    an ORACLE-scale cost only — the Spark side is near-linear
+    (star-contraction CC) — so keep this entry's gate at sf≤0.01 and
+    budget it in any driver-window rotation (see _DRIVER_WINDOW)."""
     return f"""
 WITH RECURSIVE e0 AS ({SPARSE_DIGRAPH_SQL}),
 canon AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b

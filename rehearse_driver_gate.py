@@ -67,17 +67,17 @@ def main() -> int:
                     help="comma-separated entry names")
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession
-
     import __spark_entry__ as entry_mod
 
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.driver.memory", "8g")
-        .appName("driver_gate_rehearsal")
-        .getOrCreate()
-    )
+    # get_spark, NOT a bare builder: the epoch-us entries depend on the
+    # session timezone being pinned UTC (NTZ parquet ts), and the dtype
+    # class this tool rehearses travels through the Arrow toPandas path
+    # get_spark configures — a hand-rolled session would rehearse the
+    # wrong conversion pipeline on a non-UTC box
+    from l_space_spark.session import get_spark
+
+    spark = get_spark(app_name="driver_gate_rehearsal", cores=8,
+                      shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
