@@ -10,10 +10,17 @@ exactly what this module produces.
 Pipeline (all JVM-side Catalyst expressions, no Python in the hot path):
 
     repos(repo, path, commit, lang, content)
-      → regexp_extract_all(content, '^import\\s+(repo\\d+)')   # per file
+      → regexp_extract_all(content, IMPORT_PATTERN)            # per file
       → explode → filter self-loops → distinct                 # per repo pair
       → edges(src_repo, dst_repo, label='imports')
       → xxhash64 vertex ids → edges(src, dst, label)
+
+``IMPORT_PATTERN`` parses the import/dependency forms of all four input
+languages with one capture group (so one vectorized pass, no per-lang
+branch): ``import repoX`` (python), ``import repoX.core._`` (scala),
+``import repoX.core.Api;`` (java), ``import "host/org/repoX"`` (go) —
+the quoted-path alternative skips any ``segment/`` prefixes before the
+repo name, and trailing ``.member``/quotes are simply not consumed.
 
 Per-row invariant (BASELINE.json input_hint): ``sha2(content, 256)`` computed
 by Spark equals ``hashlib.sha256`` computed by a pandas oracle, before and
@@ -25,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-IMPORT_PATTERN = r"(?m)^import\s+(repo\d+)"
+IMPORT_PATTERN = r'(?m)^import\s+"?(?:[\w.\-]+/)*(repo\d+)'
 EDGE_LABEL_IMPORTS = "imports"
 
 

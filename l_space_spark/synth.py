@@ -13,9 +13,13 @@ destination choice is biased toward low repo indices (power-law IN-degree),
 so high-degree hubs exist at every scale — this exercises the skew/salting
 path (SURVEY §4.2.4).
 
-``content`` embeds ``import repoXXXXX`` lines (one per outgoing link, spread
-round-robin over the repo's files) plus deterministic filler, so edge
-extraction (extract.py) is exactly derivable and checkable by a pandas oracle.
+``content`` embeds one import/dependency line per outgoing link (spread
+round-robin over the repo's files) in the FILE'S OWN LANGUAGE SYNTAX —
+``import repoX`` (python), ``import repoX.core._`` (scala),
+``import repoX.core.Api;`` (java), ``import "github.com/l-space/repoX"``
+(go) — plus deterministic filler, so edge extraction (extract.py) must
+parse real multi-language import forms yet stays exactly derivable and
+checkable by a pandas oracle.
 """
 
 from __future__ import annotations
@@ -108,15 +112,23 @@ def _file_rows(repo_idx: np.ndarray, file_idx: np.ndarray, n_repos: int,
     langs = [LANGS[int(x) % len(LANGS)] for x in (repo_idx + file_idx)]
     paths = [f"src/f{j}.{exts[lg]}" for j, lg in zip(file_idx, langs)]
 
+    import_forms = {
+        "python": "import repo{d:05d}",
+        "scala": "import repo{d:05d}.core._",
+        "java": "import repo{d:05d}.core.Api;",
+        "go": 'import "github.com/l-space/repo{d:05d}"',
+    }
+    comment = {"python": "#", "scala": "//", "java": "//", "go": "//"}
     contents = []
     for i, j, repo, lang in zip(repo_idx, file_idx, repos, langs):
         d = int(deg[i])
         # file j owns links k ≡ j (mod files_per_repo)
         ks = np.arange(j, d, files_per_repo, dtype=np.uint64)
-        lines = [f"// {repo} {lang} file {j}"]
+        lines = [f"{comment[lang]} {repo} {lang} file {j}"]
         if ks.size:
             dsts = dest_for(np.full(ks.size, i, dtype=np.uint64), ks, n_repos, seed)
-            lines += [f"import repo{int(d2):05d}" for d2 in dsts]
+            form = import_forms[lang]
+            lines += [form.format(d=int(d2)) for d2 in dsts]
         fw = _h(seed, np.uint64(i), np.uint64(j), 0xF111)
         lines.append("# " + " ".join(
             _FILLER_WORDS[int((int(fw) >> (4 * t)) % len(_FILLER_WORDS))] for t in range(6)))

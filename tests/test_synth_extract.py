@@ -53,6 +53,33 @@ def test_extracted_edges_match_generator_oracle(spark):
     assert got == synth.expected_edges(N_REPOS, seed=42)
 
 
+def test_import_pattern_parses_all_four_language_syntaxes(spark):
+    """One capture group over python/scala/java/go import forms; noise
+    lines (comments, indented imports, unrelated modules) extract nothing."""
+    fixtures = [
+        ("python", "import repo00007\nimport numpy\n", ["repo00007"]),
+        ("scala", "import repo00011.core._\n", ["repo00011"]),
+        ("java", "import repo00042.core.Api;\n", ["repo00042"]),
+        ("go", 'import "github.com/l-space/repo00099"\n', ["repo00099"]),
+        ("python", "# import repo00001\n  import repo00002\n", []),
+        ("go", 'import "fmt"\n', []),
+    ]
+    df = spark.createDataFrame(
+        [(f"r{i}", f"f{i}", "c", lang, content)
+         for i, (lang, content, _) in enumerate(fixtures)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    hits = df.select(
+        "repo",
+        F.regexp_extract_all(
+            F.col("content"), F.lit(extract.IMPORT_PATTERN), 1
+        ).alias("m"),
+    ).collect()
+    got = {r["repo"]: sorted(r["m"]) for r in hits}
+    want = {f"r{i}": sorted(exp) for i, (_, _, exp) in enumerate(fixtures)}
+    assert got == want
+
+
 def test_vertex_encoding_no_collisions_and_join_consistent(spark):
     repos = synth.generate_repos(spark, N_REPOS, FILES, seed=42)
     vertices, edges = extract.build_graph(repos)
