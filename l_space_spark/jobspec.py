@@ -41,6 +41,8 @@ Four spec kinds:
     bowtie · dag_levels (params: fixed_iters) · wl (params:
     fixed_iters) ·
     simrank (params: walk_length, n_walks, max_bucket) ·
+    landmark_distances (params: n_landmarks, max_iters) ·
+    fastrp (params: dims, iters, scale) ·
     khop_sample (GraphSAGE minibatch; params: seeds = JSON id list
     REQUIRED, fanouts, tag, shards) · negative_samples (degree-weighted
     word2vec/LINE draws for every distinct non-loop edge; params: k,
@@ -463,6 +465,16 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
                 int(spec["top_k"])
             )
         return out
+    if algo == "landmark_distances":
+        from .operators.landmarks import landmark_distances
+
+        return landmark_distances(spark, edges, **params).orderBy(
+            "bsrc", "id"
+        )
+    if algo == "fastrp":
+        from .operators.fastrp import fastrp_embeddings
+
+        return fastrp_embeddings(edges, **params).orderBy("id", "dim")
     if algo == "betweenness":
         from .operators.betweenness import betweenness_sampled
 

@@ -413,6 +413,34 @@ def test_simrank_spec(spark, tmp_path):
     assert [(r["a"], r["b"], r["sim_e6"]) for r in got] == [(1, 2, 600000)]
 
 
+def test_landmark_and_fastrp_specs(spark, tmp_path):
+    """landmark_distances / fastrp over the wire match the direct calls."""
+    from l_space_spark.operators.fastrp import fastrp_embeddings
+    from l_space_spark.operators.landmarks import landmark_distances
+
+    path = str(tmp_path / "edges_lmk")
+    pairs = [(0, 1), (1, 2), (2, 3), (0, 4), (4, 5), (5, 0)]
+    edges_df(spark, pairs).write.parquet(path)
+    edges = spark.read.parquet(path)
+
+    got = run_job(
+        spark, {"kind": "algorithm", "algorithm": "landmark_distances",
+                "params": {"n_landmarks": 2, "max_iters": 4},
+                "input": {"edges_parquet": path}}).collect()
+    want = landmark_distances(spark, edges, n_landmarks=2,
+                              max_iters=4).collect()
+    assert {tuple(r) for r in got} == {tuple(r) for r in want}
+    assert len(got) > 0
+
+    got = run_job(
+        spark, {"kind": "algorithm", "algorithm": "fastrp",
+                "params": {"dims": 4, "iters": 2},
+                "input": {"edges_parquet": path}}).collect()
+    want = fastrp_embeddings(edges, dims=4, iters=2).collect()
+    assert {tuple(r) for r in got} == {tuple(r) for r in want}
+    assert len(got) > 0
+
+
 def test_round4_algorithm_specs(spark, tmp_path):
     # adamic_adar / rectangle_count / dag_levels over the wire match the
     # direct operator calls
