@@ -43,6 +43,7 @@ Four spec kinds:
     simrank (params: walk_length, n_walks, max_bucket) ·
     landmark_distances (params: n_landmarks, max_iters) ·
     fastrp (params: dims, iters, scale) ·
+    louvain_refined (params: parent_iters, refine_iters) ·
     khop_sample (GraphSAGE minibatch; params: seeds = JSON id list
     REQUIRED, fanouts, tag, shards) · negative_samples (degree-weighted
     word2vec/LINE draws for every distinct non-loop edge; params: k,
@@ -471,6 +472,21 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
         return landmark_distances(spark, edges, **params).orderBy(
             "bsrc", "id"
         )
+    if algo == "louvain_refined":
+        from .operators.louvain import (
+            louvain_communities, refine_communities,
+        )
+
+        p_iters = int(params.pop("parent_iters", 6))
+        r_iters = int(params.pop("refine_iters", 6))
+        parent = louvain_communities(
+            spark, edges, max_iters=p_iters, fixed_iters=True,
+            resume=False, **params,
+        ).state
+        return refine_communities(
+            spark, edges, parent, max_iters=r_iters, fixed_iters=True,
+            resume=False, **params,
+        ).state.orderBy("id")
     if algo == "fastrp":
         from .operators.fastrp import fastrp_embeddings
 

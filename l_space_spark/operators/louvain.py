@@ -332,3 +332,103 @@ def louvain_weighted(
         links.unpersist()
         strength.unpersist()
     return result
+
+
+def refine_communities(
+    spark: SparkSession,
+    edges: DataFrame,
+    parent: DataFrame,
+    max_iters: int = 8,
+    fixed_iters: bool = False,
+    checkpoint_dir: str | None = None,
+    num_partitions: int | None = None,
+    resume: bool = True,
+    config_extra: dict | None = None,
+) -> SuperstepResult:
+    """Leiden-style REFINEMENT of a parent partition (Traag, Waltman &
+    van Eck 2019, "From Louvain to Leiden", the refinement-phase idea
+    made deterministic): re-run the greedy local moves from SINGLETONS
+    on the intra-community edge set only, so every vertex may join only
+    communities inside its parent community.  Because candidates come
+    exclusively from neighboring communities, every refined community
+    grown this way is CONNECTED — the well-known Louvain defect
+    (arbitrarily badly disconnected communities, ibid. §2) cannot
+    survive refinement.  Deterministic departure from the paper: moves
+    are greedy max-gain with the same parity alternation + anchored-
+    target rule as phase 1 (no randomized queue), so the unrolled-CTE
+    oracle matches exactly.
+
+    ``parent`` is ``(id, com)`` (e.g. ``louvain_communities(...).state``).
+    Returns state ``(id long, com long)`` — a refinement of ``parent``:
+    every refined community lies inside one parent community; vertices
+    with no intra-community edge (all their edges cross parent
+    boundaries) come back as singletons.
+
+    Spark shape: ONE extra cost over phase 1 — the intra filter is two
+    hash equi-joins of the closure against the |V|-row parent labels;
+    after that the per-round plan is exactly phase 1's (|E_intra|-row
+    neighbor tally + combiner groupBys + struct argmax), on a strictly
+    smaller edge set."""
+    num_partitions = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    par = parent.select("id", F.col("com").alias("pcom"))
+    und = undirect(edges)
+    intra = (
+        und
+        .join(par.select(F.col("id").alias("src"),
+                         F.col("pcom").alias("ps")).hint("shuffle_hash"),
+              "src")
+        .join(par.select(F.col("id").alias("dst"),
+                         F.col("pcom").alias("pd")).hint("shuffle_hash"),
+              "dst")
+        .where(F.col("ps") == F.col("pd"))
+        .select("src", "dst")
+        .repartition(num_partitions, "dst")
+        .persist()
+    )
+    degs = (
+        intra.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .select(F.col("src").alias("id"), "d")
+        .repartition(num_partitions, "id")
+        .persist()
+    )
+    m2 = intra.count()
+    degs.count()
+    init = degs.select("id", F.col("id").cast("long").alias("com"))
+
+    step = _move_step(intra, degs, m2)
+    moved = _moved_metric()
+
+    runner = SuperstepRunner(
+        spark,
+        max_iters=max_iters,
+        tol=0.0,
+        checkpoint_dir=checkpoint_dir,
+        config={"algo": "louvain_refine", "m2": m2,
+                **(config_extra or {}),
+                "fixed_iters": max_iters if fixed_iters else None},
+    )
+    try:
+        # vertices whose every edge crosses a parent boundary have no
+        # intra degree row and never enter the runner — they are
+        # singletons of the refined partition by definition.  Eagerly
+        # materialized while degs is still cached (the lazy plan would
+        # re-derive the intra join after the unpersist below).
+        isolated = (
+            par.select("id")
+            .join(degs.select("id"), "id", "left_anti")
+            .select("id", F.col("id").cast("long").alias("com"))
+            .localCheckpoint(eager=True)
+        )
+        result = runner.run(
+            init, step, metric_fn=None if fixed_iters else moved,
+            resume=resume,
+        )
+    finally:
+        intra.unpersist()
+        degs.unpersist()
+    from dataclasses import replace
+
+    return replace(result, state=result.state.unionByName(isolated))

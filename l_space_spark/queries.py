@@ -5069,15 +5069,50 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 LOUVAIN_ITERS = 6
 
 
-def _louvain_oracle(edges_sql: str, iters: int,
-                    final_select: str | None = None) -> str:
+def _louvain_round_parts(iters: int, und: str, deg: str, mm: str,
+                         st: str, pfx: str = "") -> list[str]:
     # unrolled synchronized local-move rounds, mirroring
     # operators/louvain.py EXACTLY: integer score
     # 2m·k_{v,C} − k_v·Σtot'_C, argmax broken by smallest community id,
-    # id-parity alternation (even ids move in even rounds), anchored-
-    # target eligibility (may only join a community holding an inactive
-    # member, or stay)
-    parts = [
+    # id-parity alternation (even ids move in even rounds, restarting at
+    # round 0 per runner invocation), anchored-target eligibility (may
+    # only join a community holding an inactive member, or stay).
+    # ``st`` names the state chain (``{st}0`` must exist); ``pfx``
+    # namespaces the per-round CTEs so two chains can coexist.
+    parts = []
+    for k in range(iters):
+        parts += [
+            f"{pfx}vol{k} AS MATERIALIZED (SELECT s.com, sum(d.d) AS vol,"
+            f" max(CASE WHEN (s.id & 1) <> {k % 2} THEN 1 ELSE 0 END)"
+            f" AS anch"
+            f" FROM {st}{k} s JOIN {deg} d ON d.id = s.id GROUP BY s.com),",
+            f"{pfx}nbr{k} AS (SELECT u.src AS id, s.com AS c,"
+            f" CAST(count(*) AS BIGINT) AS kvc"
+            f" FROM {und} u JOIN {st}{k} s ON s.id = u.dst GROUP BY 1, 2),",
+            f"{pfx}cand{k} AS (SELECT id, c, max(kvc) AS kvc FROM ("
+            f"SELECT id, c, kvc FROM {pfx}nbr{k}"
+            f" UNION ALL SELECT id, com AS c, CAST(0 AS BIGINT) AS kvc"
+            f" FROM {st}{k}) GROUP BY 1, 2),",
+            f"{pfx}sc{k} AS (SELECT cd.id, s.com, cd.c,"
+            f" {mm}.m2 * cd.kvc - d.d * (v.vol -"
+            f" CASE WHEN cd.c = s.com THEN d.d ELSE 0 END) AS score"
+            f" FROM {pfx}cand{k} cd JOIN {st}{k} s ON s.id = cd.id"
+            f" JOIN {deg} d ON d.id = cd.id"
+            f" JOIN {pfx}vol{k} v ON v.com = cd.c CROSS JOIN {mm}"
+            f" WHERE v.anch = 1 OR cd.c = s.com),",
+            f"{pfx}best{k} AS (SELECT id, com, c FROM ("
+            f"SELECT id, com, c, row_number() OVER (PARTITION BY id"
+            f" ORDER BY score DESC, c ASC) AS rn FROM {pfx}sc{k})"
+            f" WHERE rn = 1),",
+            f"{st}{k + 1} AS MATERIALIZED (SELECT id,"
+            f" CASE WHEN (id & 1) = {k % 2} THEN c ELSE com END AS com"
+            f" FROM {pfx}best{k}),",
+        ]
+    return parts
+
+
+def _louvain_prologue(edges_sql: str) -> list[str]:
+    return [
         f"WITH e0 AS MATERIALIZED ({edges_sql}),",
         "und AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
         "SELECT src, dst FROM e0 WHERE src <> dst"
@@ -5088,38 +5123,50 @@ def _louvain_oracle(edges_sql: str, iters: int,
         "s0 AS MATERIALIZED (SELECT id, CAST(id AS BIGINT) AS com"
         " FROM deg),",
     ]
-    for k in range(iters):
-        parts += [
-            f"vol{k} AS MATERIALIZED (SELECT s.com, sum(d.d) AS vol,"
-            f" max(CASE WHEN (s.id & 1) <> {k % 2} THEN 1 ELSE 0 END)"
-            f" AS anch"
-            f" FROM s{k} s JOIN deg d ON d.id = s.id GROUP BY s.com),",
-            f"nbr{k} AS (SELECT u.src AS id, s.com AS c,"
-            f" CAST(count(*) AS BIGINT) AS kvc"
-            f" FROM und u JOIN s{k} s ON s.id = u.dst GROUP BY 1, 2),",
-            f"cand{k} AS (SELECT id, c, max(kvc) AS kvc FROM ("
-            f"SELECT id, c, kvc FROM nbr{k}"
-            f" UNION ALL SELECT id, com AS c, CAST(0 AS BIGINT) AS kvc"
-            f" FROM s{k}) GROUP BY 1, 2),",
-            f"sc{k} AS (SELECT cd.id, s.com, cd.c,"
-            f" mm.m2 * cd.kvc - d.d * (v.vol -"
-            f" CASE WHEN cd.c = s.com THEN d.d ELSE 0 END) AS score"
-            f" FROM cand{k} cd JOIN s{k} s ON s.id = cd.id"
-            f" JOIN deg d ON d.id = cd.id"
-            f" JOIN vol{k} v ON v.com = cd.c CROSS JOIN mm"
-            f" WHERE v.anch = 1 OR cd.c = s.com),",
-            f"best{k} AS (SELECT id, com, c FROM ("
-            f"SELECT id, com, c, row_number() OVER (PARTITION BY id"
-            f" ORDER BY score DESC, c ASC) AS rn FROM sc{k}) WHERE rn = 1),",
-            f"s{k + 1} AS MATERIALIZED (SELECT id,"
-            f" CASE WHEN (id & 1) = {k % 2} THEN c ELSE com END AS com"
-            f" FROM best{k}),",
-        ]
+
+
+def _louvain_oracle(edges_sql: str, iters: int,
+                    final_select: str | None = None) -> str:
+    parts = _louvain_prologue(edges_sql)
+    parts += _louvain_round_parts(iters, "und", "deg", "mm", "s")
     if final_select is None:
         parts[-1] = parts[-1].rstrip(",")
         parts.append(f"SELECT id, com FROM s{iters} ORDER BY id")
     else:
         parts.append(final_select.replace("{L}", f"s{iters}"))
+    return "\n".join(parts)
+
+
+def _louvain_refine_oracle(edges_sql: str, parent_iters: int,
+                           refine_iters: int) -> str:
+    """Parent phase-1 chain, then the refinement chain over the
+    INTRA-community closure from singletons (operators/louvain.py
+    ``refine_communities``); vertices with no intra edge come back as
+    singletons via the anti-join tail."""
+    parts = _louvain_prologue(edges_sql)
+    parts += _louvain_round_parts(parent_iters, "und", "deg", "mm", "s")
+    p = f"s{parent_iters}"
+    parts += [
+        f"undr AS MATERIALIZED (SELECT u.src, u.dst FROM und u"
+        f" JOIN {p} a ON a.id = u.src JOIN {p} b ON b.id = u.dst"
+        f" WHERE a.com = b.com),",
+        "degr AS MATERIALIZED (SELECT src AS id,"
+        " CAST(count(*) AS BIGINT) AS d FROM undr GROUP BY src),",
+        "mmr AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM undr),",
+        "rs0 AS MATERIALIZED (SELECT id, CAST(id AS BIGINT) AS com"
+        " FROM degr),",
+    ]
+    parts += _louvain_round_parts(refine_iters, "undr", "degr", "mmr",
+                                  "rs", pfx="r")
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT id, com FROM ("
+        f" SELECT id, com FROM rs{refine_iters}"
+        f" UNION ALL"
+        f" SELECT s.id, CAST(s.id AS BIGINT) AS com FROM {p} s"
+        f" LEFT JOIN degr g ON g.id = s.id WHERE g.id IS NULL"
+        f") ORDER BY id"
+    )
     return "\n".join(parts)
 
 
@@ -5365,6 +5412,40 @@ def q_louvain_multilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    F.col("com").alias("com2")), "com")
         .select(F.col("id").cast("long").alias("id"),
                 F.col("com2").cast("long").alias("com2"))
+        .orderBy("id")
+    )
+
+
+REFINE_ITERS = 6
+
+
+@register("louvain_refined",
+          _louvain_refine_oracle(MOD_EDGES_SQL, LOUVAIN_ITERS,
+                                 REFINE_ITERS))
+def q_louvain_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leiden-style refinement of the phase-1 Louvain partition
+    (operators/louvain.py ``refine_communities`` — Traag, Waltman & van
+    Eck 2019, deterministic greedy variant): local moves re-run from
+    singletons over the INTRA-community edge set, so every refined
+    community lies inside one parent community and, because candidates
+    only ever come from neighboring communities, is guaranteed
+    CONNECTED — the Louvain defect the Leiden paper names (§2) cannot
+    survive. Same exact-integer score, parity alternation and anchored
+    targets as phase 1; the oracle unrolls BOTH chains."""
+    from .operators.louvain import louvain_communities, refine_communities
+
+    e = mod_edges(spark, sf_dir)
+    parent = louvain_communities(
+        spark, e, max_iters=LOUVAIN_ITERS, fixed_iters=True, resume=False,
+        num_partitions=_small_graph_parts(spark),
+    ).state
+    ref = refine_communities(
+        spark, e, parent, max_iters=REFINE_ITERS, fixed_iters=True,
+        resume=False, num_partitions=_small_graph_parts(spark),
+    )
+    return (
+        ref.state.select(F.col("id").cast("long").alias("id"),
+                         F.col("com").cast("long").alias("com"))
         .orderBy("id")
     )
 

@@ -440,6 +440,21 @@ def test_landmark_and_fastrp_specs(spark, tmp_path):
     assert {tuple(r) for r in got} == {tuple(r) for r in want}
     assert len(got) > 0
 
+    from l_space_spark.operators.louvain import (
+        louvain_communities, refine_communities,
+    )
+
+    got = run_job(
+        spark, {"kind": "algorithm", "algorithm": "louvain_refined",
+                "params": {"parent_iters": 2, "refine_iters": 2},
+                "input": {"edges_parquet": path}}).collect()
+    parent = louvain_communities(spark, edges, max_iters=2,
+                                 fixed_iters=True, resume=False).state
+    want = refine_communities(spark, edges, parent, max_iters=2,
+                              fixed_iters=True, resume=False).state.collect()
+    assert {tuple(r) for r in got} == {tuple(r) for r in want}
+    assert len(got) > 0
+
 
 def test_round4_algorithm_specs(spark, tmp_path):
     # adamic_adar / rectangle_count / dag_levels over the wire match the

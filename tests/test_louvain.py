@@ -264,3 +264,81 @@ def test_multilevel_merges_ring_of_triangles(spark):
     n1, d1 = modularity_q(pairs, com1)
     n2, d2 = modularity_q(pairs, com2)
     assert n2 * d1 >= n1 * d2  # composed Q >= phase-1 Q
+
+
+def refine_twin(pairs, parent_rounds, refine_rounds):
+    """Python twin of refine_communities: louvain moves restricted to
+    intra-parent edges from singletons; no-intra-edge vertices stay
+    singletons."""
+    parent = louvain_twin(pairs, parent_rounds)
+    intra = [(a, b) for a, b in pairs
+             if a != b and a in parent and parent[a] == parent[b]]
+    ref = louvain_twin(intra, refine_rounds)
+    return {v: ref.get(v, v) for v in parent}
+
+
+def run_refined(spark, pairs, parent_rounds, refine_rounds):
+    from l_space_spark.operators.louvain import refine_communities
+
+    e = edges_df(spark, pairs)
+    parent = louvain_communities(
+        spark, e, max_iters=parent_rounds, fixed_iters=True,
+        resume=False, num_partitions=4,
+    ).state
+    res = refine_communities(spark, e, parent, max_iters=refine_rounds,
+                             fixed_iters=True, resume=False,
+                             num_partitions=4)
+    return ({r["id"]: r["com"] for r in res.state.collect()},
+            {r["id"]: r["com"] for r in parent.collect()})
+
+
+def test_refine_matches_twin_random(spark):
+    rnd = random.Random(31)
+    pairs = [(rnd.randrange(30), rnd.randrange(30)) for _ in range(90)]
+    got, _ = run_refined(spark, pairs, 4, 3)
+    assert got == refine_twin(pairs, 4, 3)
+
+
+def test_refine_is_connected_subpartition(spark):
+    """The Leiden guarantees: every refined community lies inside one
+    parent community AND is connected on the intra edges."""
+    rnd = random.Random(57)
+    pairs = [(rnd.randrange(25), rnd.randrange(25)) for _ in range(60)]
+    got, parent = run_refined(spark, pairs, 6, 6)
+    assert set(got) == set(parent)
+    # subset: a refined community never spans two parent communities
+    rc_parent = defaultdict(set)
+    for v, rc in got.items():
+        rc_parent[rc].add(parent[v])
+    assert all(len(ps) == 1 for ps in rc_parent.values())
+    # connectivity on intra-parent edges (union-find per refined com)
+    intra = [(a, b) for a, b in pairs
+             if a != b and parent[a] == parent[b]]
+    uf = {}
+
+    def find(x):
+        while uf.setdefault(x, x) != x:
+            uf[x] = uf[uf[x]]
+            x = uf[x]
+        return x
+
+    members = defaultdict(set)
+    for v, rc in got.items():
+        members[rc].add(v)
+    for a, b in intra:
+        if got[a] == got[b]:
+            uf[find(a)] = find(b)
+    for rc, vs in members.items():
+        roots = {find(v) for v in vs}
+        assert len(roots) == 1, f"refined community {rc} disconnected"
+
+
+def test_refine_two_cliques_bridge_vertexless_parent(spark):
+    # one parent community containing two K4s joined by a single edge:
+    # refinement from singletons keeps each clique coherent and every
+    # refined community inside the parent
+    k = lambda off: [(a + off, b + off) for a in range(4)
+                     for b in range(a + 1, 4)]
+    pairs = k(0) + k(10) + [(3, 10)]
+    got, parent = run_refined(spark, pairs, 1, 8)
+    assert got == refine_twin(pairs, 1, 8)
