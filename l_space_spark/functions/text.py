@@ -397,3 +397,59 @@ def lm_familiarity(df, id_col: str, text_col: str):
         F.col("nb").cast("long").alias("n_bigrams"),
         ((a - F.pmod(a, b)) / b).cast("long").alias("lm_score_e6"),
     )
+
+
+def hashed_linear_score(df, id_col: str, text_col: str,
+                        buckets: int = 4096):
+    """FastText-style hashed linear quality scorer, entirely map-side.
+
+    The shape of every production quality classifier (fastText / logistic
+    over hashed n-gram features — what the reference-scale curation
+    pipelines run per document): token → feature bucket via the portable
+    60-bit hash, bucket → weight from a fixed weight table, document
+    score = Σ token weights. Here the weight table is itself derived from
+    the portable hash (weight_milli(b) = hash60('lqv:'||b) % 2001 − 1000,
+    i.e. uniform in [−1.000, +1.000]) so the whole scorer is reproducible
+    in ANSI SQL — swap in trained weights via a broadcast join on the
+    bucket id without changing the plan shape.
+
+    Scale shape: ZERO shuffle — tokenize, ``transform`` to per-token
+    weights, ``aggregate`` to the document sum, all inside one projection
+    (whole-stage codegen, no UDF, no explode). At 100 TB this runs at
+    parquet-scan speed; the alternative explode+groupBy shape shuffles
+    one row per token (~10⁴× the document count) for no reason.
+
+    Returns (id, n_tokens, score_milli, avg_weight_e3, keep): exact
+    BIGINTs; ``avg_weight_e3`` = round-half-up(1000·score/n_tokens),
+    ``keep`` = 1 iff the mean token weight is positive.
+    """
+    ts = tokens(F.coalesce(F.col(text_col), F.lit("")))
+
+    def w(t: Column) -> Column:
+        b = F.pmod(hash60(F.concat(F.lit("lqw:"), t)), F.lit(buckets))
+        return (
+            F.pmod(hash60(F.concat(F.lit("lqv:"), b.cast("string"))),
+                   F.lit(2001))
+            - F.lit(1000)
+        ).cast("long")
+
+    score = F.aggregate(
+        F.transform(ts, w), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.size(ts).cast("long").alias("n_tokens"),
+        score.alias("score_milli"),
+    )
+    avg = F.when(
+        F.col("n_tokens") > 0,
+        F.floor(
+            F.col("score_milli").cast("double") * 1000
+            / F.col("n_tokens") + 0.5
+        ),
+    ).otherwise(F.lit(0)).cast("long")
+    return out.select(
+        "id", "n_tokens", "score_milli",
+        avg.alias("avg_weight_e3"),
+        (avg > 0).cast("long").alias("keep"),
+    )

@@ -250,3 +250,45 @@ def eigenvector_centrality_fixed(
         # propagation on the final action (same discipline as katz_top20)
         x = x.localCheckpoint(eager=False)
     return x.select("id", F.col("x").alias("score"))
+
+
+def double_sweep(
+    spark: SparkSession,
+    und_edges: DataFrame,
+    rounds: int = 16,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Double-sweep diameter probe over a canonical undirected closure
+    (distinct, loop-free, both orientations): BFS from the lowest-id
+    vertex, take the farthest vertex (tie → lowest id), BFS again from
+    there. Returns one row (seed, far, diameter_lb, far_reach) — the
+    standard high-quality diameter lower bound (exact on trees;
+    Magnien-Latapy-Habib's iterated variant starts exactly like this).
+    Cost: two multi_source_bfs jobs + two single-row argmax reads,
+    independent of graph size beyond the BFS itself."""
+    seed = int(und_edges.agg(F.min("src")).first()[0])
+    seed_df = spark.range(1).select(F.lit(seed).cast("long").alias("id"))
+    r1 = multi_source_bfs(
+        spark, und_edges, seed_df, max_iters=rounds, fixed_iters=True,
+        canonical=True, num_partitions=num_partitions, resume=False,
+    )
+    far = int(
+        r1.state.orderBy(F.desc("dist"), F.asc("id")).limit(1).first()["id"]
+    )
+    far_df = spark.range(1).select(F.lit(far).cast("long").alias("id"))
+    r2 = multi_source_bfs(
+        spark, und_edges, far_df, max_iters=rounds, fixed_iters=True,
+        canonical=True, num_partitions=num_partitions, resume=False,
+    )
+    return (
+        r2.state.agg(
+            F.max("dist").cast("long").alias("diameter_lb"),
+            F.sum(F.when(F.col("dist") > 0, 1).otherwise(0))
+            .cast("long").alias("far_reach"),
+        )
+        .select(
+            F.lit(seed).cast("long").alias("seed"),
+            F.lit(far).cast("long").alias("far"),
+            "diameter_lb", "far_reach",
+        )
+    )

@@ -492,3 +492,92 @@ def attack_robustness(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def cycle_rank_per_component(
+    spark, edges: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """Cycle rank (first Betti number, m − n + 1) per weakly-connected
+    component of ``edges``' undirected closure — the count of independent
+    cycles the component carries (0 = tree). Composition of proven
+    pieces: hash-min CC + canonical-edge equi-join + two combiner-backed
+    counts; scale story = CC's. Returns (component, n_vertices, n_edges,
+    cycle_rank), all long."""
+    from .components import connected_components, undirect
+
+    und = undirect(edges)
+    cc = connected_components(
+        spark, edges, max_iters=100, resume=False,
+        num_partitions=num_partitions,
+    ).state
+    canon = und.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    ec = (
+        canon.join(cc.withColumnRenamed("id", "a"), "a")
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    vc = cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_vertices"))
+    return (
+        vc.join(ec, "component", "left")
+        .select(
+            F.col("component").cast("long").alias("component"),
+            F.col("n_vertices").cast("long").alias("n_vertices"),
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+            (F.coalesce("n_edges", F.lit(0)) - F.col("n_vertices") + 1)
+            .cast("long").alias("cycle_rank"),
+        )
+    )
+
+
+def parity_conflicts(
+    spark, edges: DataFrame, rounds: int = 24,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Bipartiteness certificate per component: BFS 2-coloring from each
+    component's canonical root (its min id, the hash-min CC label); an
+    edge CONFLICTS iff both endpoints get the same shortest-distance
+    parity; bipartite iff zero conflicts (odd-cycle theorem). Distances
+    are horizon-bounded at ``rounds`` hops — edges with an unreached
+    endpoint are not counted. One CC run + ONE multi-source BFS whose
+    state is |V| rows total (each vertex reachable from exactly its own
+    component's root) + an edge-to-parity equi-join. Returns (component,
+    n_edges_checked, n_conflicts, is_bipartite), all long."""
+    from .centrality import multi_source_bfs
+    from .components import connected_components, undirect
+
+    und = undirect(edges)
+    cc = connected_components(
+        spark, edges, max_iters=100, resume=False,
+        num_partitions=num_partitions,
+    ).state
+    roots = cc.select(F.col("component").alias("id")).distinct()
+    bfs = multi_source_bfs(
+        spark, und, roots, max_iters=rounds, fixed_iters=True,
+        canonical=True, num_partitions=num_partitions, resume=False,
+    )
+    par = bfs.state.select(
+        F.col("bsrc").alias("component"), "id",
+        (F.col("dist") % 2).alias("par"),
+    )
+    canon = und.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    pa = par.select(
+        "component", F.col("id").alias("a"), F.col("par").alias("pa")
+    )
+    pb = par.select(F.col("id").alias("b"), F.col("par").alias("pb"))
+    j = canon.join(pa, "a").join(pb, "b").select(
+        "component",
+        F.when(F.col("pa") == F.col("pb"), 1).otherwise(0).alias("conflict"),
+    )
+    return (
+        j.groupBy(F.col("component").cast("long").alias("component"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges_checked"),
+            F.sum("conflict").cast("long").alias("n_conflicts"),
+            F.when(F.sum("conflict") == 0, 1).otherwise(0)
+            .cast("long").alias("is_bipartite"),
+        )
+    )

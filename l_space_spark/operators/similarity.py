@@ -29,7 +29,7 @@ Two tiers, mirroring how a 100 TB pipeline actually runs ANN:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import hash60
@@ -480,3 +480,87 @@ def ivf_train_kmeans(
     finally:
         base.unpersist()
     return result
+
+
+def kcenter_gonzalez(
+    spark: SparkSession,
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    quant: int = 1000,
+) -> DataFrame:
+    """Gonzalez farthest-point k-center selection — the deterministic
+    coreset / diversity picker for curation ("give me k maximally spread
+    exemplars of this corpus") and a kmeans++-grade seeder for
+    `ivf_train_kmeans`.
+
+    Start from the lowest-id vector; k−1 times pick the point FARTHEST
+    from the already-chosen set (classic 2-approximation to the optimal
+    k-center radius, Gonzalez 1985). Distances are squared L2 over
+    integer-QUANTIZED coordinates (``floor(x·quant)`` per dim): exact
+    BIGINT arithmetic, so the argmax (ties broken by lowest id) can never
+    flip between engines and the unrolled-CTE oracle matches exactly.
+
+    Scale shape: each of the k rounds is ONE map-only pass — ``zip_with``
+    /``aggregate`` against the newest center inlined as an array literal
+    (a broadcast of one row, no join, no shuffle) — followed by a single
+    top-1 reduce. Total k·O(N·d) work, k driver round-trips of one row
+    each; pairwise distances are never materialized. The sequential
+    argmax is inherent to the algorithm (each pick depends on the last),
+    so k tiny supersteps IS the distributed formulation; the running
+    min-distance column carries forward so round j re-scans one center,
+    not j.
+
+    Returns k rows ``(rnk, center_id, radius)``; ``radius`` is the
+    pick's distance to the previously-chosen set at selection time —
+    non-increasing, and pick j+1's radius lower-bounds 2·OPT_j.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    q = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * quant).cast("long"),
+        ).alias("q"),
+    ).persist()
+
+    def dist_to(center_vals) -> Column:
+        c = F.array(*[F.lit(int(v)) for v in center_vals])
+        return F.aggregate(
+            F.zip_with(F.col("q"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    first_rows = q.orderBy("id").limit(1).collect()
+    if not first_rows:
+        q.unpersist()
+        return spark.createDataFrame(
+            [], "rnk long, center_id long, radius long"
+        )
+    first = first_rows[0]
+    picks = [(1, int(first["id"]), 0)]
+    mind = q.select("id", "q", dist_to(first["q"]).alias("d"))
+    held = None
+    for rnk in range(2, k + 1):
+        mind = mind.persist()
+        row = mind.orderBy(F.desc("d"), F.asc("id")).limit(1).first()
+        if held is not None:
+            held.unpersist()
+        held = mind
+        if row is None:
+            break
+        picks.append((rnk, int(row["id"]), int(row["d"])))
+        if rnk < k:
+            mind = mind.select(
+                "id", "q",
+                F.least(F.col("d"), dist_to(row["q"])).alias("d"),
+            )
+    if held is not None:
+        held.unpersist()
+    q.unpersist()
+    return spark.createDataFrame(
+        picks, "rnk long, center_id long, radius long"
+    )

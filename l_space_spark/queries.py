@@ -7953,6 +7953,435 @@ def q_landmark_distance_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# 12. Round-4 late additions: diameter probe, bipartite / cycle-rank
+#     certificates, hashed linear quality scoring, k-center coreset
+# =====================================================================
+
+DSW_ROUNDS = 16
+
+
+def _bfs_unrolled_und(prefix: str, seed_cte: str, rounds: int) -> list[str]:
+    """Unrolled BFS rounds over the CTE ``und`` (src, dst), seeded from
+    ``seed_cte`` (must yield (id, dist)); one min-relaxation per round —
+    the SQL twin of one multi_source_bfs superstep."""
+    parts = [f"{prefix}0 AS MATERIALIZED ({seed_cte}),"]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"{prefix}{k} AS MATERIALIZED ("
+            f" SELECT id, MIN(dist) AS dist FROM ("
+            f"  SELECT id, dist FROM {prefix}{k - 1}"
+            f"  UNION ALL"
+            f"  SELECT u.dst AS id, p.dist + 1 FROM {prefix}{k - 1} p"
+            f"  JOIN und u ON u.src = p.id"
+            f" ) GROUP BY id),"
+        )
+    return parts
+
+
+def _double_sweep_oracle() -> str:
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({SPARSE_DIGRAPH_SQL}),",
+        "und AS MATERIALIZED (SELECT src, dst FROM e0 WHERE src <> dst"
+        " UNION SELECT dst, src FROM e0 WHERE src <> dst),",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM und),",
+    ]
+    parts += _bfs_unrolled_und(
+        "a", "SELECT min(id) AS id, 0::BIGINT AS dist FROM verts",
+        DSW_ROUNDS,
+    )
+    parts.append(
+        f"far AS MATERIALIZED (SELECT id, dist FROM a{DSW_ROUNDS}"
+        f" ORDER BY dist DESC, id LIMIT 1),"
+    )
+    parts += _bfs_unrolled_und(
+        "b", "SELECT id, 0::BIGINT AS dist FROM far", DSW_ROUNDS
+    )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT (SELECT min(id) FROM verts) AS seed,"
+        f" (SELECT id FROM far) AS far,"
+        f" max(dist) AS diameter_lb,"
+        f" CAST(count(*) FILTER (WHERE dist > 0) AS BIGINT) AS far_reach"
+        f" FROM b{DSW_ROUNDS}"
+    )
+    return "\n".join(parts)
+
+
+@register("double_sweep_diameter", _double_sweep_oracle())
+def q_double_sweep_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep diameter probe on the sparse digraph's undirected
+    closure: BFS from the lowest-id vertex, take the farthest vertex
+    (tie → lowest id), BFS again from there — ``diameter_lb`` is the
+    standard high-quality lower bound (exact on trees, near-exact on
+    real web/link graphs; Magnien-Latapy-Habib's iterated double sweep
+    starts exactly like this). Both sweeps are fixed at DSW_ROUNDS hops
+    so the unrolled-CTE oracle truncates identically — within the
+    horizon the comparison is exact.
+
+    Scale shape: two multi_source_bfs superstep jobs (state |V| rows,
+    per-round min-relaxation join against the src-partitioned closure)
+    plus two single-row argmax reads — the whole probe costs ~2·BFS
+    regardless of graph size, which is why double sweep is THE diameter
+    estimator used at web scale."""
+    from .operators.centrality import double_sweep
+    from .operators.components import undirect
+
+    und = undirect(sparse_digraph_edges(spark, sf_dir))
+    return double_sweep(
+        spark, und, rounds=DSW_ROUNDS,
+        num_partitions=_small_graph_parts(spark),
+    )
+
+
+CLO_SOURCES = 8
+CLO_ROUNDS = 12
+
+
+def _closeness_oracle() -> str:
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({SPARSE_DIGRAPH_SQL}),",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0"
+        " WHERE src <> dst),",
+        "verts AS MATERIALIZED (SELECT src AS id FROM e"
+        " UNION SELECT dst FROM e),",
+        "nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM verts),",
+        f"seeds AS MATERIALIZED (SELECT id FROM verts ORDER BY id"
+        f" LIMIT {CLO_SOURCES}),",
+        "b0 AS MATERIALIZED (SELECT id AS bsrc, id, 0::BIGINT AS dist"
+        " FROM seeds),",
+    ]
+    for k in range(1, CLO_ROUNDS + 1):
+        parts.append(
+            f"b{k} AS MATERIALIZED ("
+            f" SELECT bsrc, id, MIN(dist) AS dist FROM ("
+            f"  SELECT bsrc, id, dist FROM b{k - 1}"
+            f"  UNION ALL"
+            f"  SELECT p.bsrc, e.dst AS id, p.dist + 1"
+            f"  FROM b{k - 1} p JOIN e ON e.src = p.id"
+            f" ) GROUP BY bsrc, id),"
+        )
+    parts.append(
+        f"agg AS (SELECT bsrc AS source,"
+        f" CAST(count(*) FILTER (WHERE dist > 0) AS BIGINT) AS n_reached,"
+        f" CAST(coalesce(sum(dist), 0) AS BIGINT) AS sum_dist"
+        f" FROM b{CLO_ROUNDS} GROUP BY bsrc)"
+    )
+    parts.append(
+        "SELECT source, n_reached, sum_dist,"
+        " CASE WHEN sum_dist > 0 THEN"
+        " CAST(floor((n_reached * n_reached * 1000000)::DOUBLE"
+        " / (((SELECT n FROM nn) - 1) * sum_dist)::DOUBLE + 0.5) AS BIGINT)"
+        " ELSE 0 END AS closeness_wf_e6"
+        " FROM agg ORDER BY source"
+    )
+    return "\n".join(parts)
+
+
+@register("closeness_centrality_sampled", _closeness_oracle())
+def q_closeness_centrality_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wasserman-Faust closeness for the CLO_SOURCES lowest-id vertices
+    of the sparse digraph (forward distances, CLO_ROUNDS-hop horizon —
+    truncation mirrored exactly by the unrolled oracle): the
+    disconnected-graph-safe closeness C = (r/(n−1))·(r/Σd), scaled
+    ·1e6 and rounded half-up from exact integer numerators so the fp
+    division is a single IEEE op on both engines. Complements
+    harmonic_centrality (Σ 1/d) — the two standard answers to
+    unreachable pairs. Same multi-source-BFS superstep shape: all
+    sources share one per-round relaxation join, state ≤ S·|V| rows."""
+    from .operators.centrality import multi_source_bfs
+
+    e = sparse_digraph_edges(spark, sf_dir)
+    e2 = (
+        e.select("src", "dst")
+        .where(F.col("src") != F.col("dst")).distinct()
+    )
+    verts = (
+        e2.select(F.col("src").alias("id"))
+        .unionByName(e2.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    n = verts.count()
+    sources = verts.orderBy("id").limit(CLO_SOURCES)
+    res = multi_source_bfs(
+        spark, e2, sources, max_iters=CLO_ROUNDS, fixed_iters=True,
+        canonical=True, num_partitions=_small_graph_parts(spark),
+        resume=False,
+    )
+    agg = res.state.groupBy(
+        F.col("bsrc").cast("long").alias("source")
+    ).agg(
+        F.sum(F.when(F.col("dist") > 0, 1).otherwise(0))
+        .cast("long").alias("n_reached"),
+        F.coalesce(F.sum("dist"), F.lit(0)).cast("long").alias("sum_dist"),
+    )
+    clo = (
+        F.when(
+            F.col("sum_dist") > 0,
+            F.floor(
+                (F.col("n_reached") * F.col("n_reached") * F.lit(1000000))
+                .cast("double")
+                / ((F.lit(int(n)) - 1) * F.col("sum_dist")).cast("double")
+                + 0.5
+            ),
+        )
+        .otherwise(0)
+        .cast("long")
+    )
+    return agg.select(
+        "source", "n_reached", "sum_dist", clo.alias("closeness_wf_e6")
+    ).orderBy("source")
+
+
+@register(
+    "cycle_rank_components",
+    f"""
+WITH RECURSIVE e0 AS ({SPARSE_DIGRAPH_SQL}),
+und AS (
+  SELECT src, dst FROM e0 WHERE src <> dst
+  UNION
+  SELECT dst, src FROM e0 WHERE src <> dst
+),
+verts AS (SELECT DISTINCT src AS id FROM und),
+reach(id, comp) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT u.dst, r.comp FROM reach r JOIN und u ON u.src = r.id
+),
+cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+canon AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM und
+),
+ec AS (
+  SELECT c.component, count(*) AS n_edges
+  FROM canon e JOIN cc c ON c.id = e.a GROUP BY c.component
+),
+vc AS (SELECT component, count(*) AS n_vertices FROM cc GROUP BY component)
+SELECT v.component,
+       CAST(v.n_vertices AS BIGINT) AS n_vertices,
+       CAST(coalesce(ec.n_edges, 0) AS BIGINT) AS n_edges,
+       CAST(coalesce(ec.n_edges, 0) - v.n_vertices + 1 AS BIGINT)
+         AS cycle_rank
+FROM vc v LEFT JOIN ec ON ec.component = v.component
+ORDER BY v.component
+""".strip(),
+)
+def q_cycle_rank_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cycle rank (first Betti number, m − n + 1) per weakly-connected
+    component of the sparse digraph's undirected closure — for a code
+    dependency graph this is the count of independent circular-dependency
+    loops a component carries (0 = tree-shaped, the refactoring target).
+    Composition of already-proven pieces: hash-min connected components
+    + one canonical-edge equi-join + two combiner-backed counts; no new
+    iterative machinery, so the 100×-scale story is exactly CC's."""
+    from .operators.graphstats import cycle_rank_per_component
+
+    e = sparse_digraph_edges(spark, sf_dir)
+    return cycle_rank_per_component(
+        spark, e, num_partitions=_small_graph_parts(spark)
+    ).orderBy("component")
+
+
+PAR_ROUNDS = 24
+
+
+def _parity_oracle() -> str:
+    parts = [
+        f"WITH RECURSIVE e0 AS MATERIALIZED ({SPARSE_DIGRAPH_SQL}),",
+        "und AS MATERIALIZED (",
+        "  SELECT src, dst FROM e0 WHERE src <> dst",
+        "  UNION",
+        "  SELECT dst, src FROM e0 WHERE src <> dst",
+        "),",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM und),",
+        "reach(id, comp) AS (",
+        "  SELECT id, id FROM verts",
+        "  UNION",
+        "  SELECT u.dst, r.comp FROM reach r JOIN und u ON u.src = r.id",
+        "),",
+        "cc AS MATERIALIZED (SELECT id, min(comp) AS component"
+        " FROM reach GROUP BY id),",
+        "roots AS MATERIALIZED (SELECT DISTINCT component AS id FROM cc),",
+        "b0 AS MATERIALIZED (SELECT id AS bsrc, id, 0::BIGINT AS dist"
+        " FROM roots),",
+    ]
+    for k in range(1, PAR_ROUNDS + 1):
+        parts.append(
+            f"b{k} AS MATERIALIZED ("
+            f" SELECT bsrc, id, MIN(dist) AS dist FROM ("
+            f"  SELECT bsrc, id, dist FROM b{k - 1}"
+            f"  UNION ALL"
+            f"  SELECT p.bsrc, u.dst AS id, p.dist + 1"
+            f"  FROM b{k - 1} p JOIN und u ON u.src = p.id"
+            f" ) GROUP BY bsrc, id),"
+        )
+    parts += [
+        f"par AS MATERIALIZED (SELECT bsrc AS component, id,"
+        f" dist % 2 AS par FROM b{PAR_ROUNDS}),",
+        "canon AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,"
+        " greatest(src, dst) AS b FROM und),",
+        "j AS (SELECT pa.component,"
+        " CASE WHEN pa.par = pb.par THEN 1 ELSE 0 END AS conflict"
+        " FROM canon e JOIN par pa ON pa.id = e.a"
+        " JOIN par pb ON pb.id = e.b)",
+        "SELECT component,",
+        "  CAST(count(*) AS BIGINT) AS n_edges_checked,",
+        "  CAST(sum(conflict) AS BIGINT) AS n_conflicts,",
+        "  CAST(CASE WHEN sum(conflict) = 0 THEN 1 ELSE 0 END AS BIGINT)"
+        " AS is_bipartite",
+        "FROM j GROUP BY component ORDER BY component",
+    ]
+    return "\n".join(parts)
+
+
+@register("parity_conflict_edges", _parity_oracle())
+def q_parity_conflict_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartiteness certificate per component: BFS 2-coloring from each
+    component's canonical root (its min id — the hash-min CC label), an
+    edge CONFLICTS iff both endpoints get the same shortest-distance
+    parity; a component is bipartite iff it has zero conflicts (odd-cycle
+    theorem). Distances are horizon-bounded at PAR_ROUNDS hops, mirrored
+    exactly by the unrolled oracle (an edge counts only when both
+    endpoints are reached — identical truncation on both engines).
+
+    Scale shape: one CC run + ONE multi-source BFS whose state is |V|
+    rows total (each vertex is reachable from exactly its own component's
+    root), then an edge-to-parity equi-join — all existing, plan-audited
+    machinery; nothing quadratic anywhere."""
+    from .operators.graphstats import parity_conflicts
+
+    e = sparse_digraph_edges(spark, sf_dir)
+    return parity_conflicts(
+        spark, e, rounds=PAR_ROUNDS,
+        num_partitions=_small_graph_parts(spark),
+    ).orderBy("component")
+
+
+LQ_BUCKETS = 4096
+
+
+def _lq_oracle() -> str:
+    bucket = (
+        f"(('0x' || substr(md5('lqw:' || t), 1, 15))::BIGINT % {LQ_BUCKETS})"
+    )
+    tok_w = (
+        f"((('0x' || substr(md5('lqv:' || {bucket}::VARCHAR), 1, 15))::BIGINT"
+        f" % 2001) - 1000)"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS ts
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         CAST(len(ts) AS BIGINT) AS n_tokens,
+         CAST(coalesce(list_sum(list_transform(ts, t -> {tok_w})), 0)
+              AS BIGINT) AS score_milli
+  FROM toks
+),
+fin AS (
+  SELECT doc_id, n_tokens, score_milli,
+         CASE WHEN n_tokens > 0 THEN
+           CAST(floor(score_milli::DOUBLE * 1000 / n_tokens + 0.5) AS BIGINT)
+         ELSE 0 END AS avg_weight_e3
+  FROM scored
+)
+SELECT doc_id AS id, n_tokens, score_milli, avg_weight_e3,
+       CAST(CASE WHEN avg_weight_e3 > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM fin ORDER BY id
+""".strip()
+
+
+@register("hashed_linear_quality", _lq_oracle())
+def q_hashed_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastText-style hashed linear quality scorer over ``documents``
+    (functions/text.hashed_linear_score): token → 4096-bucket feature
+    hash → fixed weight table, document score = Σ token weights, keep
+    iff the mean token weight is positive. ZERO shuffle — tokenize /
+    transform / aggregate inside one whole-stage-codegen projection, so
+    at 100 TB it runs at parquet-scan speed; swapping in trained weights
+    is a broadcast join on the bucket id with the same plan shape. The
+    weight table is hash-derived, making the scorer exactly reproducible
+    in the SQL oracle."""
+    from .functions.text import hashed_linear_score
+
+    d = load(spark, sf_dir, "documents")
+    return hashed_linear_score(
+        d, "doc_id", "text", buckets=LQ_BUCKETS
+    ).orderBy("id")
+
+
+KC_K = 8
+
+
+def _kcenter_oracle() -> str:
+    def dist(a: str, b: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(range(1, 65),"
+            f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+        )
+
+    parts = [
+        "WITH base AS MATERIALIZED ("
+        " SELECT vec_id AS id,"
+        " list_transform(embedding::DOUBLE[],"
+        " x -> CAST(floor(x * 1000) AS BIGINT)) AS q"
+        " FROM embeddings),",
+        "c1 AS MATERIALIZED (SELECT id, q FROM base ORDER BY id LIMIT 1),",
+        f"d1 AS MATERIALIZED (SELECT b.id, b.q, {dist('b.q', 'c.q')} AS d"
+        f" FROM base b CROSS JOIN c1 c),",
+    ]
+    for k in range(2, KC_K + 1):
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT id, q, d FROM d{k - 1}"
+            f" ORDER BY d DESC, id LIMIT 1),"
+        )
+        if k < KC_K:
+            parts.append(
+                f"d{k} AS MATERIALIZED (SELECT b.id, b.q,"
+                f" least(b.d, {dist('b.q', 'c.q')}) AS d"
+                f" FROM d{k - 1} b CROSS JOIN c{k} c),"
+            )
+    parts[-1] = parts[-1].rstrip(",")
+    sel = [
+        "SELECT * FROM (",
+        "  SELECT 1::BIGINT AS rnk, (SELECT id FROM c1) AS center_id,"
+        " 0::BIGINT AS radius",
+    ]
+    for k in range(2, KC_K + 1):
+        sel.append(
+            f"  UNION ALL SELECT {k}::BIGINT, (SELECT id FROM c{k}),"
+            f" CAST((SELECT d FROM c{k}) AS BIGINT)"
+        )
+    sel.append(") ORDER BY rnk")
+    parts.append("\n".join(sel))
+    return "\n".join(parts)
+
+
+@register("kcenter_coreset", _kcenter_oracle())
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gonzalez farthest-point k-center selection over the embeddings
+    table (operators/similarity.kcenter_gonzalez): KC_K maximally-spread
+    exemplars with their selection radii — the deterministic coreset /
+    diversity picker for curation and a kmeans++-grade seeder for
+    ivf_train_kmeans. Distances are exact BIGINTs over floor(x·1000)
+    quantized coordinates, so the k-step greedy argmax (tie → lowest id)
+    replays exactly in the unrolled-CTE oracle. Each round is one
+    map-only pass + a top-1 reduce; pairwise distances never
+    materialize."""
+    from .operators.similarity import kcenter_gonzalez
+
+    e = load(spark, sf_dir, "embeddings")
+    return kcenter_gonzalez(
+        spark, e, "vec_id", "embedding", k=KC_K
+    ).orderBy("rnk")
+
+
+
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
 # in iteration order.  Registration order above is historical (round 1 → 3),
 # so without reordering the round-2/3 algorithm family would never receive a
@@ -8053,7 +8482,10 @@ _DRIVER_WINDOW: list[str] = [
     # bpe_merge_candidates, lm_familiarity_scores, attack_robustness_curve,
     # fastrp_embeddings, winnow_fingerprints, winnow_match_pairs,
     # scan_roles, spam_mass_top, bloom_membership, cms_heavy_hitters,
-    # prefix_jaccard_pairs, landmark_distance_bounds)
+    # prefix_jaccard_pairs, landmark_distance_bounds,
+    # double_sweep_diameter, closeness_centrality_sampled,
+    # cycle_rank_components, parity_conflict_edges,
+    # hashed_linear_quality, kcenter_coreset)
     # — rotate them in for r5, swapping out
     # entries that go green in CORRECTNESS_r04.
     # r5 rotation planning data (sf0.01 wall, Spark+oracle, from
