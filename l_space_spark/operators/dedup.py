@@ -11,6 +11,9 @@ Five strategies, all shuffle-planned for the 100 TB regime:
   rearranged) so no float boundary exists. All-pairs only within shingle
   buckets — never a cartesian product — but still O(Σ bucket²); at web
   scale this is the *verifier* for candidates, not the candidate generator.
+- **n-gram containment** — the asymmetric variant (``|Sa∩Sb|/|Sa|``,
+  Broder's containment): quote/excerpt/superset detection over the same
+  inverted index; same verifier-tier scale contract.
 - **MinHash + LSH** — the candidate generator: K portable hashes per
   shingle → per-doc signature (groupBy-min, one shuffle), banded into
   B band-keys; candidates = equi-join on band key. Scales as O(candidates),
@@ -93,6 +96,58 @@ def ngram_jaccard_pairs(
         .select("a", "b")
     )
     return out
+
+
+def containment_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3,
+    c_num: int = 1, c_den: int = 2,
+) -> DataFrame:
+    """(a, b, common, na, containment_e6) — ORDERED pairs where the
+    shingle set of ``a`` is ≥ ``c_num/c_den`` contained in ``b``'s:
+    ``|Sa ∩ Sb| / |Sa| ≥ c_num/c_den`` (a ≠ b).
+
+    Containment is the asymmetric sibling of Jaccard: it catches
+    quote/excerpt/superset relations Jaccard misses (a short doc fully
+    embedded in a long one has high containment but low Jaccard — the
+    Broder resemblance-vs-containment distinction). Candidate
+    generation is the SAME inverted-index equi-join as
+    ``ngram_jaccard_pairs`` (never doc×doc); the unordered intersection
+    counts fan out to both directions only AFTER the groupBy, so the
+    heavy aggregation runs once per unordered pair. Threshold test in
+    integer arithmetic (``c_den·i ≥ c_num·na``); the reported score is
+    e6 fixed point via the exact round-half-up divide.
+
+    Same verifier-tier scale contract as Jaccard: O(Σ bucket²) over
+    shingle buckets — pair it with MinHash-LSH candidates upstream when
+    the corpus is web-scale."""
+    ex = shingle_index(df, id_col, text_col, n).persist()
+    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    lhs = ex.select(F.col("id").alias("u"), "g")
+    rhs = ex.select(F.col("id").alias("w"), "g")
+    inter = (
+        lhs.join(rhs, "g").where(F.col("u") < F.col("w"))
+        .groupBy("u", "w").agg(F.count(F.lit(1)).alias("i"))
+    )
+    both = inter.select(
+        F.col("u").alias("a"), F.col("w").alias("b"), "i"
+    ).unionAll(inter.select(
+        F.col("w").alias("a"), F.col("u").alias("b"), "i"
+    ))
+    sa = sizes.select(F.col("id").alias("a"), F.col("n").alias("na"))
+    num = F.col("i").cast("decimal(38,0)") * 2_000_000 \
+        + F.col("na").cast("decimal(38,0)")
+    den = F.col("na").cast("decimal(38,0)") * 2
+    return (
+        both.join(sa, "a")
+        .where(c_den * F.col("i") >= c_num * F.col("na"))
+        .select(
+            "a", "b",
+            F.col("i").cast("long").alias("common"),
+            F.col("na").cast("long").alias("na"),
+            ((num - F.pmod(num, den)) / den).cast("long")
+            .alias("containment_e6"),
+        )
+    )
 
 
 def minhash_signatures(

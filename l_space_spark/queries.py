@@ -8381,6 +8381,229 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rnk")
 
 
+# ---- round-4 fifth session: curation-selection + event-analytics family ----
+
+SEMDEDUP_SIM = 0.35  # same upper-tail threshold rationale as NEAR_DUP_SIM
+
+
+@register(
+    "semdedup_keep",
+    _kmeans_cte(KMEANS_K, KMEANS_ITERS, EMB_DIM) + f""",
+vecs AS MATERIALIZED (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+pairs AS (
+  SELECT x.id AS i, y.id AS j
+  FROM a{KMEANS_ITERS} x JOIN a{KMEANS_ITERS} y
+    ON x.c = y.c AND x.id < y.id
+  JOIN vecs p ON p.id = x.id JOIN vecs q ON q.id = y.id
+  WHERE round(list_inner_product(p.v, q.v) / (p.nrm * q.nrm), 6)
+        >= {SEMDEDUP_SIM}
+),
+drp AS (SELECT j AS id, min(i) AS dup_of FROM pairs GROUP BY j)
+SELECT a.id AS vec_id, CAST(a.c AS BIGINT) AS cluster,
+       CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       CAST(coalesce(d.dup_of, -1) AS BIGINT) AS dup_of
+FROM a{KMEANS_ITERS} a LEFT JOIN drp d ON d.id = a.id
+ORDER BY vec_id
+""".rstrip(),
+)
+def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/semdedup.py): kmeans-bucketed embedding dedup
+    — candidates only WITHIN a kmeans_fixed cluster, drop a vector iff a
+    smaller-id cluster-mate has quantized cosine ≥ threshold. The
+    Abbas-et-al. web-scale semantic-dedup recipe with both stages on
+    this engine's exact-oracle arithmetic (integer Lloyd + round-6
+    cosine). Quadratic only within clusters — k is the scale knob."""
+    from .operators.semdedup import semdedup
+
+    e = load(spark, sf_dir, "embeddings")
+    return semdedup(
+        e, k=KMEANS_K, iters=KMEANS_ITERS, threshold=SEMDEDUP_SIM
+    ).orderBy("vec_id")
+
+
+DSIR_BUCKETS = 2048
+DSIR_TOPK = 100
+DSIR_TARGET_SRC = ("src1", "src2", "src3")
+
+
+@register(
+    "dsir_selection",
+    f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, source, {_TOKENS_SQL} AS ts FROM documents
+),
+pos AS (SELECT doc_id, source, unnest(ts) AS w,
+               generate_subscripts(ts, 1) AS i
+        FROM toks),
+occ AS MATERIALIZED (
+  SELECT p1.doc_id,
+         CASE WHEN p1.source IN {DSIR_TARGET_SRC} THEN 1 ELSE 0 END AS is_t,
+         {_hash60_sql("'dsir:' || p1.w || ' ' || p2.w")} % {DSIR_BUCKETS}
+           AS bkt
+  FROM pos p1 JOIN pos p2
+    ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1
+),
+cnt AS (SELECT bkt, sum(is_t) AS t_cnt, count(*) AS r_cnt
+        FROM occ GROUP BY bkt),
+tot AS (SELECT sum(t_cnt) AS tt, sum(r_cnt) AS rr FROM cnt),
+w AS (
+  SELECT bkt,
+         ((t_cnt + 1)::HUGEINT * (rr + {DSIR_BUCKETS}) * 2000000
+          + (r_cnt + 1)::HUGEINT * (tt + {DSIR_BUCKETS}))
+         // ((r_cnt + 1)::HUGEINT * (tt + {DSIR_BUCKETS}) * 2) AS w_e6
+  FROM cnt, tot
+),
+doc AS (
+  SELECT o.doc_id, sum(w.w_e6) AS score_e6, count(*) AS nb
+  FROM occ o JOIN w USING (bkt) GROUP BY o.doc_id
+),
+scored AS (
+  SELECT doc_id AS id, nb AS n_bigrams, score_e6,
+         (score_e6 * 2 + nb) // (2 * nb) AS avg_w_e6
+  FROM doc
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(score_e6 AS BIGINT) AS score_e6,
+       CAST(avg_w_e6 AS BIGINT) AS avg_w_e6,
+       CAST(row_number() OVER (ORDER BY avg_w_e6 DESC, id) AS BIGINT) AS rnk
+FROM scored
+QUALIFY rnk <= {DSIR_TOPK}
+ORDER BY rnk
+""".strip(),
+)
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance selection (operators/dsir.py): hashed-bigram
+    bucket counts under a target subset (sources {DSIR_TARGET_SRC}) vs
+    the whole corpus, smoothed e6 frequency-ratio weights, docs ranked by
+    mean bucket weight — the pretraining-corpus targeting pass, all
+    integer arithmetic. Two combiner groupBys + one broadcast of the
+    ≤2048-row weight table."""
+    from .operators.dsir import dsir_select
+
+    d = load(spark, sf_dir, "documents")
+    return dsir_select(
+        d, F.col("source").isin(*DSIR_TARGET_SRC), "doc_id", "text",
+        buckets=DSIR_BUCKETS, top_k=DSIR_TOPK,
+    ).orderBy("rnk")
+
+
+FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+@register(
+    "funnel_conversion",
+    f"""
+WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
+            WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id),
+s2 AS (SELECT e.user_id AS u, min(e.ts) AS t
+       FROM events e JOIN s1 ON s1.u = e.user_id AND e.ts > s1.t
+       WHERE e.event_type = '{FUNNEL_STEPS[1]}' GROUP BY e.user_id),
+s3 AS (SELECT e.user_id AS u, min(e.ts) AS t
+       FROM events e JOIN s2 ON s2.u = e.user_id AND e.ts > s2.t
+       WHERE e.event_type = '{FUNNEL_STEPS[2]}' GROUP BY e.user_id),
+rows_ AS (
+  SELECT 1 AS step, '{FUNNEL_STEPS[0]}' AS step_name,
+         (SELECT count(*) FROM s1) AS users
+  UNION ALL SELECT 2, '{FUNNEL_STEPS[1]}', (SELECT count(*) FROM s2)
+  UNION ALL SELECT 3, '{FUNNEL_STEPS[2]}', (SELECT count(*) FROM s3)
+),
+fst AS (SELECT users AS u1 FROM rows_ WHERE step = 1)
+SELECT CAST(r.step AS BIGINT) AS step, r.step_name,
+       CAST(r.users AS BIGINT) AS users,
+       CAST((r.users * 2000000 + f.u1) // (2 * f.u1) AS BIGINT)
+         AS conv_vs_first_e6,
+       CAST((r.users * 2000000 + coalesce(p.users, r.users))
+            // (2 * coalesce(p.users, r.users)) AS BIGINT)
+         AS conv_vs_prev_e6
+FROM rows_ r CROSS JOIN fst f
+LEFT JOIN rows_ p ON p.step = r.step - 1
+ORDER BY step
+""".strip(),
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ordered conversion funnel signup→click→purchase
+    (operators/funnel.funnel_steps): min-timestamp chaining, one
+    user-keyed min-agg per step, conversion ratios vs step 1 and vs the
+    previous step — no per-user window sort anywhere."""
+    from .operators.funnel import funnel_steps
+
+    e = load(spark, sf_dir, "events")
+    return funnel_steps(e, list(FUNNEL_STEPS)).orderBy("step")
+
+
+@register(
+    "retention_cohorts",
+    """
+WITH f AS (SELECT user_id,
+                  min(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+                    AS cohort_day
+           FROM events GROUP BY user_id),
+siz AS (SELECT cohort_day, count(*) AS cohort_users FROM f
+        GROUP BY cohort_day),
+act AS (SELECT DISTINCT e.user_id, f.cohort_day,
+               datediff('day', DATE '1970-01-01', CAST(e.ts AS DATE))
+                 - f.cohort_day AS day_offset
+        FROM events e JOIN f USING (user_id)),
+cell AS (SELECT cohort_day, day_offset, count(*) AS users
+         FROM act GROUP BY cohort_day, day_offset)
+SELECT CAST(c.cohort_day AS BIGINT) AS cohort_day,
+       CAST(c.day_offset AS BIGINT) AS day_offset,
+       CAST(c.users AS BIGINT) AS users,
+       CAST((c.users * 2000000 + s.cohort_users) // (2 * s.cohort_users)
+            AS BIGINT) AS retention_e6
+FROM cell c JOIN siz s USING (cohort_day)
+ORDER BY cohort_day, day_offset
+""".strip(),
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle retention (operators/funnel.retention_cohorts): cohort =
+    first-event epoch day per user, per-(cohort, offset) distinct active
+    users + e6 retention vs cohort size — first-touch agg, distinct-day
+    projection, one (cohort, offset) groupBy; no raw-event windows."""
+    from .operators.funnel import retention_cohorts
+
+    e = load(spark, sf_dir, "events")
+    return retention_cohorts(e).orderBy("cohort_day", "day_offset")
+
+
+CONTAIN_NUM, CONTAIN_DEN = 3, 5
+
+
+@register(
+    "ngram_containment_pairs",
+    f"""
+WITH {_NGRAM_SQL},
+dirs AS (
+  SELECT ai AS a, bi AS b, i FROM inter
+  UNION ALL
+  SELECT bi AS a, ai AS b, i FROM inter
+)
+SELECT p.a, p.b, CAST(p.i AS BIGINT) AS common,
+       CAST(sa.n AS BIGINT) AS na,
+       CAST((p.i * 2000000 + sa.n) // (2 * sa.n) AS BIGINT)
+         AS containment_e6
+FROM dirs p JOIN sizes sa ON sa.doc_id = p.a
+WHERE {CONTAIN_DEN} * p.i >= {CONTAIN_NUM} * sa.n
+ORDER BY a, b
+""".strip(),
+)
+def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder containment ≥ {CONTAIN_NUM}/{CONTAIN_DEN} on word-3-gram
+    shingles (operators/dedup.containment_pairs): the ASYMMETRIC near-dup
+    relation — catches excerpts/quotes/supersets Jaccard misses. Same
+    inverted-index equi-join as dedup_ngram_jaccard; the unordered
+    intersection counts fan both directions only after the groupBy."""
+    from .operators.dedup import containment_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return containment_pairs(
+        d, "doc_id", "text", n=3, c_num=CONTAIN_NUM, c_den=CONTAIN_DEN
+    ).orderBy("a", "b")
+
 
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
 # in iteration order.  Registration order above is historical (round 1 → 3),
