@@ -34,6 +34,20 @@ def hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def fp_e6(num: Column, den: Column) -> Column:
+    """Exact round-half-up e6 fixed point of num/den (the decimal
+    discipline: widen to decimal(38,0), make the numerator an exact
+    multiple, divide). den == 0 yields 0 rather than NULL (pmod by zero)
+    so all-BIGINT output contracts survive empty inputs."""
+    a = num.cast("decimal(38,0)") * 2_000_000 + den.cast("decimal(38,0)")
+    b = den.cast("decimal(38,0)") * 2
+    return (
+        F.when(den == 0, F.lit(0))
+        .otherwise((a - F.pmod(a, b)) / b)
+        .cast("long")
+    )
+
+
 def shingles_of_tokens(ts: Column, n: int = 3) -> Column:
     """Distinct word-n-gram shingle array from a MATERIALIZED token-array
     column (empty when < n tokens).
@@ -387,15 +401,10 @@ def lm_familiarity(df, id_col: str, text_col: str):
         .groupBy("id")
         .agg(F.sum("c").alias("s"), F.count(F.lit(1)).alias("nb"))
     )
-    # round-half-up at 1e6, exact at any magnitude (the fp() discipline:
-    # widen to decimal, make the numerator an exact multiple, divide)
-    a = F.col("s").cast("decimal(38,0)") * 2_000_000 \
-        + F.col("nb").cast("decimal(38,0)")
-    b = F.col("nb").cast("decimal(38,0)") * 2
     return doc.select(
         "id",
         F.col("nb").cast("long").alias("n_bigrams"),
-        ((a - F.pmod(a, b)) / b).cast("long").alias("lm_score_e6"),
+        fp_e6(F.col("s"), F.col("nb")).alias("lm_score_e6"),
     )
 
 

@@ -88,6 +88,7 @@ Iceberg-ready path."""
 from __future__ import annotations
 
 import json
+import os
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -469,27 +470,55 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
     if algo == "landmark_distances":
         from .operators.landmarks import landmark_distances
 
-        return landmark_distances(spark, edges, **params).orderBy(
-            "bsrc", "id"
-        )
+        if spec.get("top_k"):
+            raise ValueError(
+                "top_k is not meaningful for 'landmark_distances' (one "
+                "row per reached (landmark, vertex) pair, not ranked); "
+                "use n_landmarks/max_iters to bound the output"
+            )
+        return landmark_distances(
+            spark, edges, checkpoint_dir=ckpt, resume=resume, **params
+        ).orderBy("bsrc", "id")
     if algo == "louvain_refined":
         from .operators.louvain import (
             louvain_communities, refine_communities,
         )
 
+        if spec.get("top_k"):
+            raise ValueError(
+                "top_k is not meaningful for 'louvain_refined' (one row "
+                "per vertex, communities are not ranked)"
+            )
         p_iters = int(params.pop("parent_iters", 6))
         r_iters = int(params.pop("refine_iters", 6))
+        # two superstep jobs → two checkpoint namespaces; the parent
+        # phase is deterministic at fixed_iters, so a resumed refine
+        # phase sees the identical parent partition
+        p_ckpt = os.path.join(ckpt, "parent") if ckpt else None
+        r_ckpt = os.path.join(ckpt, "refine") if ckpt else None
         parent = louvain_communities(
             spark, edges, max_iters=p_iters, fixed_iters=True,
-            resume=False, **params,
+            checkpoint_dir=p_ckpt, resume=resume and ckpt is not None,
+            **params,
         ).state
         return refine_communities(
             spark, edges, parent, max_iters=r_iters, fixed_iters=True,
-            resume=False, **params,
+            checkpoint_dir=r_ckpt, resume=resume and ckpt is not None,
+            **params,
         ).state.orderBy("id")
     if algo == "fastrp":
         from .operators.fastrp import fastrp_embeddings
 
+        if spec.get("top_k"):
+            raise ValueError(
+                "top_k is not meaningful for 'fastrp' (one row per "
+                "(vertex, dim), not ranked)"
+            )
+        if ckpt:
+            raise ValueError(
+                "'fastrp' runs a fixed small number of dense rounds and "
+                "does not checkpoint; drop checkpoint_dir"
+            )
         return fastrp_embeddings(edges, **params).orderBy("id", "dim")
     if algo == "betweenness":
         from .operators.betweenness import betweenness_sampled

@@ -266,7 +266,11 @@ def double_sweep(
     Magnien-Latapy-Habib's iterated variant starts exactly like this).
     Cost: two multi_source_bfs jobs + two single-row argmax reads,
     independent of graph size beyond the BFS itself."""
-    seed = int(und_edges.agg(F.min("src")).first()[0])
+    first = und_edges.agg(F.min("src")).first()[0]
+    if first is None:
+        return spark.createDataFrame(
+            [], "seed long, far long, diameter_lb long, far_reach long")
+    seed = int(first)
     seed_df = spark.range(1).select(F.lit(seed).cast("long").alias("id"))
     r1 = multi_source_bfs(
         spark, und_edges, seed_df, max_iters=rounds, fixed_iters=True,

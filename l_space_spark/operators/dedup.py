@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import hash60, shingles
+from ..functions.text import fp_e6, hash60, shingles
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -134,9 +134,6 @@ def containment_pairs(
         F.col("w").alias("a"), F.col("u").alias("b"), "i"
     ))
     sa = sizes.select(F.col("id").alias("a"), F.col("n").alias("na"))
-    num = F.col("i").cast("decimal(38,0)") * 2_000_000 \
-        + F.col("na").cast("decimal(38,0)")
-    den = F.col("na").cast("decimal(38,0)") * 2
     return (
         both.join(sa, "a")
         .where(c_den * F.col("i") >= c_num * F.col("na"))
@@ -144,8 +141,7 @@ def containment_pairs(
             "a", "b",
             F.col("i").cast("long").alias("common"),
             F.col("na").cast("long").alias("na"),
-            ((num - F.pmod(num, den)) / den).cast("long")
-            .alias("containment_e6"),
+            fp_e6(F.col("i"), F.col("na")).alias("containment_e6"),
         )
     )
 

@@ -43,15 +43,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import fp_e6 as _fp_e6
 from ..functions.text import hash60, tokens
-
-
-def _fp_e6(num: Column, den: Column) -> Column:
-    """Exact round-half-up e6 fixed point of num/den (decimal discipline:
-    widen, make the numerator an exact multiple, divide)."""
-    a = num.cast("decimal(38,0)") * 2_000_000 + den.cast("decimal(38,0)")
-    b = den.cast("decimal(38,0)") * 2
-    return ((a - F.pmod(a, b)) / b).cast("long")
 
 
 def _div_half_up(num: Column, den: Column) -> Column:
@@ -88,17 +81,20 @@ def dsir_weights(
     id_col: str,
     text_col: str = "text",
     buckets: int = 2048,
+    occ: DataFrame | None = None,
 ) -> DataFrame:
     """(bkt, t_cnt, r_cnt, w_e6) — the trained importance-weight table.
 
     ``target_pred`` is a row predicate over ``df`` naming the target
     subset; raw = the whole corpus (the target is counted in both, as in
-    the paper — raw is the proposal distribution)."""
-    occ = (
-        doc_bucket_occurrences(df, id_col, text_col, buckets)
-        .join(df.select(F.col(id_col).alias("id"),
-                        target_pred.cast("long").alias("is_t")), "id")
-    )
+    the paper — raw is the proposal distribution). Pass a precomputed
+    ``occ`` (from :func:`doc_bucket_occurrences`, ideally persisted) to
+    share the tokenize+hash pass with a downstream scorer."""
+    if occ is None:
+        occ = doc_bucket_occurrences(df, id_col, text_col, buckets)
+    occ = occ.join(
+        df.select(F.col(id_col).alias("id"),
+                  target_pred.cast("long").alias("is_t")), "id")
     cnt = occ.groupBy("bkt").agg(
         F.sum("is_t").alias("t_cnt"),
         F.count(F.lit(1)).alias("r_cnt"),
@@ -132,8 +128,9 @@ def dsir_select(
     """(id, n_bigrams, score_e6, avg_w_e6, rnk) — the ``top_k``
     most-target-like documents (≥1 bigram), ranked by mean bucket weight
     descending, doc id ascending. ``score_e6`` is the raw weight sum."""
-    occ = doc_bucket_occurrences(df, id_col, text_col, buckets)
-    w = dsir_weights(df, target_pred, id_col, text_col, buckets)
+    # one tokenize+hash pass, shared between weight training and scoring
+    occ = doc_bucket_occurrences(df, id_col, text_col, buckets).persist()
+    w = dsir_weights(df, target_pred, id_col, text_col, buckets, occ=occ)
     doc = (
         occ.join(F.broadcast(w.select("bkt", "w_e6")), "bkt")
         .groupBy("id")

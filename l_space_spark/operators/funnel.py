@@ -31,14 +31,10 @@ family.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _fp_e6(num: Column, den: Column) -> Column:
-    a = num.cast("decimal(38,0)") * 2_000_000 + den.cast("decimal(38,0)")
-    b = den.cast("decimal(38,0)") * 2
-    return ((a - F.pmod(a, b)) / b).cast("long")
+from ..functions.text import fp_e6 as _fp_e6
 
 
 def funnel_steps(
@@ -50,7 +46,8 @@ def funnel_steps(
 ) -> DataFrame:
     """(step, step_name, users, conv_vs_first_e6, conv_vs_prev_e6),
     one row per funnel step, ordered. Strict min-timestamp chaining."""
-    assert len(steps) >= 1
+    if not steps:
+        raise ValueError("funnel_steps requires at least one step name")
     u, t, k = F.col(user_col), F.col(ts_col), F.col(type_col)
     reached = (
         events.where(k == steps[0])

@@ -58,7 +58,7 @@ def main() -> int:
             plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # noqa: BLE001
             bad.append(f"{name}: ERR {type(e).__name__}: "
-                       f"{str(e).splitlines()[0][:100]}")
+                       f"{(str(e).splitlines() or [repr(e)])[0][:100]}")
             continue
         n = plan.count("BroadcastNestedLoopJoin") + plan.count(
             "CartesianProduct"
