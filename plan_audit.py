@@ -36,6 +36,8 @@ ALLOWED: dict[str, tuple[int, str]] = {
     "event_hour_anomalies": (1, "mean/var stats one-row broadcast"),
     "mixture_allocation": (1, "token-budget leftover one-row broadcast"),
     "attack_robustness_curve": (3, "per-step giant-component scalar joins"),
+    "dsir_selection": (1, "T/R occurrence totals one-row broadcast"),
+    "funnel_conversion": (1, "step-1 user-count one-row broadcast"),
     # one-row broadcast + a bounded seed/probe-set theta join
     "dedup_embedding_cosine": (2, "norm scalar + bucket-capped verify"),
     "ann_lsh_topk": (2, "sign-matrix row + capped query set"),
