@@ -179,6 +179,12 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
         spark, inp,
         weight_col=params.get("weight_col") or params.get("time_col"),
     )
+    for k in ("checkpoint_dir", "resume"):
+        if k in params:
+            raise ValueError(
+                f"pass {k!r} at the job-spec top level (next to "
+                "'algorithm'), not inside params"
+            )
     ckpt = spec.get("checkpoint_dir")
     resume = bool(spec.get("resume", True))
     algo = spec["algorithm"]
@@ -217,7 +223,8 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
     }
     if ckpt and (algo in supersteps
                  or algo in ("harmonic_centrality", "pagerank_incremental",
-                             "anf", "densest_subgraph")):
+                             "anf", "densest_subgraph",
+                             "landmark_distances", "louvain_refined")):
         # pin the input snapshot into the checkpoint config hash: a
         # resume against a silently changed input (new snapshot /
         # replaced files) is refused instead of mixing states
@@ -493,18 +500,23 @@ def _run_algorithm(spark: SparkSession, spec: dict) -> DataFrame:
         r_iters = int(params.pop("refine_iters", 6))
         # two superstep jobs → two checkpoint namespaces; the parent
         # phase is deterministic at fixed_iters, so a resumed refine
-        # phase sees the identical parent partition
+        # phase sees the identical parent partition — PROVIDED the
+        # parent's own config is pinned into the refine hash (the
+        # refine phase alone hashes only the intra-edge count, which
+        # can collide across different parent partitions)
         p_ckpt = os.path.join(ckpt, "parent") if ckpt else None
         r_ckpt = os.path.join(ckpt, "refine") if ckpt else None
+        extra = dict(params.pop("config_extra", None) or {})
         parent = louvain_communities(
             spark, edges, max_iters=p_iters, fixed_iters=True,
             checkpoint_dir=p_ckpt, resume=resume and ckpt is not None,
-            **params,
+            config_extra={**extra, "phase": "parent"}, **params,
         ).state
         return refine_communities(
             spark, edges, parent, max_iters=r_iters, fixed_iters=True,
             checkpoint_dir=r_ckpt, resume=resume and ckpt is not None,
-            **params,
+            config_extra={**extra, "phase": "refine",
+                          "parent_iters": p_iters}, **params,
         ).state.orderBy("id")
     if algo == "fastrp":
         from .operators.fastrp import fastrp_embeddings

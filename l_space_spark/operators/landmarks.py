@@ -49,6 +49,7 @@ def landmark_distances(
     resume: bool = False,
     checkpoint_dir: str | None = None,
     edges_und: DataFrame | None = None,
+    config_extra: dict | None = None,
 ) -> DataFrame:
     """(bsrc, id, dist): hop distance from each landmark to every vertex
     reached within ``max_iters`` rounds (sparse — unreached pairs are
@@ -61,7 +62,7 @@ def landmark_distances(
         spark, und, lm, max_iters=max_iters, fixed_iters=True,
         num_partitions=num_partitions, resume=resume,
         checkpoint_dir=checkpoint_dir, canonical=True,
-        config_extra={"role": "landmark_distances"},
+        config_extra={"role": "landmark_distances", **(config_extra or {})},
     ).state
 
 

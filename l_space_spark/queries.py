@@ -8514,10 +8514,12 @@ rows_ AS (
 fst AS (SELECT users AS u1 FROM rows_ WHERE step = 1)
 SELECT CAST(r.step AS BIGINT) AS step, r.step_name,
        CAST(r.users AS BIGINT) AS users,
-       CAST((r.users * 2000000 + f.u1) // (2 * f.u1) AS BIGINT)
+       CAST(CASE WHEN f.u1 = 0 THEN 0
+            ELSE (r.users * 2000000 + f.u1) // (2 * f.u1) END AS BIGINT)
          AS conv_vs_first_e6,
-       CAST((r.users * 2000000 + coalesce(p.users, r.users))
-            // (2 * coalesce(p.users, r.users)) AS BIGINT)
+       CAST(CASE WHEN coalesce(p.users, r.users) = 0 THEN 0
+            ELSE (r.users * 2000000 + coalesce(p.users, r.users))
+                 // (2 * coalesce(p.users, r.users)) END AS BIGINT)
          AS conv_vs_prev_e6
 FROM rows_ r CROSS JOIN fst f
 LEFT JOIN rows_ p ON p.step = r.step - 1

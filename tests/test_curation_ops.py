@@ -118,6 +118,22 @@ class TestFunnel:
         assert conv["signup"] == 1_000_000
         assert conv["click"] == 333_333  # round-half-up(1e6/3)
 
+    def test_zero_first_step_users(self, spark):
+        """No step-1 users at all: conversions are 0 (the fp_e6 den==0
+        guard), matching the oracle's CASE WHEN guard — not NULL, not a
+        divide-by-zero."""
+        from l_space_spark.operators.funnel import funnel_steps
+
+        rows = [(1, 1, 1, "click")]  # nobody ever signs up
+        out = funnel_steps(
+            self._events(spark, rows), ["signup", "click"]
+        ).collect()
+        by_step = {r["step_name"]: r for r in out}
+        assert by_step["signup"]["users"] == 0
+        assert by_step["signup"]["conv_vs_first_e6"] == 0
+        assert by_step["click"]["conv_vs_first_e6"] == 0
+        assert by_step["click"]["conv_vs_prev_e6"] == 0
+
     def test_same_timestamp_does_not_count(self, spark):
         from l_space_spark.operators.funnel import funnel_steps
 

@@ -661,3 +661,75 @@ def test_sampling_specs(spark, tmp_path):
         run_job(spark, {"kind": "algorithm", "algorithm": "khop_sample",
                         "params": {"seeds": [0]}, "input": inp,
                         "top_k": 3})
+
+
+def test_params_level_checkpoint_rejected(spark, tmp_path):
+    """checkpoint_dir/resume inside params is a clean ValueError, not a
+    duplicate-kwarg TypeError deep in an operator call."""
+    import pytest as _pytest
+
+    path = _edges_parquet(spark, tmp_path)
+    inp = {"edges_parquet": path}
+    with _pytest.raises(ValueError, match="top level"):
+        run_job(spark, {"kind": "algorithm", "algorithm": "landmark_distances",
+                        "params": {"checkpoint_dir": str(tmp_path / "c")},
+                        "input": inp})
+    with _pytest.raises(ValueError, match="top level"):
+        run_job(spark, {"kind": "algorithm", "algorithm": "pagerank",
+                        "params": {"resume": False}, "input": inp})
+
+
+def _config_hashes(ckdir):
+    import json as _json
+    import os as _os
+
+    return {
+        _json.load(open(_os.path.join(ckdir, d, "_meta.json")))["config_hash"]
+        for d in sorted(_os.listdir(ckdir)) if d.startswith("state_")
+    }
+
+
+def test_landmark_and_louvain_refined_checkpoint_pinning(spark, tmp_path):
+    """The new ckpt wiring pins the input snapshot (landmark) and the
+    parent config (louvain_refined refine phase) into the state dirs'
+    config hashes: a changed input / changed parent_iters yields a
+    DIFFERENT hash, so resume refuses stale states instead of mixing."""
+    import os as _os
+
+    path = _edges_parquet(spark, tmp_path)
+    inp = {"edges_parquet": path}
+    ck = str(tmp_path / "lmk")
+    spec = {"kind": "algorithm", "algorithm": "landmark_distances",
+            "params": {"n_landmarks": 2, "max_iters": 3},
+            "checkpoint_dir": ck, "resume": True, "input": inp}
+    first = {tuple(r) for r in run_job(spark, spec).collect()}
+    h1 = _config_hashes(ck)
+    assert len(h1) == 1
+    # identical rerun resumes to the identical result
+    assert {tuple(r) for r in run_job(spark, spec).collect()} == first
+
+    # changed input (same seed ids still present) → different config hash
+    rows = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 0), (0, 3)]
+    p2 = str(tmp_path / "edges2.parquet")
+    spark.createDataFrame(rows, "src long, dst long").write.parquet(p2)
+    spec_b = dict(spec, input={"edges_parquet": p2},
+                  checkpoint_dir=str(tmp_path / "lmk2"))
+    run_job(spark, spec_b).collect()
+    assert _config_hashes(str(tmp_path / "lmk2")) != h1
+
+    ck2 = str(tmp_path / "lv")
+    spec2 = {"kind": "algorithm", "algorithm": "louvain_refined",
+             "params": {"parent_iters": 2, "refine_iters": 2},
+             "checkpoint_dir": ck2, "resume": True, "input": inp}
+    first2 = {tuple(r) for r in run_job(spark, spec2).collect()}
+    assert sorted(_os.listdir(ck2)) == ["parent", "refine"]
+    rh1 = _config_hashes(_os.path.join(ck2, "refine"))
+    assert {tuple(r) for r in run_job(spark, spec2).collect()} == first2
+
+    # same refine_iters, different parent_iters → refine hash differs
+    # (the parent_iters pin), even if the parent partition coincides
+    spec3 = dict(spec2, checkpoint_dir=str(tmp_path / "lv3"),
+                 params={"parent_iters": 3, "refine_iters": 2})
+    run_job(spark, spec3).collect()
+    rh3 = _config_hashes(_os.path.join(str(tmp_path / "lv3"), "refine"))
+    assert rh3 != rh1
