@@ -1,6 +1,5 @@
-"""Biconnected components and articulation points — arbitrary-spanning-
-tree block decomposition (the Tarjan–Vishkin auxiliary-graph idea,
-re-derived for ancestor-closure joins instead of Euler-tour preorder).
+"""Biconnected components and articulation points — Tarjan–Vishkin
+block decomposition over Euler-tour preorder intervals.
 
 An articulation point (cut vertex) is a vertex whose removal
 disconnects its component — the vertex analog of ``bridges.bridges``
@@ -20,8 +19,8 @@ each tree edge (parent(c), c) by its child vertex c):
   - (a) CROSS: if neither endpoint is an ancestor of the other, link
     aux nodes x and y (both are non-roots: a root is an ancestor of
     everything in its component).
-  - (b) CHAIN: link c to parent(c) (both tree edges, so
-    depth(c) ≥ 2) iff some non-tree edge leaves sub(c) and lands
+  - (b) CHAIN: link c to parent(c) (both tree edges — c non-root AND
+    parent(c) non-root) iff some non-tree edge leaves sub(c) and lands
     OUTSIDE sub(parent(c)) — each fundamental cycle certifies this for
     every consecutive pair strictly below its lca on both branches,
     and certifies nothing at or above the lca (the parent edge of the
@@ -32,16 +31,28 @@ each tree edge (parent(c), c) by its child vertex c):
   descendant-side child edge (cross: either side — rule (a) links
   them; back edge {x, y} with y an ancestor: side x).
 
-* Ancestor tests are joins against ``bridges.ancestor_closure`` — the
-  O(|V|·depth)-row pointer-doubled closure — instead of preorder
-  intervals, which removes the Euler-tour/list-ranking stage entirely.
-  Rule (b)'s certificate is |non-tree endpoint| × depth rows (each
-  directed endpoint x joins its ancestors c, then one anti-join drops
-  rows where the far endpoint y is still inside sub(parent(c))) —
-  the same O(|E|·depth) budget as the closure itself, all
-  combiner-backed joins, no per-vertex recursion.
+* All tree structure comes from ``bridges.spanning_tour`` — the
+  Euler-tour preorder intervals ``[first(v), last(v)]``
+  (``eulertour.euler_tour``, O(log V) rounds):
+  - ancestor TEST: u anc-or-self of v ⇔ ``first(u) <= first(v) AND
+    last(v) <= last(u)`` — two scalar compares after an id equi-join,
+    replacing the old O(|V|·depth)-row pointer-doubled ancestor
+    closure entirely.
+  - rule (b)'s certificate: per vertex, ``g_lo/g_hi(v)`` = min/max
+    tour-first of its non-tree neighbors; ``low/high(c)`` = range
+    min/max of g over sub(c)'s interval (one doubling sparse table,
+    ``eulertour.tour_range_minmax``). y lies outside sub(p) ⇔
+    ``first(y)`` outside ``[first(p), last(p)]``, so the link fires
+    iff ``low(c) < first(p) OR high(c) > last(p)`` — O(1) per tree
+    edge instead of O(depth) candidate rows per non-tree endpoint.
 
 Reference analog: none (L-space ships no algorithms).
+
+Scale shape: every stage is |V|- or |E|-row with O(log V) rounds
+(Borůvka + star contraction + list ranking + sparse-table levels); the
+sparse table is the one super-linear structure at O(|V| log V) rows —
+built by equi-joins, no sorts, no windows over inboxes. No stage
+depends on tree depth, so there is no refusal cliff on deep graphs.
 """
 
 from __future__ import annotations
@@ -49,8 +60,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .bridges import _canon, ancestor_closure, oriented_tree
+from ..plans.ckpt import reset_stats_checkpoint
+from .bridges import _canon, spanning_tour
 from .components import connected_components_star
+from .eulertour import (
+    NEUTRAL_HI,
+    NEUTRAL_LO,
+    range_minmax_query,
+    tour_range_minmax,
+)
 
 
 def _blocks_internal(
@@ -59,51 +77,77 @@ def _blocks_internal(
     num_partitions: int,
     max_rounds: int,
 ):
-    """(tree, edge_blocks) where edge_blocks = every canonical edge
-    ``(a, b)`` labeled with its block id (the min child-vertex id among
-    the block's tree edges)."""
-    tree = oriented_tree(spark, canon, num_partitions,
-                         max_rounds=max_rounds).localCheckpoint(eager=True)
-    anc = ancestor_closure(tree)
+    """(children, edge_blocks) where children = non-root interval rows
+    ``(id, parent, first, last)`` and edge_blocks = every canonical
+    edge ``(a, b)`` labeled with its block id (the min child-vertex id
+    among the block's tree edges)."""
+    et = spanning_tour(spark, canon, num_partitions,
+                       max_rounds=max_rounds)
+    iv = et.intervals
+    children = reset_stats_checkpoint(iv.where(F.col("parent") >= 0))
 
-    tree_edges = tree.where(F.col("depth") > 0).select(
+    tree_edges = children.select(
         F.least("parent", "id").alias("a"),
         F.greatest("parent", "id").alias("b"),
         F.col("id").alias("c"),
-    ).localCheckpoint(eager=True)
-    nontree = canon.join(tree_edges.select("a", "b"), ["a", "b"],
-                         "left_anti").localCheckpoint(eager=True)
-
-    # ancestor relation between the endpoints of each non-tree edge
-    a_anc_b = anc.select(F.col("v").alias("b"), F.col("anc").alias("a"))
-    b_anc_a = anc.select(F.col("v").alias("a"), F.col("anc").alias("b"))
-    cross = (
-        nontree.join(a_anc_b, ["a", "b"], "left_anti")
-        .join(b_anc_a, ["a", "b"], "left_anti")
     )
+    # non-tree edges with both endpoints' intervals attached
+    iva = iv.select(F.col("id").alias("a"), F.col("first").alias("fa"),
+                    F.col("last").alias("la"))
+    ivb = iv.select(F.col("id").alias("b"), F.col("first").alias("fb"),
+                    F.col("last").alias("lb"))
+    nt = (
+        canon.join(tree_edges.select("a", "b"), ["a", "b"], "left_anti")
+        .join(iva, "a")
+        .join(ivb, "b")
+        .withColumn("a_anc_b", (F.col("fa") <= F.col("fb"))
+                    & (F.col("lb") <= F.col("la")))
+        .withColumn("b_anc_a", (F.col("fb") <= F.col("fa"))
+                    & (F.col("la") <= F.col("lb")))
+    )
+    # stats-reset (plans/ckpt.py): nt feeds the aux edges that the
+    # star-contraction block CC self-joins every round — an inherited
+    # BigInt size estimate here previously dominated the whole wall
+    nt = reset_stats_checkpoint(nt)
+    cross = nt.where(~F.col("a_anc_b") & ~F.col("b_anc_a"))
     aux_cross = cross.select(F.col("a").alias("u"), F.col("b").alias("v"))
 
-    # rule (b): directed endpoints (x, y); for every ancestor-or-self c
-    # of x with depth(c) >= 2, certify the (c, parent(c)) aux link iff y
-    # is NOT inside sub(parent(c)) (anti-join on the closure)
-    ends = nontree.select(F.col("a").alias("x"), F.col("b").alias("y")) \
-        .unionByName(
-            nontree.select(F.col("b").alias("x"), F.col("a").alias("y"))
-        )
-    tinfo = tree.select(F.col("id").alias("c"), F.col("parent").alias("pc"),
-                        F.col("depth").alias("dc"))
-    cand = (
-        ends.join(anc.select(F.col("v").alias("x"),
-                             F.col("anc").alias("c")), "x")
-        .join(tinfo, "c")
-        .where(F.col("dc") >= 2)
+    # rule (b): per-vertex min/max non-tree-neighbor tour-first, folded
+    # over each subtree interval by sparse-table range min/max
+    g = (
+        nt.select(F.col("a").alias("x"), F.col("fb").alias("fy"))
+        .unionByName(nt.select(F.col("b").alias("x"),
+                               F.col("fa").alias("fy")))
+        .groupBy("x")
+        .agg(F.min("fy").alias("glo"), F.max("fy").alias("ghi"))
     )
-    inside_parent = anc.select(F.col("v").alias("y"),
-                               F.col("anc").alias("pc"))
+    placed = (
+        et.arcs.select("gpos")
+        .join(children.join(g, children["id"] == g["x"]).select(
+            F.col("first").alias("gpos"), "glo", "ghi"), "gpos", "left")
+        .select(
+            "gpos",
+            F.coalesce("glo", F.lit(NEUTRAL_LO)).alias("lo"),
+            F.coalesce("ghi", F.lit(NEUTRAL_HI)).alias("hi"),
+        )
+    )
+    tall, _ = tour_range_minmax(placed, et.total)
+
+    # candidate chain links: c non-root with non-root parent p
+    ivp = iv.select(F.col("id").alias("p"), F.col("parent").alias("pp"),
+                    F.col("first").alias("fp"), F.col("last").alias("lp"))
+    cand = (
+        children.select(F.col("id").alias("c"),
+                        F.col("parent").alias("p"), "first", "last")
+        .join(ivp, "p")
+        .where(F.col("pp") >= 0)
+    )
+    scored = range_minmax_query(cand, tall, first_col="first",
+                                last_col="last")
     aux_chain = (
-        cand.join(inside_parent, ["y", "pc"], "left_anti")
-        .select(F.col("c").alias("u"), F.col("pc").alias("v"))
-        .distinct()
+        scored.where((F.col("range_lo") < F.col("fp"))
+                     | (F.col("range_hi") > F.col("lp")))
+        .select(F.col("c").alias("u"), F.col("p").alias("v"))
     )
 
     aux = aux_cross.unionByName(aux_chain)
@@ -119,25 +163,24 @@ def _blocks_internal(
     # non-tree edges inherit the block of a descendant-side child edge:
     # back edge {x, y} (y ancestor of x) → side x; cross edge → side a
     # (rule (a) links both sides into one block anyway)
-    back = nontree.join(
-        a_anc_b, ["a", "b"], "left_semi"  # a is an ancestor of b → side b
-    ).select("a", "b", F.col("b").alias("c"))
-    back2 = nontree.join(
-        b_anc_a, ["a", "b"], "left_semi"
-    ).select("a", "b", F.col("a").alias("c"))
-    nt_side = cross.select("a", "b", F.col("a").alias("c")) \
-        .unionByName(back).unionByName(back2)
+    nt_side = (
+        cross.select("a", "b", F.col("a").alias("c"))
+        .unionByName(nt.where(F.col("a_anc_b"))
+                     .select("a", "b", F.col("b").alias("c")))
+        .unionByName(nt.where(F.col("b_anc_a"))
+                     .select("a", "b", F.col("a").alias("c")))
+    )
     nt_labeled = nt_side.join(blocks, "c").select("a", "b", "block")
 
     edge_blocks = tree_labeled.unionByName(nt_labeled)
-    return tree, edge_blocks
+    return children, edge_blocks
 
 
 def biconnected_components(
     spark: SparkSession,
     edges: DataFrame,
     num_partitions: int | None = None,
-    max_rounds: int = 200,
+    max_rounds: int = 64,
 ) -> DataFrame:
     """Every canonical edge ``(a, b, block)`` of the undirected simple
     graph, ``block`` = the min child-vertex id among the block's tree
@@ -155,7 +198,7 @@ def biconnected_components_canonical(
     spark: SparkSession,
     edges: DataFrame,
     num_partitions: int | None = None,
-    max_rounds: int = 200,
+    max_rounds: int = 64,
 ) -> DataFrame:
     """``(a, b, block_a, block_b)``: every canonical edge labeled with
     the lexicographically-minimal edge of its block.  The block
@@ -178,7 +221,7 @@ def articulation_points(
     spark: SparkSession,
     edges: DataFrame,
     num_partitions: int | None = None,
-    max_rounds: int = 200,
+    max_rounds: int = 64,
 ) -> DataFrame:
     """All cut vertices ``(id)``: vertices whose incident TREE edges
     span ≥ 2 distinct blocks (every block at a vertex contains one of
@@ -188,9 +231,9 @@ def articulation_points(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
     canon = _canon(edges).localCheckpoint(eager=True)
-    tree, edge_blocks = _blocks_internal(spark, canon, num_partitions,
-                                         max_rounds)
-    tree_e = tree.where(F.col("depth") > 0).select(
+    children, edge_blocks = _blocks_internal(spark, canon, num_partitions,
+                                             max_rounds)
+    tree_e = children.select(
         F.least("parent", "id").alias("a"),
         F.greatest("parent", "id").alias("b"),
         F.col("id").alias("c"), F.col("parent").alias("p"),

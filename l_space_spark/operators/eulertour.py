@@ -1,0 +1,392 @@
+"""Euler tour + pointer-doubled list ranking over a spanning forest —
+the O(log V)-round replacement for BFS tree orientation.
+
+Rooting a spanning tree by frontier BFS costs one Spark round per tree
+LEVEL: fine on shallow trees, but a hash-weight spanning tree of a
+random graph has depth O(sqrt V)-ish and an adversarial path graph
+depth V — thousands of rounds at 10^6 vertices, where the previous
+implementation simply refused past ``max_rounds``. The classic PRAM
+answer (Tarjan–Vishkin) is the Euler tour: replace each tree edge by
+two directed arcs, stitch them into one closed walk per component via
+purely LOCAL successor rules, cut the walk at the root, and list-rank
+it by pointer doubling. Rounds become O(log |arcs|) regardless of tree
+shape, and every round is a self-equi-join of a 2(|V|-1)-row table —
+state-sized shuffles, no frontier, no depth dependence.
+
+What the tour buys downstream (all used by ``bridges``/``biconnect``):
+
+* ``parent`` — arc (u,v) is the parent→child arc iff it appears before
+  its reversal (v,u) in tour order.
+* preorder INTERVALS ``[first(v), last(v)]`` — subtree membership and
+  ancestor tests become two scalar comparisons after an equi-join on
+  the vertex id, replacing the O(|V|·depth)-row ancestor closure.
+* subtree folds — place per-vertex values at ``first(v)``; a subtree
+  aggregate is a RANGE query over one contiguous arc-position span:
+  - invertible monoids (xor, sum): two lookups into a sharded prefix
+    scan (``tour_prefix_xor`` — the same two-level decomposition as
+    ``packing.exclusive_prefix_sum``, no global single-task window);
+  - min/max: two lookups into a doubling sparse table
+    (``tour_range_minmax`` — O(|arcs|·log) rows built in O(log)
+    rounds, the standard static-RMQ layout).
+
+Reference analog: none (L-space ships no algorithms; its ``Repeat``
+traversal could walk a tree but not rank it).
+
+Scale shape: neighbor succession is one window partitioned by vertex
+(work bounded by TREE degree — no message amplification); ranking is
+``ceil(log2(2|V|))`` self-joins; the segment-offset table is one row
+per component and goes through the sharded prefix sum, never a global
+window. Nothing in the module depends on tree depth or graph diameter.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.ckpt import reset_stats_checkpoint
+from .packing import exclusive_prefix_sum
+
+#: neutral elements for the sparse-table min/max lanes; g-values are
+#: tour positions (≥ -1 — a root's virtual ``first`` can be -1), so
+#: ±2^62 can never collide with a real value.
+NEUTRAL_LO = 1 << 62
+NEUTRAL_HI = -(1 << 62)
+
+
+@dataclass(frozen=True)
+class EulerTour:
+    """``intervals``: one row per vertex ``(id, parent, first, last)``
+    — ``parent = -1`` for roots; a root's interval is its component's
+    whole segment widened by one virtual slot on the left
+    (``[segstart-1, segend]``) so containment tests stay strict.
+    ``arcs``: one row per tree arc ``(s, d, gpos)`` with the global
+    tour position. ``total``: number of arcs across all components."""
+
+    intervals: DataFrame
+    arcs: DataFrame
+    total: int
+
+
+def _floor_log2(col: F.Column) -> F.Column:
+    """Integer floor(log2(n)) for a positive bigint column, no
+    floating point: the bit length of ``n`` minus one."""
+    return (F.length(F.bin(col)) - F.lit(1)).cast("int")
+
+
+def euler_tour(
+    spark: SparkSession,
+    tree_uv: DataFrame,
+    cc: DataFrame,
+    num_partitions: int,
+    max_rounds: int = 64,
+) -> EulerTour:
+    """Rank the Euler tour of the forest ``tree_uv(u, v)`` rooted at
+    each component's minimum vertex.
+
+    ``cc`` is the ``(id, component)`` labeling of every forest vertex
+    with ``component`` = the min vertex id (the contract of
+    ``components.connected_components_star``) — the root of each tree
+    is its component label. ``max_rounds`` caps the pointer-doubling
+    rounds (``ceil(log2(2|V|))`` needed — 64 covers any conceivable
+    input; the cap exists to fail loud on a malformed successor cycle,
+    e.g. ``cc`` labels that disagree with ``tree_uv``)."""
+    arcs0 = (
+        tree_uv.select(F.col("u").alias("s"), F.col("v").alias("d"))
+        .unionByName(tree_uv.select(F.col("v").alias("s"),
+                                    F.col("u").alias("d")))
+        .repartition(num_partitions, "s")
+    )
+
+    # successor rule (local): after arriving at vertex ``d`` via
+    # neighbor ``s``, leave toward the next neighbor of ``d`` after
+    # ``s`` in sorted order, wrapping to the first. Window work is
+    # bounded by tree degree (each vertex's arc list), not by inbox
+    # size — no amplification.
+    w = Window.partitionBy("s").orderBy("d")
+    w_all = w.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
+    nxt = arcs0.select(
+        "s", "d",
+        F.coalesce(F.lead("d").over(w), F.first("d").over(w_all))
+        .alias("dn"),
+        F.max("d").over(w_all).alias("mx"),
+    )
+
+    # arc (s,d) -> next arc (d, dn') where dn' comes from the reversed
+    # row (d, s); the tour of each component is now one closed cycle.
+    succ = (
+        nxt.alias("a")
+        .join(nxt.alias("r"),
+              (F.col("a.d") == F.col("r.s")) & (F.col("a.s") == F.col("r.d")))
+        .select(
+            F.col("a.s").alias("s"), F.col("a.d").alias("d"),
+            F.col("a.d").alias("ns"), F.col("r.dn").alias("nd"),
+            F.col("r.mx").alias("mxd"),
+        )
+    )
+
+    # cut each cycle at its root: the tour STARTS with (root -> min
+    # neighbor), so the arc whose successor that is — (max neighbor ->
+    # root) — terminates the list.
+    croot = cc.select(F.col("id").alias("d"),
+                      F.col("component").alias("comp_d"))
+    state = (
+        succ.join(croot, "d")
+        .select(
+            "s", "d",
+            F.when((F.col("d") == F.col("comp_d"))
+                   & (F.col("s") == F.col("mxd")), F.lit(None))
+            .otherwise(F.col("ns")).alias("ns"),
+            F.when((F.col("d") == F.col("comp_d"))
+                   & (F.col("s") == F.col("mxd")), F.lit(None))
+            .otherwise(F.col("nd")).alias("nd"),
+            F.lit(1).cast("long").alias("dist"),
+        )
+    )
+    # reset_stats_checkpoint, not plain localCheckpoint: the ranking
+    # loop SELF-joins this state, which would square the inherited
+    # Catalyst size estimate every round (see plans/ckpt.py)
+    state = reset_stats_checkpoint(state)
+
+    total = state.count()
+    if total == 0:
+        empty_iv = cc.where(F.col("id") == F.col("component")).select(
+            "id", F.lit(-1).cast("long").alias("parent"),
+            F.lit(-1).cast("long").alias("first"),
+            F.lit(-1).cast("long").alias("last"),
+        )
+        return EulerTour(empty_iv, state.select("s", "d",
+                                                F.col("dist").alias("gpos")),
+                         0)
+
+    rounds = max(1, (total - 1).bit_length())  # ceil(log2(total))
+    if rounds > max_rounds:
+        raise RuntimeError(
+            f"euler_tour: {total} arcs need {rounds} doubling rounds "
+            f"> max_rounds={max_rounds}"
+        )
+    for _ in range(rounds):
+        nxt_state = state.select(
+            F.col("s").alias("ys"), F.col("d").alias("yd"),
+            F.col("ns").alias("yns"), F.col("nd").alias("ynd"),
+            F.col("dist").alias("ydist"),
+        )
+        state = (
+            state.join(
+                nxt_state.hint("shuffle_hash"),
+                (F.col("ns") == F.col("ys")) & (F.col("nd") == F.col("yd")),
+                "left",
+            )
+            .select(
+                "s", "d",
+                F.col("yns").alias("ns"), F.col("ynd").alias("nd"),
+                (F.col("dist") + F.coalesce(F.col("ydist"), F.lit(0)))
+                .alias("dist"),
+            )
+        )
+        state = reset_stats_checkpoint(state)
+    if not state.where(F.col("ns").isNotNull()).isEmpty():
+        raise RuntimeError(
+            "euler_tour: successor list did not terminate — tree_uv/cc "
+            "disagree (cycle or missing component label)"
+        )
+
+    # dist = arcs from here to the component's tour end (inclusive), so
+    # position-from-start = complen - dist; global position adds the
+    # component segment offset (sharded prefix sum — one row/component).
+    ccomp = cc.select(F.col("id").alias("s"),
+                      F.col("component").alias("comp"))
+    ranked = state.join(ccomp, "s")
+    comps = ranked.groupBy("comp").agg(F.count("*").alias("complen"))
+    comps = exclusive_prefix_sum(comps, "comp", "complen",
+                                 out_col="segoff")
+    arcs = (
+        ranked.join(comps, "comp")
+        .select(
+            "s", "d",
+            (F.col("complen") - F.col("dist") + F.col("segoff"))
+            .alias("gpos"),
+        )
+    )
+    arcs = reset_stats_checkpoint(arcs)
+
+    # arc (s,d) is the parent->child arc iff it precedes its reversal
+    rev = arcs.select(F.col("d").alias("s"), F.col("s").alias("d"),
+                      F.col("gpos").alias("rpos"))
+    fwd = (
+        arcs.join(rev, ["s", "d"])
+        .where(F.col("gpos") < F.col("rpos"))
+        .select(
+            F.col("d").alias("id"), F.col("s").alias("parent"),
+            F.col("gpos").alias("first"), F.col("rpos").alias("last"),
+        )
+    )
+    roots = (
+        cc.where(F.col("id") == F.col("component"))
+        .join(comps.select(F.col("comp").alias("id"), "complen", "segoff"),
+              "id", "left")
+        .select(
+            "id", F.lit(-1).cast("long").alias("parent"),
+            (F.coalesce(F.col("segoff"), F.lit(0)) - F.lit(1))
+            .alias("first"),
+            (F.coalesce(F.col("segoff"), F.lit(0))
+             + F.coalesce(F.col("complen"), F.lit(0)) - F.lit(1))
+            .alias("last"),
+        )
+    )
+    intervals = reset_stats_checkpoint(fwd.unionByName(roots))
+    return EulerTour(intervals, arcs, total)
+
+
+def tour_prefix_xor(
+    placed: DataFrame,
+    shard_block: int = 1 << 20,
+) -> DataFrame:
+    """Inclusive and exclusive running ``bit_xor`` over tour order.
+
+    ``placed(gpos, val)`` must cover EVERY tour position (neutral 0
+    where nothing is placed) so both prefixes are defined at arbitrary
+    query positions. Returns ``(gpos, pxi, pxe)`` with
+    ``pxi = xor of val at positions <= gpos`` and ``pxe`` the strict
+    prefix. Same two-level shape as ``packing.exclusive_prefix_sum``:
+    shard-local window + one tiny per-shard offset table — xor is
+    invertible-free here (offsets just xor in), no global window."""
+    local = (
+        placed.withColumn("_shard", F.expr(f"gpos div {shard_block}"))
+        .withColumn(
+            "_local",
+            F.coalesce(
+                F.expr(
+                    "bit_xor(val) over (partition by _shard order by gpos "
+                    "rows between unbounded preceding and 1 preceding)"
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    offsets = (
+        local.groupBy("_shard")
+        .agg(F.expr("bit_xor(val)").alias("_tot"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.expr(
+                    "bit_xor(_tot) over (order by _shard "
+                    "rows between unbounded preceding and 1 preceding)"
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_shard", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_shard")
+        .select(
+            "gpos",
+            F.expr("_local ^ _off ^ val").alias("pxi"),
+            F.expr("_local ^ _off").alias("pxe"),
+        )
+    )
+
+
+def tour_range_minmax(
+    placed: DataFrame,
+    total: int,
+) -> tuple[DataFrame, int]:
+    """Doubling sparse table for range-min/range-max over tour order.
+
+    ``placed(gpos, lo, hi)`` must cover every position 0..total-1
+    (``NEUTRAL_LO``/``NEUTRAL_HI`` where nothing is placed). Returns
+    ``(tall, levels)``: ``tall(k, pos, lo, hi)`` aggregates the window
+    ``[pos, pos + 2^k)`` for k = 0..levels. O(total·levels) rows built
+    in ``levels`` equi-join rounds — no sorts, no windows."""
+    levels = max(0, (max(total, 1)).bit_length() - 1)  # floor(log2)
+    cur = reset_stats_checkpoint(
+        placed.select(F.col("gpos").alias("pos"), "lo", "hi"))
+    tall = cur.withColumn("k", F.lit(0).cast("int"))
+    for k in range(1, levels + 1):
+        half = 1 << (k - 1)
+        shifted = cur.select(
+            (F.col("pos") - F.lit(half)).alias("pos"),
+            F.col("lo").alias("lo2"), F.col("hi").alias("hi2"),
+        )
+        cur = (
+            cur.join(shifted, "pos", "left")
+            .select(
+                "pos",
+                F.least(F.col("lo"),
+                        F.coalesce(F.col("lo2"), F.lit(NEUTRAL_LO)))
+                .alias("lo"),
+                F.greatest(F.col("hi"),
+                           F.coalesce(F.col("hi2"), F.lit(NEUTRAL_HI)))
+                .alias("hi"),
+            )
+        )
+        cur = reset_stats_checkpoint(cur)
+        tall = tall.unionByName(cur.withColumn("k", F.lit(k).cast("int")))
+    return tall, levels
+
+
+def range_minmax_query(
+    queries: DataFrame,
+    tall: DataFrame,
+    first_col: str = "qfirst",
+    last_col: str = "qlast",
+) -> DataFrame:
+    """Annotate ``queries`` (any schema + ``first_col``/``last_col``
+    bigint tour positions, inclusive, len >= 1) with ``range_lo`` /
+    ``range_hi`` over the sparse table: the standard two overlapping
+    2^k windows, k = floor(log2(len)) — two equi-joins on (k, pos)."""
+    length = F.col(last_col) - F.col(first_col) + F.lit(1)
+    q = queries.withColumn("_qk", _floor_log2(length)).withColumn(
+        "_p2", F.expr("shiftleft(1L, _qk)")
+    )
+    t1 = tall.select(F.col("k").alias("_k1"), F.col("pos").alias("_pos1"),
+                     F.col("lo").alias("_lo1"), F.col("hi").alias("_hi1"))
+    t2 = tall.select(F.col("k").alias("_k2"), F.col("pos").alias("_pos2"),
+                     F.col("lo").alias("_lo2"), F.col("hi").alias("_hi2"))
+    return (
+        q.join(t1, (F.col("_qk") == F.col("_k1"))
+               & (F.col(first_col) == F.col("_pos1")))
+        .join(t2, (F.col("_qk") == F.col("_k2"))
+              & (F.col(last_col) - F.col("_p2") + F.lit(1)
+                 == F.col("_pos2")))
+        .withColumn("range_lo", F.least("_lo1", "_lo2"))
+        .withColumn("range_hi", F.greatest("_hi1", "_hi2"))
+        .drop("_qk", "_p2", "_k1", "_k2", "_pos1", "_pos2", "_lo1",
+              "_lo2", "_hi1", "_hi2")
+    )
+
+
+def tree_depths(et: EulerTour) -> DataFrame:
+    """``(id, parent, depth)`` for every forest vertex — depth 0 at
+    roots — WITHOUT a per-level pass: weight each tour arc +1
+    (entering/forward) or -1 (returning), then ``depth(v)`` is the
+    inclusive prefix sum at ``first(v)``. Every component's arc weights
+    sum to zero (each tree edge contributes one +1 and one -1), so the
+    GLOBAL prefix restricted to a segment equals the per-component
+    prefix — one sharded prefix sum over the concatenated tour, no
+    per-component windows, no O(depth) rounds."""
+    roots = et.intervals.where(F.col("parent") < 0).select(
+        "id", "parent", F.lit(0).cast("long").alias("depth")
+    )
+    if et.total == 0:
+        return roots
+    children = et.intervals.where(F.col("parent") >= 0)
+    marks = children.select(F.col("first").alias("gpos"),
+                            F.lit(1).alias("fw"))
+    arcs_w = (
+        et.arcs.select("gpos")
+        .join(marks, "gpos", "left")
+        .select("gpos",
+                F.coalesce("fw", F.lit(-1)).cast("long").alias("w"))
+    )
+    pref = exclusive_prefix_sum(arcs_w, "gpos", "w", out_col="pre")
+    inc = pref.select("gpos", (F.col("pre") + F.col("w")).alias("depth"))
+    out = children.join(inc, children["first"] == inc["gpos"]).select(
+        "id", "parent", "depth"
+    )
+    return out.unionByName(roots)

@@ -40,6 +40,8 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .ckpt import reset_stats_checkpoint
+
 META_NAME = "_meta.json"
 
 
@@ -205,8 +207,12 @@ class SuperstepRunner:
                 boundary = ((i + 1 - start_iter) % self.materialize_every == 0
                             or i == self.max_iters - 1)
                 if not lazy_ok or boundary:
-                    # localCheckpoint materializes AND caches — cuts lineage
-                    new_state = new_state.localCheckpoint(eager=True)
+                    # stats-reset checkpoint: materializes AND caches,
+                    # cuts lineage AND the inherited Catalyst size-
+                    # estimate chain (plans/ckpt.py) — step functions
+                    # that self-join the state would otherwise square
+                    # the BigInt estimate every superstep
+                    new_state = reset_stats_checkpoint(new_state)
                 # else: stay lazy; this round fuses into the next plan
 
             delta = metric_fn(state, new_state) if metric_fn else None

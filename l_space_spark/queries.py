@@ -6232,7 +6232,7 @@ SELECT a, b FROM brs ORDER BY a, b
 )
 def q_bridge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All bridges of the sparse hashed graph (operators/bridges.py:
-    hash-weight Borůvka spanning forest + rooted orientation + XOR
+    hash-weight Borůvka spanning forest + Euler-tour ranking + XOR
     cycle-space subtree fold — the AGM coverage trick, one-sided error
     ≤ 2⁻⁶⁰/edge). The oracle is GROUND TRUTH, not a mirror: per-edge
     removal reachability via one recursive CTE keyed by edge id — so a
@@ -6445,10 +6445,10 @@ WHERE r.x IS NULL ORDER BY id
 )
 def q_articulation_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All cut vertices of the sparse hashed graph
-    (operators/biconnect.py — arbitrary-spanning-tree block
-    decomposition: fundamental-cycle chain/cross aux rules over the
-    pointer-doubled ancestor closure, star-contraction block CC, then
-    'incident tree edges span ≥2 blocks'). The oracle is GROUND TRUTH:
+    (operators/biconnect.py — Tarjan–Vishkin block decomposition:
+    fundamental-cycle chain/cross aux rules over Euler-tour preorder
+    intervals, star-contraction block CC, then 'incident tree edges
+    span ≥2 blocks'). The oracle is GROUND TRUTH:
     v is a cut vertex iff a flood from its min neighbor in G−v misses
     some neighbor — one recursive CTE keyed by the removed vertex."""
     from .operators.biconnect import articulation_points
@@ -8607,6 +8607,82 @@ def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
+_TREE_DEPTH_ORACLE = (
+    _msf_oracle(MOD_EDGES_SQL, MSF_DOUBLINGS)
+    .replace(
+        f"SELECT k.u, k.v, k.w FROM k JOIN r{MSF_DOUBLINGS} r"
+        " ON r.a = k.u AND r.b = k.v AND r.wk = k.wk ORDER BY k.u, k.v",
+        f""",
+forest AS (SELECT k.u, k.v FROM k JOIN r{MSF_DOUBLINGS} r
+  ON r.a = k.u AND r.b = k.v AND r.wk = k.wk),
+und AS (SELECT u AS s, v AS d FROM forest
+        UNION ALL SELECT v, u FROM forest),
+verts AS (SELECT DISTINCT u AS id FROM pairs
+          UNION SELECT v FROM pairs),
+reach(a, b) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT reach.a, u.d FROM reach JOIN und u ON u.s = reach.b
+),
+comp AS (SELECT a AS id, min(b) AS root FROM reach GROUP BY a),
+walk(id, parent, depth) AS (
+  SELECT id, CAST(-1 AS BIGINT), CAST(0 AS BIGINT)
+  FROM comp WHERE id = root
+  UNION
+  SELECT u.d, w.id, w.depth + 1
+  FROM walk w JOIN und u ON u.s = w.id WHERE u.d <> w.parent
+)
+SELECT id, parent, depth FROM walk ORDER BY id""",
+    )
+    # the msf oracle has no WITH RECURSIVE (pure doubling); walk/reach
+    # above need it
+    .replace("WITH e0 AS MATERIALIZED", "WITH RECURSIVE e0 AS MATERIALIZED")
+)
+
+
+@register("spanning_tree_depths", _TREE_DEPTH_ORACLE)
+def q_spanning_tree_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rooted spanning-forest structure ``(id, parent, depth)`` of the
+    hashed mod graph under the SAME deterministic (w, u, v) weights as
+    ``msf_edges`` — so the DuckDB oracle can reproduce the forest via
+    the minimax characterization, then walk depths with one recursive
+    CTE. Spark side (operators/eulertour.py): Borůvka forest, star-
+    contraction roots, Euler-tour list ranking (O(log V) rounds at any
+    tree depth), then depth = ONE sharded prefix sum of ±1 arc weights
+    — per-component sums cancel, so the global prefix restricted to a
+    segment is the per-component prefix; no per-level BFS pass."""
+    from .operators.components import connected_components_star
+    from .operators.eulertour import euler_tour, tree_depths
+    from .operators.msf import forest_edges, minimum_spanning_forest
+
+    parts = _small_graph_parts(spark)
+    pairs = (
+        mod_edges(spark, sf_dir)
+        .where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("u"),
+                F.greatest("src", "dst").alias("v"))
+        .distinct()
+    )
+    weighted = pairs.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"),
+        hash60(
+            F.concat(F.lit("mw:"), F.col("u").cast("string"), F.lit(":"),
+                     F.col("v").cast("string"))
+        ).alias("w"),
+    )
+    tree = forest_edges(
+        minimum_spanning_forest(spark, weighted, num_partitions=parts,
+                                resume=False)
+    ).select("u", "v")
+    cc = connected_components_star(
+        spark, pairs.select(F.col("u").alias("src"),
+                            F.col("v").alias("dst")),
+        num_partitions=parts, resume=False,
+    ).state
+    et = euler_tour(spark, tree, cc, parts)
+    return tree_depths(et).orderBy("id")
+
+
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
 # in iteration order.  Registration order above is historical (round 1 → 3),
 # so without reordering the round-2/3 algorithm family would never receive a
@@ -8710,7 +8786,8 @@ _DRIVER_WINDOW: list[str] = [
     # prefix_jaccard_pairs, landmark_distance_bounds,
     # double_sweep_diameter, closeness_centrality_sampled,
     # cycle_rank_components, parity_conflict_edges,
-    # hashed_linear_quality, kcenter_coreset)
+    # hashed_linear_quality, kcenter_coreset,
+    # spanning_tree_depths)
     # — rotate them in for r5, swapping out
     # entries that go green in CORRECTNESS_r04.
     # r5 rotation planning data (sf0.01 wall, Spark+oracle, from

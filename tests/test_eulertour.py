@@ -1,0 +1,175 @@
+"""Euler tour + list ranking vs a recursive Python twin: parent/
+first/last intervals exactly, dense arc positions, prefix-xor subtree
+folds, and sparse-table range min/max — including the deep-path shape
+the old BFS orientation paid O(depth) rounds for."""
+
+import functools
+import operator
+import random
+import sys
+
+from pyspark.sql import functions as F
+
+from l_space_spark.operators.components import connected_components_star
+from l_space_spark.operators.eulertour import (
+    NEUTRAL_HI,
+    NEUTRAL_LO,
+    euler_tour,
+    range_minmax_query,
+    tour_prefix_xor,
+    tour_range_minmax,
+)
+
+
+def py_tour(tree_pairs):
+    """Reference: parent/first/last per vertex via a recursive Euler
+    walk rooted at each component's min vertex, neighbors in sorted
+    order, global positions concatenated in component order."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    verts = set()
+    for u, v in tree_pairs:
+        adj[u].add(v)
+        adj[v].add(u)
+        verts |= {u, v}
+    seen, comps = set(), []
+    for v in sorted(verts):
+        if v in seen:
+            continue
+        stack, comp = [v], set()
+        seen.add(v)
+        while stack:
+            x = stack.pop()
+            comp.add(x)
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        comps.append((min(comp), comp))
+    comps.sort()
+    out = {}
+    off = 0
+    sys.setrecursionlimit(100000)
+    for root, comp in comps:
+        pos = [off]
+        first, last, parent = {}, {}, {root: -1}
+
+        def walk(u, p):
+            for w in sorted(adj[u]):
+                if w == p:
+                    continue
+                parent[w] = u
+                first[w] = pos[0]
+                pos[0] += 1
+                walk(w, u)
+                last[w] = pos[0]
+                pos[0] += 1
+
+        walk(root, None)
+        seglen = 2 * (len(comp) - 1)
+        first[root] = off - 1
+        last[root] = off + seglen - 1
+        for x in comp:
+            out[x] = (parent[x], first[x], last[x])
+        off += seglen
+    return out
+
+
+def _tour(spark, tree_pairs):
+    tdf = spark.createDataFrame(tree_pairs, "u long, v long")
+    edges = tdf.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    cc = connected_components_star(spark, edges, num_partitions=4,
+                                   resume=False).state
+    return euler_tour(spark, tdf, cc, 4)
+
+
+def _check(spark, tree_pairs):
+    et = _tour(spark, tree_pairs)
+    got = {r["id"]: (r["parent"], r["first"], r["last"])
+           for r in et.intervals.collect()}
+    want = py_tour(tree_pairs)
+    assert got == want
+    pos = sorted(r["gpos"] for r in et.arcs.collect())
+    assert pos == list(range(et.total))
+    return et, want
+
+
+def test_path_star_forest(spark):
+    _check(spark, [(i, i + 1) for i in range(9)])
+    _check(spark, [(0, i) for i in range(1, 8)])
+    rng = random.Random(5)
+    pairs = []
+    for base in (0, 100):
+        n = rng.randrange(5, 30)
+        for i in range(1, n):
+            pairs.append((base + rng.randrange(i), base + i))
+    _check(spark, pairs)
+
+
+def test_deep_path_logarithmic_rounds(spark):
+    """A 300-vertex path ranks within the 64-round doubling cap — the
+    shape where per-level BFS orientation needed 300 rounds."""
+    et, want = _check(spark, [(i, i + 1) for i in range(299)])
+    assert et.total == 598
+
+
+def test_folds_match_bruteforce(spark):
+    n = 40
+    rng = random.Random(9)
+    pairs = [(rng.randrange(i), i) for i in range(1, n)]
+    et, want = _check(spark, pairs)
+    vals = {v: (v * v + 1) for v in want if want[v][0] != -1}
+
+    placed = et.arcs.select("gpos").join(
+        et.arcs.sparkSession.createDataFrame(
+            [(want[v][1], vals[v]) for v in vals], "gpos long, val long"),
+        "gpos", "left").select(
+            "gpos", F.coalesce("val", F.lit(0)).alias("val"))
+    px = {r["gpos"]: (r["pxi"], r["pxe"])
+          for r in tour_prefix_xor(placed).collect()}
+
+    placed2 = et.arcs.select("gpos").join(
+        spark.createDataFrame(
+            [(want[v][1], vals[v], vals[v]) for v in vals],
+            "gpos long, lo long, hi long"),
+        "gpos", "left").select(
+            "gpos", F.coalesce("lo", F.lit(NEUTRAL_LO)).alias("lo"),
+            F.coalesce("hi", F.lit(NEUTRAL_HI)).alias("hi"))
+    tall, _ = tour_range_minmax(placed2, et.total)
+    qs = spark.createDataFrame(
+        [(c, want[c][1], want[c][2]) for c in want if want[c][0] != -1],
+        "c long, qfirst long, qlast long")
+    rmq = {r["c"]: (r["range_lo"], r["range_hi"])
+           for r in range_minmax_query(qs, tall).collect()}
+
+    for c in want:
+        p, f, l = want[c]
+        if p == -1:
+            continue
+        sub = [vals[v] for v in vals if f <= want[v][1] <= l]
+        expect_xor = functools.reduce(operator.xor, sub, 0)
+        assert px[l][0] ^ px[f][1] == expect_xor
+        emin = min(sub) if sub else NEUTRAL_LO
+        emax = max(sub) if sub else NEUTRAL_HI
+        assert rmq[c] == (emin, emax)
+
+
+def test_tree_depths(spark):
+    from l_space_spark.operators.eulertour import tree_depths
+
+    rng = random.Random(13)
+    pairs = [(rng.randrange(i), i) for i in range(1, 35)]
+    pairs += [(100, 101), (101, 102), (102, 103)]  # second component
+    et, want = _check(spark, pairs)
+    got = {r["id"]: (r["parent"], r["depth"])
+           for r in tree_depths(et).collect()}
+
+    def depth_of(v):
+        d = 0
+        while want[v][0] != -1:
+            v = want[v][0]
+            d += 1
+        return d
+
+    assert got == {v: (want[v][0], depth_of(v)) for v in want}
