@@ -390,3 +390,120 @@ def tree_depths(et: EulerTour) -> DataFrame:
         "id", "parent", "depth"
     )
     return out.unionByName(roots)
+
+
+def tour_sparse_min(
+    placed: DataFrame,
+    total: int,
+    neutral: F.Column,
+) -> tuple[DataFrame, int]:
+    """Doubling sparse table for range-MIN over tour order, generic in
+    the value type: ``placed(gpos, val)`` with ``val`` any Spark-
+    orderable type (longs, or structs compared lexicographically —
+    e.g. ``struct(depth, id)`` for argmin-by-depth). ``neutral`` must
+    compare greater than every real value. Same O(total·levels)-row /
+    O(log)-round shape as ``tour_range_minmax``."""
+    levels = max(0, (max(total, 1)).bit_length() - 1)
+    cur = reset_stats_checkpoint(
+        placed.select(F.col("gpos").alias("pos"), "val"))
+    tall = cur.withColumn("k", F.lit(0).cast("int"))
+    for k in range(1, levels + 1):
+        half = 1 << (k - 1)
+        shifted = cur.select((F.col("pos") - F.lit(half)).alias("pos"),
+                             F.col("val").alias("val2"))
+        cur = (
+            cur.join(shifted, "pos", "left")
+            .select(
+                "pos",
+                F.least(F.col("val"), F.coalesce(F.col("val2"), neutral))
+                .alias("val"),
+            )
+        )
+        cur = reset_stats_checkpoint(cur)
+        tall = tall.unionByName(cur.withColumn("k", F.lit(k).cast("int")))
+    return tall, levels
+
+
+def sparse_min_query(
+    queries: DataFrame,
+    tall: DataFrame,
+    first_col: str = "qfirst",
+    last_col: str = "qlast",
+    out_col: str = "range_val",
+) -> DataFrame:
+    """Annotate ``queries`` with the range-min ``out_col`` over
+    ``[first_col, last_col]`` (inclusive, len >= 1) from a
+    ``tour_sparse_min`` table — two equi-joins on (k, pos)."""
+    length = F.col(last_col) - F.col(first_col) + F.lit(1)
+    q = queries.withColumn("_qk", _floor_log2(length)).withColumn(
+        "_p2", F.expr("shiftleft(1L, _qk)")
+    )
+    t1 = tall.select(F.col("k").alias("_k1"), F.col("pos").alias("_pos1"),
+                     F.col("val").alias("_val1"))
+    t2 = tall.select(F.col("k").alias("_k2"), F.col("pos").alias("_pos2"),
+                     F.col("val").alias("_val2"))
+    return (
+        q.join(t1, (F.col("_qk") == F.col("_k1"))
+               & (F.col(first_col) == F.col("_pos1")))
+        .join(t2, (F.col("_qk") == F.col("_k2"))
+              & (F.col(last_col) - F.col("_p2") + F.lit(1)
+                 == F.col("_pos2")))
+        .withColumn(out_col, F.least("_val1", "_val2"))
+        .drop("_qk", "_p2", "_k1", "_k2", "_pos1", "_pos2", "_val1",
+              "_val2")
+    )
+
+
+def lca_pairs(
+    et: EulerTour,
+    pairs: DataFrame,
+) -> DataFrame:
+    """Lowest common ancestor ``(u, v, lca)`` for each SAME-COMPONENT
+    pair in ``pairs(u, v)`` — the classic Euler-tour reduction (LCA =
+    min-depth vertex visited between the two first-entries) in O(log V)
+    build rounds + two lookups per pair.
+
+    Cases: if one endpoint is an ancestor-or-self of the other
+    (interval containment — covers roots, whose virtual ``first`` lies
+    outside the arc array), it IS the lca; otherwise both first-entries
+    are real arc positions in the same segment and the range-min of
+    ``struct(depth(head), head)`` over ``[min(first), max(first)]`` is
+    the lca (head of arc p = the vertex the tour stands on after arc
+    p). Cross-component pairs are the CALLER's precondition — they
+    would read a range spanning unrelated segments; filter them with
+    component labels first (the catalog entry does)."""
+    depths = tree_depths(et)
+    heads = (
+        et.arcs.join(
+            depths.select(F.col("id").alias("d"),
+                          F.col("depth").alias("hd")), "d")
+        .select("gpos",
+                F.struct(F.col("hd").alias("depth"),
+                         F.col("d").alias("id")).alias("val"))
+    )
+    neutral = F.struct(F.lit(NEUTRAL_LO).alias("depth"),
+                       F.lit(NEUTRAL_LO).alias("id"))
+    tall, _ = tour_sparse_min(heads, et.total, neutral)
+
+    ivu = et.intervals.select(F.col("id").alias("u"),
+                              F.col("first").alias("fu"),
+                              F.col("last").alias("lu"))
+    ivv = et.intervals.select(F.col("id").alias("v"),
+                              F.col("first").alias("fv"),
+                              F.col("last").alias("lv"))
+    p = pairs.join(ivu, "u").join(ivv, "v")
+    u_anc = (F.col("fu") <= F.col("fv")) & (F.col("lv") <= F.col("lu"))
+    v_anc = (F.col("fv") <= F.col("fu")) & (F.col("lu") <= F.col("lv"))
+    direct = p.where(u_anc | v_anc).select(
+        "u", "v",
+        F.when(u_anc, F.col("u")).otherwise(F.col("v")).alias("lca"),
+    )
+    rest = (
+        p.where(~u_anc & ~v_anc)
+        .withColumn("qfirst", F.least("fu", "fv"))
+        .withColumn("qlast", F.greatest("fu", "fv"))
+    )
+    ranged = sparse_min_query(rest, tall).select(
+        "u", "v", F.col("range_val.id").alias("lca")
+    )
+    return direct.unionByName(ranged)

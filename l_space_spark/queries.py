@@ -8683,6 +8683,92 @@ def q_spanning_tree_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tree_depths(et).orderBy("id")
 
 
+_TREE_LCA_ORACLE = _TREE_DEPTH_ORACLE.replace(
+    "SELECT id, parent, depth FROM walk ORDER BY id",
+    """anc(v, a) AS (
+  SELECT id, id FROM walk
+  UNION
+  SELECT anc.v, w.parent FROM anc JOIN walk w ON w.id = anc.a
+  WHERE w.parent <> -1
+),
+small AS (SELECT DISTINCT id FROM verts ORDER BY id LIMIT 30),
+-- DISTINCT: verts is built with UNION inside WITH RECURSIVE, which
+-- DuckDB evaluates with bag semantics for non-recursive CTEs
+
+qp AS (SELECT x.id AS u, y.id AS v
+       FROM small x JOIN small y ON x.id < y.id
+       JOIN comp cu ON cu.id = x.id JOIN comp cv ON cv.id = y.id
+       WHERE cu.root = cv.root),
+common AS (SELECT q.u, q.v, xa.a, wd.depth
+           FROM qp q
+           JOIN anc xa ON xa.v = q.u
+           JOIN anc ya ON ya.v = q.v AND ya.a = xa.a
+           JOIN walk wd ON wd.id = xa.a),
+best AS (SELECT u, v, max(depth) AS d FROM common GROUP BY u, v)
+SELECT c.u, c.v, min(c.a) AS lca
+FROM common c JOIN best b ON b.u = c.u AND b.v = c.v AND c.depth = b.d
+GROUP BY c.u, c.v
+ORDER BY c.u, c.v""",
+).replace(
+    # walk feeds another recursive CTE now, so it needs its comma back
+    """  FROM walk w JOIN und u ON u.s = w.id WHERE u.d <> w.parent
+)
+anc(v, a)""",
+    """  FROM walk w JOIN und u ON u.s = w.id WHERE u.d <> w.parent
+),
+anc(v, a)""",
+)
+
+
+@register("tree_lca_pairs", _TREE_LCA_ORACLE)
+def q_tree_lca_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lowest common ancestors in the deterministic (w, u, v) spanning
+    forest, for every same-component pair among the 30 smallest
+    vertices — the classic Euler-tour LCA (eulertour.lca_pairs): if one
+    endpoint's preorder interval contains the other's it IS the lca,
+    else the range-min of struct(depth, vertex) over the tour span
+    between the two first-entries, answered from a doubling sparse
+    table in two equi-joins per pair. Oracle: ancestor chains over the
+    minimax-reproduced forest, deepest common ancestor per pair."""
+    from .operators.components import connected_components_star
+    from .operators.eulertour import euler_tour, lca_pairs
+    from .operators.msf import forest_edges, minimum_spanning_forest
+
+    parts = _small_graph_parts(spark)
+    pairs = (
+        mod_edges(spark, sf_dir)
+        .where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("u"),
+                F.greatest("src", "dst").alias("v"))
+        .distinct()
+    )
+    weighted = pairs.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"),
+        hash60(
+            F.concat(F.lit("mw:"), F.col("u").cast("string"), F.lit(":"),
+                     F.col("v").cast("string"))
+        ).alias("w"),
+    )
+    tree = forest_edges(
+        minimum_spanning_forest(spark, weighted, num_partitions=parts,
+                                resume=False)
+    ).select("u", "v")
+    cc = connected_components_star(
+        spark, pairs.select(F.col("u").alias("src"),
+                            F.col("v").alias("dst")),
+        num_partitions=parts, resume=False,
+    ).state
+    et = euler_tour(spark, tree, cc, parts)
+
+    small = cc.select("id", "component").orderBy("id").limit(30)
+    a = small.select(F.col("id").alias("u"),
+                     F.col("component").alias("comp"))
+    b = small.select(F.col("id").alias("v"),
+                     F.col("component").alias("comp"))
+    qp = a.join(b, "comp").where(F.col("u") < F.col("v")).select("u", "v")
+    return lca_pairs(et, qp).orderBy("u", "v")
+
+
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
 # in iteration order.  Registration order above is historical (round 1 → 3),
 # so without reordering the round-2/3 algorithm family would never receive a
@@ -8787,7 +8873,7 @@ _DRIVER_WINDOW: list[str] = [
     # double_sweep_diameter, closeness_centrality_sampled,
     # cycle_rank_components, parity_conflict_edges,
     # hashed_linear_quality, kcenter_coreset,
-    # spanning_tree_depths)
+    # spanning_tree_depths, tree_lca_pairs)
     # — rotate them in for r5, swapping out
     # entries that go green in CORRECTNESS_r04.
     # r5 rotation planning data (sf0.01 wall, Spark+oracle, from

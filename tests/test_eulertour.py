@@ -173,3 +173,35 @@ def test_tree_depths(spark):
         return d
 
     assert got == {v: (want[v][0], depth_of(v)) for v in want}
+
+
+def test_lca_pairs(spark):
+    from itertools import combinations
+
+    from l_space_spark.operators.eulertour import lca_pairs
+
+    rng = random.Random(21)
+    pairs = [(rng.randrange(i), i) for i in range(1, 30)]
+    pairs += [(200, 201), (201, 202), (200, 203)]  # second component
+    et, want = _check(spark, pairs)
+
+    def ancestors(v):
+        out = [v]
+        while want[v][0] != -1:
+            v = want[v][0]
+            out.append(v)
+        return out
+
+    comp = {v: ancestors(v)[-1] for v in want}
+    qp = [(a, b) for a, b in combinations(sorted(want), 2)
+          if comp[a] == comp[b]]
+    expect = {}
+    for a, b in qp:
+        aa = ancestors(a)
+        bb = set(ancestors(b))
+        expect[(a, b)] = next(x for x in aa if x in bb)
+
+    qdf = spark.createDataFrame(qp, "u long, v long")
+    got = {(r["u"], r["v"]): r["lca"]
+           for r in lca_pairs(et, qdf).collect()}
+    assert got == expect
