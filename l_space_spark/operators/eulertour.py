@@ -362,20 +362,28 @@ def range_minmax_query(
 
 
 def tree_depths(et: EulerTour) -> DataFrame:
-    """``(id, parent, depth)`` for every forest vertex — depth 0 at
-    roots — WITHOUT a per-level pass: weight each tour arc +1
-    (entering/forward) or -1 (returning), then ``depth(v)`` is the
+    """``(id, parent, depth, subtree_size)`` for every forest vertex —
+    depth 0 at roots — WITHOUT a per-level pass: weight each tour arc
+    +1 (entering/forward) or -1 (returning), then ``depth(v)`` is the
     inclusive prefix sum at ``first(v)``. Every component's arc weights
     sum to zero (each tree edge contributes one +1 and one -1), so the
     GLOBAL prefix restricted to a segment equals the per-component
     prefix — one sharded prefix sum over the concatenated tour, no
-    per-component windows, no O(depth) rounds."""
-    roots = et.intervals.where(F.col("parent") < 0).select(
-        "id", "parent", F.lit(0).cast("long").alias("depth")
+    per-component windows, no O(depth) rounds. ``subtree_size`` is
+    free from the interval: a child's subtree spans exactly
+    2·size arc slots; a root's segment has 2·(size−1) plus its one
+    virtual slot."""
+    iv = et.intervals.withColumn(
+        "subtree_size",
+        F.expr("(last - first + 1 + if(parent < 0, 1, 0)) div 2"),
+    )
+    roots = iv.where(F.col("parent") < 0).select(
+        "id", "parent", F.lit(0).cast("long").alias("depth"),
+        "subtree_size",
     )
     if et.total == 0:
         return roots
-    children = et.intervals.where(F.col("parent") >= 0)
+    children = iv.where(F.col("parent") >= 0)
     marks = children.select(F.col("first").alias("gpos"),
                             F.lit(1).alias("fw"))
     arcs_w = (
@@ -387,7 +395,7 @@ def tree_depths(et: EulerTour) -> DataFrame:
     pref = exclusive_prefix_sum(arcs_w, "gpos", "w", out_col="pre")
     inc = pref.select("gpos", (F.col("pre") + F.col("w")).alias("depth"))
     out = children.join(inc, children["first"] == inc["gpos"]).select(
-        "id", "parent", "depth"
+        "id", "parent", "depth", "subtree_size"
     )
     return out.unionByName(roots)
 

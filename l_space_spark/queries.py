@@ -8607,7 +8607,11 @@ def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
-_TREE_DEPTH_ORACLE = (
+# Shared CTE chain for the spanning-forest structure oracles: the
+# msf_edges minimax forest, its undirected closure, components, the
+# rooted parent/depth walk, and the descendant (ancestor-chain) table.
+# Each oracle appends its own final SELECT.
+_TREE_WALK_CTES = (
     _msf_oracle(MOD_EDGES_SQL, MSF_DOUBLINGS)
     .replace(
         f"SELECT k.u, k.v, k.w FROM k JOIN r{MSF_DOUBLINGS} r"
@@ -8631,18 +8635,30 @@ walk(id, parent, depth) AS (
   UNION
   SELECT u.d, w.id, w.depth + 1
   FROM walk w JOIN und u ON u.s = w.id WHERE u.d <> w.parent
-)
-SELECT id, parent, depth FROM walk ORDER BY id""",
+),
+anc(v, a) AS (
+  SELECT id, id FROM walk
+  UNION
+  SELECT anc.v, w.parent FROM anc JOIN walk w ON w.id = anc.a
+  WHERE w.parent <> -1
+)""",
     )
-    # the msf oracle has no WITH RECURSIVE (pure doubling); walk/reach
+    # the msf oracle has no WITH RECURSIVE (pure doubling); the CTEs
     # above need it
     .replace("WITH e0 AS MATERIALIZED", "WITH RECURSIVE e0 AS MATERIALIZED")
 )
 
+_TREE_DEPTH_ORACLE = _TREE_WALK_CTES + """
+SELECT w.id, w.parent, w.depth, s.subtree_size
+FROM walk w JOIN (SELECT a, CAST(count(*) AS BIGINT) AS subtree_size
+                  FROM anc GROUP BY a) s ON s.a = w.id
+ORDER BY w.id"""
+
 
 @register("spanning_tree_depths", _TREE_DEPTH_ORACLE)
 def q_spanning_tree_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rooted spanning-forest structure ``(id, parent, depth)`` of the
+    """Rooted spanning-forest structure ``(id, parent, depth,
+    subtree_size)`` of the
     hashed mod graph under the SAME deterministic (w, u, v) weights as
     ``msf_edges`` — so the DuckDB oracle can reproduce the forest via
     the minimax characterization, then walk depths with one recursive
@@ -8650,7 +8666,10 @@ def q_spanning_tree_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     contraction roots, Euler-tour list ranking (O(log V) rounds at any
     tree depth), then depth = ONE sharded prefix sum of ±1 arc weights
     — per-component sums cancel, so the global prefix restricted to a
-    segment is the per-component prefix; no per-level BFS pass."""
+    segment is the per-component prefix; no per-level BFS pass —
+    and subtree_size is FREE from the preorder interval length
+    ((last-first+1) div 2, +1 virtual slot at roots). Oracle: recursive
+    walk + ancestor-chain descendant counts."""
     from .operators.components import connected_components_star
     from .operators.eulertour import euler_tour, tree_depths
     from .operators.msf import forest_edges, minimum_spanning_forest
@@ -8683,18 +8702,10 @@ def q_spanning_tree_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tree_depths(et).orderBy("id")
 
 
-_TREE_LCA_ORACLE = _TREE_DEPTH_ORACLE.replace(
-    "SELECT id, parent, depth FROM walk ORDER BY id",
-    """anc(v, a) AS (
-  SELECT id, id FROM walk
-  UNION
-  SELECT anc.v, w.parent FROM anc JOIN walk w ON w.id = anc.a
-  WHERE w.parent <> -1
-),
+_TREE_LCA_ORACLE = _TREE_WALK_CTES + """,
 small AS (SELECT DISTINCT id FROM verts ORDER BY id LIMIT 30),
 -- DISTINCT: verts is built with UNION inside WITH RECURSIVE, which
 -- DuckDB evaluates with bag semantics for non-recursive CTEs
-
 qp AS (SELECT x.id AS u, y.id AS v
        FROM small x JOIN small y ON x.id < y.id
        JOIN comp cu ON cu.id = x.id JOIN comp cv ON cv.id = y.id
@@ -8708,16 +8719,7 @@ best AS (SELECT u, v, max(depth) AS d FROM common GROUP BY u, v)
 SELECT c.u, c.v, min(c.a) AS lca
 FROM common c JOIN best b ON b.u = c.u AND b.v = c.v AND c.depth = b.d
 GROUP BY c.u, c.v
-ORDER BY c.u, c.v""",
-).replace(
-    # walk feeds another recursive CTE now, so it needs its comma back
-    """  FROM walk w JOIN und u ON u.s = w.id WHERE u.d <> w.parent
-)
-anc(v, a)""",
-    """  FROM walk w JOIN und u ON u.s = w.id WHERE u.d <> w.parent
-),
-anc(v, a)""",
-)
+ORDER BY c.u, c.v"""
 
 
 @register("tree_lca_pairs", _TREE_LCA_ORACLE)

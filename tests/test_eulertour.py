@@ -162,7 +162,7 @@ def test_tree_depths(spark):
     pairs = [(rng.randrange(i), i) for i in range(1, 35)]
     pairs += [(100, 101), (101, 102), (102, 103)]  # second component
     et, want = _check(spark, pairs)
-    got = {r["id"]: (r["parent"], r["depth"])
+    got = {r["id"]: (r["parent"], r["depth"], r["subtree_size"])
            for r in tree_depths(et).collect()}
 
     def depth_of(v):
@@ -172,7 +172,16 @@ def test_tree_depths(spark):
             d += 1
         return d
 
-    assert got == {v: (want[v][0], depth_of(v)) for v in want}
+    def size_of(v):
+        # roots' virtual firsts (segstart-1) are not real placements —
+        # count only non-root entries in the interval, +1 for the root
+        f, l = want[v][1], want[v][2]
+        n = sum(1 for x in want
+                if want[x][0] != -1 and f <= want[x][1] <= l)
+        return n + (1 if want[v][0] == -1 else 0)
+
+    assert got == {v: (want[v][0], depth_of(v), size_of(v))
+                   for v in want}
 
 
 def test_lca_pairs(spark):
