@@ -466,7 +466,8 @@ def lca_pairs(
     et: EulerTour,
     pairs: DataFrame,
 ) -> DataFrame:
-    """Lowest common ancestor ``(u, v, lca)`` for each SAME-COMPONENT
+    """Lowest common ancestor and hop distance through the forest
+    ``(u, v, lca, tree_dist)`` for each SAME-COMPONENT
     pair in ``pairs(u, v)`` — the classic Euler-tour reduction (LCA =
     min-depth vertex visited between the two first-entries) in O(log V)
     build rounds + two lookups per pair.
@@ -514,4 +515,17 @@ def lca_pairs(
     ranged = sparse_min_query(rest, tall).select(
         "u", "v", F.col("range_val.id").alias("lca")
     )
-    return direct.unionByName(ranged)
+    out = direct.unionByName(ranged)
+
+    # tree distance rides along for free: hops(u,v) through the forest
+    # = depth(u) + depth(v) - 2*depth(lca)
+    du = depths.select(F.col("id").alias("u"), F.col("depth").alias("du"))
+    dv = depths.select(F.col("id").alias("v"), F.col("depth").alias("dv"))
+    dl = depths.select(F.col("id").alias("lca"),
+                       F.col("depth").alias("dl"))
+    return (
+        out.join(du, "u").join(dv, "v").join(dl, "lca")
+        .select("u", "v", "lca",
+                (F.col("du") + F.col("dv") - 2 * F.col("dl"))
+                .alias("tree_dist"))
+    )

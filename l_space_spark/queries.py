@@ -8715,11 +8715,18 @@ common AS (SELECT q.u, q.v, xa.a, wd.depth
            JOIN anc xa ON xa.v = q.u
            JOIN anc ya ON ya.v = q.v AND ya.a = xa.a
            JOIN walk wd ON wd.id = xa.a),
-best AS (SELECT u, v, max(depth) AS d FROM common GROUP BY u, v)
-SELECT c.u, c.v, min(c.a) AS lca
-FROM common c JOIN best b ON b.u = c.u AND b.v = c.v AND c.depth = b.d
-GROUP BY c.u, c.v
-ORDER BY c.u, c.v"""
+best AS (SELECT u, v, max(depth) AS d FROM common GROUP BY u, v),
+lcap AS (SELECT c.u, c.v, min(c.a) AS lca
+         FROM common c
+         JOIN best b ON b.u = c.u AND b.v = c.v AND c.depth = b.d
+         GROUP BY c.u, c.v)
+SELECT p.u, p.v, p.lca,
+       wu.depth + wv.depth - 2 * wl.depth AS tree_dist
+FROM lcap p
+JOIN walk wu ON wu.id = p.u
+JOIN walk wv ON wv.id = p.v
+JOIN walk wl ON wl.id = p.lca
+ORDER BY p.u, p.v"""
 
 
 @register("tree_lca_pairs", _TREE_LCA_ORACLE)

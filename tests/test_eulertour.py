@@ -211,6 +211,11 @@ def test_lca_pairs(spark):
         expect[(a, b)] = next(x for x in aa if x in bb)
 
     qdf = spark.createDataFrame(qp, "u long, v long")
-    got = {(r["u"], r["v"]): r["lca"]
+    got = {(r["u"], r["v"]): (r["lca"], r["tree_dist"])
            for r in lca_pairs(et, qdf).collect()}
-    assert got == expect
+    expect2 = {}
+    for (a, b), l in expect.items():
+        da, db, dl = (len(ancestors(a)), len(ancestors(b)),
+                      len(ancestors(l)))
+        expect2[(a, b)] = (l, da + db - 2 * dl)
+    assert got == expect2
