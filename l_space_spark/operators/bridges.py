@@ -96,8 +96,12 @@ def spanning_tour(
         )
     ).select("u", "v")
 
+    # components over the FOREST, not the full graph: identical labels
+    # (a spanning forest preserves connectivity and covers every vertex
+    # of canon — no isolated vertices survive _canon), |V|-1 edges
+    # instead of |E| through the O(log V) star-contraction rounds
     cc = connected_components_star(
-        spark, canon.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        spark, tree.select(F.col("u").alias("src"), F.col("v").alias("dst")),
         num_partitions=num_partitions, resume=False,
     ).state
     return euler_tour(spark, tree, cc, num_partitions,
