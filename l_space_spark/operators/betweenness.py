@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..plans.ckpt import strip_plan_stats
+
 from ..functions.text import hash60
 
 E9 = 1_000_000_000
@@ -79,9 +81,9 @@ def _brandes_passes(
     # forward: levels[l] = (s, v, sigma) at exact hop distance l
     f = sources.select("s", F.col("s").alias("v"),
                        F.lit(1).cast("long").alias("sigma"))
-    f = f.localCheckpoint(eager=True)
+    f = f.localCheckpoint(eager=True).transform(strip_plan_stats)
     levels = [f]
-    visited = f.select("s", "v").localCheckpoint(eager=True)
+    visited = f.select("s", "v").localCheckpoint(eager=True).transform(strip_plan_stats)
     for _ in range(max_depth):
         cand = (
             f.hint("shuffle_hash").join(e, f["v"] == e["src"])
@@ -95,13 +97,13 @@ def _brandes_passes(
                 "anti",
             )
             .select("s", F.col("nv").alias("v"), "sigma")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True).transform(strip_plan_stats)
         )
         if f.isEmpty():
             break
         levels.append(f)
         visited = visited.unionByName(f.select("s", "v")) \
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True).transform(strip_plan_stats)
 
     # backward: delta in e9 fixed point, deepest level contributes 0
     deltas: list = [None] * len(levels)
@@ -143,7 +145,7 @@ def _brandes_passes(
             levels[l].join(terms, ["s", "v"], "left")
             .select("s", "v",
                     F.coalesce("dsum", F.lit(0)).cast("long").alias("delta"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True).transform(strip_plan_stats)
         )
     return levels, deltas, edge_terms
 
@@ -169,7 +171,7 @@ def betweenness_sampled(
     try:
         verts = edges.select(F.col("src").alias("id")).unionByName(
             edges.select(F.col("dst").alias("id"))
-        ).distinct().localCheckpoint(eager=True)
+        ).distinct().localCheckpoint(eager=True).transform(strip_plan_stats)
 
         _, deltas, _ = _brandes_passes(e, n_sources, max_depth, seed)
 
@@ -182,7 +184,7 @@ def betweenness_sampled(
         bc = contrib.groupBy("v").agg(F.sum("delta").alias("bc_e9"))
         out = verts.join(bc, verts["id"] == bc["v"], "left").select(
             "id", F.coalesce("bc_e9", F.lit(0)).cast("long").alias("bc_e9")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True).transform(strip_plan_stats)
         return out
     finally:
         e.unpersist()
@@ -223,7 +225,7 @@ def edge_betweenness_sampled(
         if contrib is None:
             return e.select(
                 "src", "dst", F.lit(0).cast("long").alias("ebc_e9")
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=True).transform(strip_plan_stats)
         ebc = contrib.groupBy("a", "b").agg(
             F.sum("term").cast("long").alias("ebc_e9")
         )
@@ -232,7 +234,7 @@ def edge_betweenness_sampled(
         ).select(
             "src", "dst",
             F.coalesce("ebc_e9", F.lit(0)).cast("long").alias("ebc_e9"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True).transform(strip_plan_stats)
         return out
     finally:
         e.unpersist()

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.ckpt import strip_plan_stats
+
 from .scc import _propagate_min, strongly_connected_components
 
 
@@ -68,7 +70,7 @@ def bowtie_classes(
         links.select(F.col("src").alias("id"))
         .union(links.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True).transform(strip_plan_stats)
     )
 
     if verts.limit(1).count() == 0:  # self-loop-only / empty input
@@ -97,13 +99,13 @@ def bowtie_classes(
             # re-plans + explain-string building blew the driver heap on the
             # un-truncated version at sf0.01)
             return (out.where(F.col("lab") == 0).select("id")
-                    .localCheckpoint(eager=True))
+                    .localCheckpoint(eager=True).transform(strip_plan_stats))
 
-        core = core.localCheckpoint(eager=True)
+        core = core.localCheckpoint(eager=True).transform(strip_plan_stats)
         fwd = reached(core, "src", "dst")          # core ∪ out
         bwd = reached(core, "dst", "src")          # core ∪ in
-        out_set = fwd.join(core, "id", "anti").localCheckpoint(eager=True)
-        in_set = bwd.join(core, "id", "anti").localCheckpoint(eager=True)
+        out_set = fwd.join(core, "id", "anti").localCheckpoint(eager=True).transform(strip_plan_stats)
+        in_set = bwd.join(core, "id", "anti").localCheckpoint(eager=True).transform(strip_plan_stats)
         from_in = reached(in_set, "src", "dst")    # in ∪ reachable-from-in
         to_out = reached(out_set, "dst", "src")    # out ∪ reaches-out
     finally:

@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.ckpt import strip_plan_stats
+
 
 def quantize_vectors(
     df: DataFrame, id_col: str, vec_col: str, scale: int = 1_000_000
@@ -127,9 +129,9 @@ def _lloyd_with_model(
                         lambda s: s["m"],
                     ).alias("cv")
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=True).transform(strip_plan_stats)
             )
-    return assign.localCheckpoint(eager=True), cents
+    return assign.localCheckpoint(eager=True).transform(strip_plan_stats), cents
 
 
 def cluster_sizes(assignment: DataFrame) -> DataFrame:
@@ -240,7 +242,7 @@ def pq_adc_topk(
         # dtab still derives from pts: checkpoint it (Q·k rows, eager)
         # BEFORE releasing the cache, or the final action re-runs the
         # slice+quantize scan once per subspace through the cold lineage
-        dtab = dtab.localCheckpoint(eager=True)
+        dtab = dtab.localCheckpoint(eager=True).transform(strip_plan_stats)
         part = assign.select("id", "c").join(dtab, "c").select(
             "qid", "id", F.col("d2").alias("d2m")
         )

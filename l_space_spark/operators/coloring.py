@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.ckpt import strip_plan_stats
+
 from ..functions.text import hash60
 from ..plans.superstep import SuperstepResult, SuperstepRunner
 from .components import undirect
@@ -80,7 +82,7 @@ def greedy_coloring(
     def step(state: DataFrame, i: int) -> DataFrame:
         unc = state.where(F.col("color").isNull()).select(
             "id", pr(F.col("id")).alias("p")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True).transform(strip_plan_stats)
         # pass 1: max uncolored-neighbor priority → readiness
         nbr_max = (
             unc.hint("shuffle_hash")

@@ -49,6 +49,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.ckpt import strip_plan_stats
+
 from ..plans.superstep import SuperstepResult, SuperstepRunner
 
 
@@ -202,7 +204,7 @@ def densest_subgraph(
         # rebuild the full trace by re-peeling from e0 — deterministic,
         # O(log V) rounds, stats-only
         trace = {}
-        st = init.localCheckpoint(eager=True)
+        st = init.localCheckpoint(eager=True).transform(strip_plan_stats)
         i = 0
         while i < max_rounds:
             nv, ne = _stat(st)
@@ -214,7 +216,7 @@ def densest_subgraph(
                     F.col("d") * F.lit(nv * eps_den)
                     > F.lit(eps_num * 2 * ne)
                 ).select("v")
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=True).transform(strip_plan_stats)
             i += 1
 
     rounds = [(i, *trace[i]) for i in sorted(trace)]

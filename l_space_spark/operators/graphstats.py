@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.ckpt import strip_plan_stats
+
 from .components import undirect
 
 
@@ -221,7 +223,7 @@ def k4_count(edges: DataFrame) -> DataFrame:
     """
     from .triangles import _oriented
 
-    o = _oriented(edges).localCheckpoint(eager=True)
+    o = _oriented(edges).localCheckpoint(eager=True).transform(strip_plan_stats)
     # triangle enumeration, keeping the z-corner's rank components so
     # the pair join below can order z1 < z2 by the SAME rank the
     # orientation used (deg first, id tiebreak)
@@ -237,7 +239,7 @@ def k4_count(edges: DataFrame) -> DataFrame:
         e1.join(e2, "u").where(rank_lt)
         .join(closing, ["v", "w"], "left_semi")
         .select("u", "v", "w", "deg_w")
-        .localCheckpoint(eager=True)  # both sides of the prefix join
+        .localCheckpoint(eager=True).transform(strip_plan_stats)  # both sides of the prefix join
     )
     t1 = tri.select("u", "v", F.col("w").alias("z1"),
                     F.col("deg_w").alias("deg_z1"))

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.ckpt import strip_plan_stats
+
 from ..plans.superstep import SuperstepResult, SuperstepRunner
 from .triangles import _canonical, _oriented, _triangles_of
 
@@ -87,7 +89,7 @@ def ktruss(
             edge_support(state, oriented=o)
             .where(F.col("support") >= k - 2)
             .select("a", "b")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True).transform(strip_plan_stats)
         )
         o.unpersist()
         return new

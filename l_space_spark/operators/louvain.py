@@ -57,6 +57,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.ckpt import strip_plan_stats
+
 from ..plans.superstep import SuperstepResult, SuperstepRunner
 from .components import undirect
 
@@ -420,7 +422,7 @@ def refine_communities(
             par.select("id")
             .join(degs.select("id"), "id", "left_anti")
             .select("id", F.col("id").cast("long").alias("com"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True).transform(strip_plan_stats)
         )
         result = runner.run(
             init, step, metric_fn=None if fixed_iters else moved,

@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.ckpt import strip_plan_stats
+
 from ..functions.text import hash60
 from ..plans.superstep import SuperstepResult, SuperstepRunner
 
@@ -85,7 +87,7 @@ def maximal_matching(
         # localCheckpoint: ``live`` feeds the endpoint explode, two
         # dominance joins, and two anti-joins — five plan references;
         # left lazy each would recompute the upstream state filter
-        live = state.where(F.col("st") == 0).localCheckpoint(eager=True)
+        live = state.where(F.col("st") == 0).localCheckpoint(eager=True).transform(strip_plan_stats)
         ends = live.select(F.col("a").alias("v"), "pri", "a", "b").unionByName(
             live.select(F.col("b").alias("v"), "pri", "a", "b")
         )
@@ -106,7 +108,7 @@ def maximal_matching(
             winners.join(best.hint("shuffle_hash"), winners["b"] == best["v"])
             .where(F.col("be") == edge_key)
             .select("a", "b", "pri")
-            .localCheckpoint(eager=True)  # read by taken + the union below
+            .localCheckpoint(eager=True).transform(strip_plan_stats)  # read by taken + the union below
         )
         taken = (
             winners.select(F.col("a").alias("v"))

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.ckpt import strip_plan_stats
+
 from ..functions.text import hash60
 from ..plans.superstep import SuperstepResult, SuperstepRunner
 from .components import undirect
@@ -77,7 +79,7 @@ def maximal_independent_set(
                     F.col("id").cast("string"),
                 )
             ).alias("p"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True).transform(strip_plan_stats)
 
         # pass 1: min priority among ACTIVE neighbors
         msgs = (
@@ -91,7 +93,7 @@ def maximal_independent_set(
                      act["id"] == msgs["dst"], "left")
             .where(F.col("np").isNull() | (F.col("p") < F.col("np")))
             .select(act["id"])
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True).transform(strip_plan_stats)
         )
         # pass 2: active neighbors of winners drop out
         excluded = (

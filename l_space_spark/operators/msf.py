@@ -39,6 +39,8 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.ckpt import strip_plan_stats
+
 from ..plans.superstep import SuperstepResult, SuperstepRunner
 
 
@@ -81,7 +83,7 @@ def _collapse_roots(par: DataFrame, n_components: int) -> DataFrame:
         )
     )
     for _ in range(max(1, math.ceil(math.log2(max(2, n_components))))):
-        par = par.localCheckpoint(eager=True)
+        par = par.localCheckpoint(eager=True).transform(strip_plan_stats)
         a, b = par.alias("a"), par.alias("b")
         par = a.join(b, F.col("a.par") == F.col("b.c")).select(
             F.col("a.c").alias("c"), F.col("b.par").alias("par")
@@ -183,7 +185,7 @@ def minimum_spanning_forest(
         # materialize BEFORE releasing sel (the runner's own checkpoint
         # of an already-cached frame is a cheap cached scan)
         out = frozen.unionByName(chosen).unionByName(survivors) \
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True).transform(strip_plan_stats)
         sel.unpersist()
         return out
 

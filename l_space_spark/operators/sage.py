@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..plans.ckpt import strip_plan_stats
+
 from ..functions.text import hash60
 
 
@@ -87,7 +89,7 @@ def khop_fanout_sample(
             .withColumn("__r2", F.row_number().over(w2))
             .where(F.col("__r2") <= fan)
             .select("seed", F.lit(h).alias("hop"), "src", "dst")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True).transform(strip_plan_stats)
         )
         layers.append(kept)
         if h < len(fanouts):

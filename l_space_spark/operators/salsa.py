@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.ckpt import strip_plan_stats
+
 from ..plans.superstep import SuperstepResult, SuperstepRunner
 
 
@@ -81,7 +83,7 @@ def salsa(
     if na == 0:  # no edges at all (nh == 0 too)
         state = vertices.select(
             "id", F.lit(0.0).alias("hub"), F.lit(0.0).alias("auth")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True).transform(strip_plan_stats)
         links.unpersist()
         vertices.unpersist()
         return SuperstepResult(state, 0, True, [], [])

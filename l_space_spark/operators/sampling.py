@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..plans.ckpt import strip_plan_stats
+
 from ..functions.text import hash60
 
 
@@ -198,7 +200,7 @@ def negative_samples(
     cum = exclusive_prefix_sum(
         weights.select(F.col("id").cast("long"), F.col("w").cast("long")),
         "id", "w", out_col="lo",
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True).transform(strip_plan_stats)
     total = cum.agg(F.sum("w")).collect()[0][0]
     if not total:
         return spark.createDataFrame(

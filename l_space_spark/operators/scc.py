@@ -45,6 +45,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.ckpt import strip_plan_stats
+
 from ..plans.superstep import SuperstepResult, SuperstepRunner
 
 
@@ -62,7 +64,7 @@ def _propagate_min(
     orientation is ``from_col -> to_col``. Runs until no label changes
     (diameter-bounded) or ``max_iters``.
     """
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True).transform(strip_plan_stats)
     for _ in range(max_iters):
         msgs = (
             labels.hint("shuffle_hash")
@@ -82,7 +84,7 @@ def _propagate_min(
                     F.col("lab"), F.coalesce("nbr_min", F.col("lab"))
                 ).alias("lab"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True).transform(strip_plan_stats)
         )
         changed = (
             new.alias("n")
@@ -153,7 +155,7 @@ def strongly_connected_components(
         # surviving out-edge is on no cycle => singleton SCC. Iterating
         # dissolves whole DAG regions in one outer round (each pass is
         # two distinct+semi-join jobs on the shrinking edge slice).
-        core = active.localCheckpoint(eager=True)
+        core = active.localCheckpoint(eager=True).transform(strip_plan_stats)
         e_core = e_act
         n_core = core.count()
         for _ in range(inner_max_iters):
@@ -166,7 +168,7 @@ def strongly_connected_components(
                     has_out.withColumnRenamed("src", "id"), "id", "semi"
                 )
                 .join(has_in.withColumnRenamed("dst", "id"), "id", "semi")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=True).transform(strip_plan_stats)
             )
             n_nxt = nxt.count()
             if n_nxt == n_core:
@@ -182,7 +184,7 @@ def strongly_connected_components(
                     nxt.withColumnRenamed("id", "src"), "src", "semi"
                 )
                 .join(nxt.withColumnRenamed("id", "dst"), "dst", "semi")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=True).transform(strip_plan_stats)
             )
             # checkpointed slices have no CacheManager entry to unpersist;
             # rebinding e_core drops the only reference, so each pass's
@@ -216,7 +218,7 @@ def strongly_connected_components(
                 F.when(F.col("f") == F.col("b"), F.col("f")).alias("scc"),
             )
         )
-        new_state = new_state.localCheckpoint(eager=True)
+        new_state = new_state.localCheckpoint(eager=True).transform(strip_plan_stats)
         e_fwd.unpersist()
         e_bwd.unpersist()
         e_act.unpersist()  # e_core is either e_act or checkpoint-backed

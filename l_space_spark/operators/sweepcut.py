@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..plans.ckpt import strip_plan_stats
+
 from .components import undirect
 from .pagerank import pagerank
 
@@ -129,7 +131,7 @@ def ppr_sweep_cut(
                        "total_vol - volume)) div (2 * least(volume, "
                        "total_vol - volume))"
                    )).cast("long").alias("phi_e6"),
-        ).orderBy("pos").localCheckpoint(eager=True)
+        ).orderBy("pos").localCheckpoint(eager=True).transform(strip_plan_stats)
     finally:
         und.unpersist()
         if topk is not None:

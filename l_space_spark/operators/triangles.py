@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.ckpt import strip_plan_stats
+
 
 def _canonical(edges: DataFrame) -> DataFrame:
     return (
@@ -150,6 +152,6 @@ def clustering_coefficient(spark: SparkSession, edges: DataFrame) -> DataFrame:
         "degree",
         F.coalesce("triangles", F.lit(0)).alias("triangles"),
         F.floor(lcc * F.lit(1e6) + F.lit(0.5)).cast("long").alias("lcc_e6"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True).transform(strip_plan_stats)
     canon.unpersist()
     return out

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.ckpt import strip_plan_stats
+
 from ..plans.superstep import SuperstepResult, SuperstepRunner
 from .hindex import h_index_by
 from .ktruss import edge_support
@@ -72,7 +74,7 @@ def trussness(
     o.unpersist()
 
     def step(state: DataFrame, i: int) -> DataFrame:
-        v = state.localCheckpoint(eager=True)
+        v = state.localCheckpoint(eager=True).transform(strip_plan_stats)
 
         def side(pa: str, pb: str, alias: str) -> DataFrame:
             return v.select(

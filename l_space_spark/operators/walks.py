@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.ckpt import strip_plan_stats
+
 from ..functions.text import hash60
 
 
@@ -77,7 +79,7 @@ def random_walks(
         ).distinct()
     else:
         starts = starts.select("id").distinct()
-    starts = starts.localCheckpoint(eager=True)
+    starts = starts.localCheckpoint(eager=True).transform(strip_plan_stats)
 
     frontier = starts.select(
         "id", F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("r")
@@ -111,7 +113,7 @@ def random_walks(
             cand.groupBy("start", "r")
             .agg(F.min(F.struct("h", "dst")).alias("m"))
             .select("start", "r", F.col("m.dst").alias("cur"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True).transform(strip_plan_stats)
         )
         steps.append(
             frontier.select(
@@ -164,7 +166,7 @@ def biased_walks(
         ).distinct()
     else:
         starts = starts.select("id").distinct()
-    starts = starts.localCheckpoint(eager=True)
+    starts = starts.localCheckpoint(eager=True).transform(strip_plan_stats)
 
     frontier = starts.select(
         "id", F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("r")
@@ -218,7 +220,7 @@ def biased_walks(
             .agg(F.min(F.struct("h", "dst", "j")).alias("m"),
                  F.first("c0").alias("prev"))
             .select("start", "r", "prev", F.col("m.dst").alias("cur"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True).transform(strip_plan_stats)
         )
         steps.append(frontier.select(
             "start", "r", F.lit(k).alias("step"), F.col("cur").alias("vertex")

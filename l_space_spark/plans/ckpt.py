@@ -41,17 +41,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def reset_stats_checkpoint(df: DataFrame) -> DataFrame:
-    """Eager ``localCheckpoint`` that also cuts the inherited Catalyst
-    size-estimate chain (module doc). Use for ANY state that a loop
-    re-joins against itself; harmless elsewhere."""
+def strip_plan_stats(df: DataFrame) -> DataFrame:
+    """Drop the inherited Catalyst size-estimate chain from an ALREADY
+    materialized (checkpointed/cached) frame by rebuilding it over its
+    row RDD — same blocks, same rows, fresh default stats. Chain it
+    after an in-loop checkpoint:
+    ``df.localCheckpoint(eager=True).transform(strip_plan_stats)``."""
     spark = df.sparkSession
-    ck = df.localCheckpoint(eager=True)
     try:
-        jdf = ck._jdf
+        jdf = df._jdf
         jdf2 = spark._jsparkSession.internalCreateDataFrame(
             jdf.queryExecution().toRdd(), jdf.schema(), False
         )
         return DataFrame(jdf2, spark)
     except Exception:  # private-API drift: keep correctness, lose speed
-        return ck
+        return df
+
+
+def reset_stats_checkpoint(df: DataFrame) -> DataFrame:
+    """Eager ``localCheckpoint`` that also cuts the inherited Catalyst
+    size-estimate chain (module doc). Use for ANY state that a loop
+    re-joins against itself; harmless elsewhere."""
+    return strip_plan_stats(df.localCheckpoint(eager=True))

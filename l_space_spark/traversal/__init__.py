@@ -49,6 +49,8 @@ from typing import Any, Callable, Iterable
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.ckpt import strip_plan_stats
+
 from ..functions.predicates import P, Pred, operand_family  # noqa: F401
 
 FOCUS = ["_kind", "_id", "_str", "_dbl", "_lng", "_dt"]
@@ -989,7 +991,7 @@ class Traversal:
                     F.col("_id"),
                 )
                 nxt = nxt.where((F.col("_kind") != "node") | ~dup)
-            nxt = nxt.localCheckpoint(eager=True)
+            nxt = nxt.localCheckpoint(eager=True).transform(strip_plan_stats)
             if until is not None:
                 t = Traversal(self.graph, nxt, self.scope)._tagged()
                 sat = t._apply_sub(until).select("_tid").distinct()
