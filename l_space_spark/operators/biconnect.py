@@ -84,7 +84,8 @@ def _blocks_internal(
     et = spanning_tour(spark, canon, num_partitions,
                        max_rounds=max_rounds)
     iv = et.intervals
-    children = reset_stats_checkpoint(iv.where(F.col("parent") >= 0))
+    children = reset_stats_checkpoint(
+        iv.where(F.col("parent").isNotNull()))
 
     tree_edges = children.select(
         F.least("parent", "id").alias("a"),
@@ -140,7 +141,7 @@ def _blocks_internal(
         children.select(F.col("id").alias("c"),
                         F.col("parent").alias("p"), "first", "last")
         .join(ivp, "p")
-        .where(F.col("pp") >= 0)
+        .where(F.col("pp").isNotNull())
     )
     scored = range_minmax_query(cand, tall, first_col="first",
                                 last_col="last")

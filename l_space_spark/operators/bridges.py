@@ -123,7 +123,7 @@ def bridges(
     try:
         et = spanning_tour(spark, canon, num_partitions,
                            max_rounds=max_rounds)
-        children = et.intervals.where(F.col("parent") >= 0)
+        children = et.intervals.where(F.col("parent").isNotNull())
         tree_edges = children.select(
             F.least("parent", "id").alias("a"),
             F.greatest("parent", "id").alias("b"),

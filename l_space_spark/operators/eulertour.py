@@ -59,7 +59,8 @@ NEUTRAL_HI = -(1 << 62)
 @dataclass(frozen=True)
 class EulerTour:
     """``intervals``: one row per vertex ``(id, parent, first, last)``
-    — ``parent = -1`` for roots; a root's interval is its component's
+    — ``parent`` NULL for roots (NOT a sentinel id: any long, including
+    negatives, is a legal vertex); a root's interval is its component's
     whole segment widened by one virtual slot on the left
     (``[segstart-1, segend]``) so containment tests stay strict.
     ``arcs``: one row per tree arc ``(s, d, gpos)`` with the global
@@ -154,7 +155,7 @@ def euler_tour(
     total = state.count()
     if total == 0:
         empty_iv = cc.where(F.col("id") == F.col("component")).select(
-            "id", F.lit(-1).cast("long").alias("parent"),
+            "id", F.lit(None).cast("long").alias("parent"),
             F.lit(-1).cast("long").alias("first"),
             F.lit(-1).cast("long").alias("last"),
         )
@@ -229,7 +230,7 @@ def euler_tour(
         .join(comps.select(F.col("comp").alias("id"), "complen", "segoff"),
               "id", "left")
         .select(
-            "id", F.lit(-1).cast("long").alias("parent"),
+            "id", F.lit(None).cast("long").alias("parent"),
             (F.coalesce(F.col("segoff"), F.lit(0)) - F.lit(1))
             .alias("first"),
             (F.coalesce(F.col("segoff"), F.lit(0))
@@ -292,42 +293,85 @@ def tour_prefix_xor(
     )
 
 
-def tour_range_minmax(
+def _sparse_table(
     placed: DataFrame,
     total: int,
+    lanes: list,
 ) -> tuple[DataFrame, int]:
-    """Doubling sparse table for range-min/range-max over tour order.
-
-    ``placed(gpos, lo, hi)`` must cover every position 0..total-1
-    (``NEUTRAL_LO``/``NEUTRAL_HI`` where nothing is placed). Returns
-    ``(tall, levels)``: ``tall(k, pos, lo, hi)`` aggregates the window
-    ``[pos, pos + 2^k)`` for k = 0..levels. O(total·levels) rows built
-    in ``levels`` equi-join rounds — no sorts, no windows."""
+    """Shared doubling sparse-table builder: ``lanes`` is a list of
+    ``(col, combine, neutral)`` where combine is ``F.least`` or
+    ``F.greatest`` and neutral a Column literal that combine ignores.
+    ``placed(gpos, <lane cols>)`` must cover every position
+    0..total-1. Returns ``(tall, levels)``: ``tall(k, pos, <lanes>)``
+    aggregates the window ``[pos, pos + 2^k)`` for k = 0..levels —
+    O(total·levels) rows built in ``levels`` equi-join rounds, no
+    sorts, no windows."""
     levels = max(0, (max(total, 1)).bit_length() - 1)  # floor(log2)
     cur = reset_stats_checkpoint(
-        placed.select(F.col("gpos").alias("pos"), "lo", "hi"))
+        placed.select(F.col("gpos").alias("pos"),
+                      *[c for c, _, _ in lanes]))
     tall = cur.withColumn("k", F.lit(0).cast("int"))
     for k in range(1, levels + 1):
         half = 1 << (k - 1)
         shifted = cur.select(
             (F.col("pos") - F.lit(half)).alias("pos"),
-            F.col("lo").alias("lo2"), F.col("hi").alias("hi2"),
+            *[F.col(c).alias(c + "2") for c, _, _ in lanes],
         )
-        cur = (
-            cur.join(shifted, "pos", "left")
-            .select(
-                "pos",
-                F.least(F.col("lo"),
-                        F.coalesce(F.col("lo2"), F.lit(NEUTRAL_LO)))
-                .alias("lo"),
-                F.greatest(F.col("hi"),
-                           F.coalesce(F.col("hi2"), F.lit(NEUTRAL_HI)))
-                .alias("hi"),
-            )
+        cur = cur.join(shifted, "pos", "left").select(
+            "pos",
+            *[fn(F.col(c), F.coalesce(F.col(c + "2"), neutral)).alias(c)
+              for c, fn, neutral in lanes],
         )
         cur = reset_stats_checkpoint(cur)
         tall = tall.unionByName(cur.withColumn("k", F.lit(k).cast("int")))
     return tall, levels
+
+
+def _sparse_query(
+    queries: DataFrame,
+    tall: DataFrame,
+    lanes: list,
+    first_col: str,
+    last_col: str,
+) -> DataFrame:
+    """Shared two-window range query against a ``_sparse_table``:
+    ``lanes`` is ``(col, combine, out_col)``; annotates ``queries``
+    (which carry inclusive bigint positions in ``first_col`` /
+    ``last_col``, len >= 1) with each lane's range aggregate — the
+    standard two overlapping 2^k windows, k = floor(log2(len)), two
+    equi-joins on (k, pos)."""
+    length = F.col(last_col) - F.col(first_col) + F.lit(1)
+    q = queries.withColumn("_qk", _floor_log2(length)).withColumn(
+        "_p2", F.expr("shiftleft(1L, _qk)")
+    )
+    t1 = tall.select(F.col("k").alias("_k1"), F.col("pos").alias("_pos1"),
+                     *[F.col(c).alias("_" + c + "1") for c, _, _ in lanes])
+    t2 = tall.select(F.col("k").alias("_k2"), F.col("pos").alias("_pos2"),
+                     *[F.col(c).alias("_" + c + "2") for c, _, _ in lanes])
+    out = (
+        q.join(t1, (F.col("_qk") == F.col("_k1"))
+               & (F.col(first_col) == F.col("_pos1")))
+        .join(t2, (F.col("_qk") == F.col("_k2"))
+              & (F.col(last_col) - F.col("_p2") + F.lit(1)
+                 == F.col("_pos2")))
+    )
+    for c, fn, out_col in lanes:
+        out = out.withColumn(out_col, fn("_" + c + "1", "_" + c + "2"))
+    return out.drop("_qk", "_p2", "_k1", "_k2", "_pos1", "_pos2",
+                    *["_" + c + i for c, _, _ in lanes for i in "12"])
+
+
+def tour_range_minmax(
+    placed: DataFrame,
+    total: int,
+) -> tuple[DataFrame, int]:
+    """Range-min/max sparse table over tour order:
+    ``placed(gpos, lo, hi)`` with ``NEUTRAL_LO``/``NEUTRAL_HI`` at
+    empty positions → ``tall(k, pos, lo, hi)`` (see _sparse_table)."""
+    return _sparse_table(placed, total, [
+        ("lo", F.least, F.lit(NEUTRAL_LO)),
+        ("hi", F.greatest, F.lit(NEUTRAL_HI)),
+    ])
 
 
 def range_minmax_query(
@@ -336,29 +380,12 @@ def range_minmax_query(
     first_col: str = "qfirst",
     last_col: str = "qlast",
 ) -> DataFrame:
-    """Annotate ``queries`` (any schema + ``first_col``/``last_col``
-    bigint tour positions, inclusive, len >= 1) with ``range_lo`` /
-    ``range_hi`` over the sparse table: the standard two overlapping
-    2^k windows, k = floor(log2(len)) — two equi-joins on (k, pos)."""
-    length = F.col(last_col) - F.col(first_col) + F.lit(1)
-    q = queries.withColumn("_qk", _floor_log2(length)).withColumn(
-        "_p2", F.expr("shiftleft(1L, _qk)")
-    )
-    t1 = tall.select(F.col("k").alias("_k1"), F.col("pos").alias("_pos1"),
-                     F.col("lo").alias("_lo1"), F.col("hi").alias("_hi1"))
-    t2 = tall.select(F.col("k").alias("_k2"), F.col("pos").alias("_pos2"),
-                     F.col("lo").alias("_lo2"), F.col("hi").alias("_hi2"))
-    return (
-        q.join(t1, (F.col("_qk") == F.col("_k1"))
-               & (F.col(first_col) == F.col("_pos1")))
-        .join(t2, (F.col("_qk") == F.col("_k2"))
-              & (F.col(last_col) - F.col("_p2") + F.lit(1)
-                 == F.col("_pos2")))
-        .withColumn("range_lo", F.least("_lo1", "_lo2"))
-        .withColumn("range_hi", F.greatest("_hi1", "_hi2"))
-        .drop("_qk", "_p2", "_k1", "_k2", "_pos1", "_pos2", "_lo1",
-              "_lo2", "_hi1", "_hi2")
-    )
+    """Annotate ``queries`` with ``range_lo`` / ``range_hi`` over the
+    inclusive span (see _sparse_query)."""
+    return _sparse_query(queries, tall, [
+        ("lo", F.least, "range_lo"),
+        ("hi", F.greatest, "range_hi"),
+    ], first_col, last_col)
 
 
 def tree_depths(et: EulerTour) -> DataFrame:
@@ -375,15 +402,15 @@ def tree_depths(et: EulerTour) -> DataFrame:
     virtual slot."""
     iv = et.intervals.withColumn(
         "subtree_size",
-        F.expr("(last - first + 1 + if(parent < 0, 1, 0)) div 2"),
+        F.expr("(last - first + 1 + if(parent IS NULL, 1, 0)) div 2"),
     )
-    roots = iv.where(F.col("parent") < 0).select(
+    roots = iv.where(F.col("parent").isNull()).select(
         "id", "parent", F.lit(0).cast("long").alias("depth"),
         "subtree_size",
     )
     if et.total == 0:
         return roots
-    children = iv.where(F.col("parent") >= 0)
+    children = iv.where(F.col("parent").isNotNull())
     marks = children.select(F.col("first").alias("gpos"),
                             F.lit(1).alias("fw"))
     arcs_w = (
@@ -405,31 +432,12 @@ def tour_sparse_min(
     total: int,
     neutral: F.Column,
 ) -> tuple[DataFrame, int]:
-    """Doubling sparse table for range-MIN over tour order, generic in
-    the value type: ``placed(gpos, val)`` with ``val`` any Spark-
-    orderable type (longs, or structs compared lexicographically —
-    e.g. ``struct(depth, id)`` for argmin-by-depth). ``neutral`` must
-    compare greater than every real value. Same O(total·levels)-row /
-    O(log)-round shape as ``tour_range_minmax``."""
-    levels = max(0, (max(total, 1)).bit_length() - 1)
-    cur = reset_stats_checkpoint(
-        placed.select(F.col("gpos").alias("pos"), "val"))
-    tall = cur.withColumn("k", F.lit(0).cast("int"))
-    for k in range(1, levels + 1):
-        half = 1 << (k - 1)
-        shifted = cur.select((F.col("pos") - F.lit(half)).alias("pos"),
-                             F.col("val").alias("val2"))
-        cur = (
-            cur.join(shifted, "pos", "left")
-            .select(
-                "pos",
-                F.least(F.col("val"), F.coalesce(F.col("val2"), neutral))
-                .alias("val"),
-            )
-        )
-        cur = reset_stats_checkpoint(cur)
-        tall = tall.unionByName(cur.withColumn("k", F.lit(k).cast("int")))
-    return tall, levels
+    """Range-min sparse table generic in the value type:
+    ``placed(gpos, val)`` with ``val`` any Spark-orderable type (longs,
+    or structs compared lexicographically — e.g. ``struct(depth, id)``
+    for argmin-by-depth); ``neutral`` must compare greater than every
+    real value (see _sparse_table)."""
+    return _sparse_table(placed, total, [("val", F.least, neutral)])
 
 
 def sparse_min_query(
@@ -439,27 +447,10 @@ def sparse_min_query(
     last_col: str = "qlast",
     out_col: str = "range_val",
 ) -> DataFrame:
-    """Annotate ``queries`` with the range-min ``out_col`` over
-    ``[first_col, last_col]`` (inclusive, len >= 1) from a
-    ``tour_sparse_min`` table — two equi-joins on (k, pos)."""
-    length = F.col(last_col) - F.col(first_col) + F.lit(1)
-    q = queries.withColumn("_qk", _floor_log2(length)).withColumn(
-        "_p2", F.expr("shiftleft(1L, _qk)")
-    )
-    t1 = tall.select(F.col("k").alias("_k1"), F.col("pos").alias("_pos1"),
-                     F.col("val").alias("_val1"))
-    t2 = tall.select(F.col("k").alias("_k2"), F.col("pos").alias("_pos2"),
-                     F.col("val").alias("_val2"))
-    return (
-        q.join(t1, (F.col("_qk") == F.col("_k1"))
-               & (F.col(first_col) == F.col("_pos1")))
-        .join(t2, (F.col("_qk") == F.col("_k2"))
-              & (F.col(last_col) - F.col("_p2") + F.lit(1)
-                 == F.col("_pos2")))
-        .withColumn(out_col, F.least("_val1", "_val2"))
-        .drop("_qk", "_p2", "_k1", "_k2", "_pos1", "_pos2", "_val1",
-              "_val2")
-    )
+    """Annotate ``queries`` with the range-min ``out_col`` over the
+    inclusive span (see _sparse_query)."""
+    return _sparse_query(queries, tall, [("val", F.least, out_col)],
+                         first_col, last_col)
 
 
 def lca_pairs(
@@ -481,7 +472,9 @@ def lca_pairs(
     p). Cross-component pairs are the CALLER's precondition — they
     would read a range spanning unrelated segments; filter them with
     component labels first (the catalog entry does)."""
-    depths = tree_depths(et)
+    # checkpoint: du/dv/dl below reference this three more times — a
+    # lazy plan would re-run the prefix-sum pipeline per reference
+    depths = reset_stats_checkpoint(tree_depths(et))
     heads = (
         et.arcs.join(
             depths.select(F.col("id").alias("d"),

@@ -8607,13 +8607,61 @@ def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
+def _mod_spanning_tour(spark: SparkSession, sf_dir: str):
+    """(EulerTour, cc) of the hashed mod graph under the SAME
+    deterministic (w, u, v) weights as ``msf_edges`` — the forest the
+    ``_TREE_WALK_CTES`` oracles reproduce. Shared by the
+    spanning_tree_depths and tree_lca_pairs entries so the weight tag /
+    canonicalization cannot drift between them."""
+    from .operators.components import connected_components_star
+    from .operators.eulertour import euler_tour
+    from .operators.msf import forest_edges, minimum_spanning_forest
+
+    parts = _small_graph_parts(spark)
+    pairs = (
+        mod_edges(spark, sf_dir)
+        .where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("u"),
+                F.greatest("src", "dst").alias("v"))
+        .distinct()
+    )
+    weighted = pairs.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"),
+        hash60(
+            F.concat(F.lit("mw:"), F.col("u").cast("string"), F.lit(":"),
+                     F.col("v").cast("string"))
+        ).alias("w"),
+    )
+    tree = forest_edges(
+        minimum_spanning_forest(spark, weighted, num_partitions=parts,
+                                resume=False)
+    ).select("u", "v")
+    cc = connected_components_star(
+        spark, pairs.select(F.col("u").alias("src"),
+                            F.col("v").alias("dst")),
+        num_partitions=parts, resume=False,
+    ).state
+    return euler_tour(spark, tree, cc, parts), cc
+
+
+def _replace_or_raise(base: str, old: str, new: str) -> str:
+    """String surgery for derived oracle SQL that FAILS AT IMPORT if the
+    target drifts — a silent no-op .replace would ship malformed SQL
+    discovered only when the oracle runs."""
+    if old not in base:
+        raise AssertionError(
+            f"oracle template drift: {old[:60]!r}... not found"
+        )
+    return base.replace(old, new)
+
+
 # Shared CTE chain for the spanning-forest structure oracles: the
 # msf_edges minimax forest, its undirected closure, components, the
 # rooted parent/depth walk, and the descendant (ancestor-chain) table.
 # Each oracle appends its own final SELECT.
-_TREE_WALK_CTES = (
-    _msf_oracle(MOD_EDGES_SQL, MSF_DOUBLINGS)
-    .replace(
+_TREE_WALK_CTES = _replace_or_raise(
+    _replace_or_raise(
+        _msf_oracle(MOD_EDGES_SQL, MSF_DOUBLINGS),
         f"SELECT k.u, k.v, k.w FROM k JOIN r{MSF_DOUBLINGS} r"
         " ON r.a = k.u AND r.b = k.v AND r.wk = k.wk ORDER BY k.u, k.v",
         f""",
@@ -8642,10 +8690,10 @@ anc(v, a) AS (
   SELECT anc.v, w.parent FROM anc JOIN walk w ON w.id = anc.a
   WHERE w.parent <> -1
 )""",
-    )
+    ),
     # the msf oracle has no WITH RECURSIVE (pure doubling); the CTEs
     # above need it
-    .replace("WITH e0 AS MATERIALIZED", "WITH RECURSIVE e0 AS MATERIALIZED")
+    "WITH e0 AS MATERIALIZED", "WITH RECURSIVE e0 AS MATERIALIZED",
 )
 
 _TREE_DEPTH_ORACLE = _TREE_WALK_CTES + """
@@ -8670,36 +8718,16 @@ def q_spanning_tree_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     and subtree_size is FREE from the preorder interval length
     ((last-first+1) div 2, +1 virtual slot at roots). Oracle: recursive
     walk + ancestor-chain descendant counts."""
-    from .operators.components import connected_components_star
-    from .operators.eulertour import euler_tour, tree_depths
-    from .operators.msf import forest_edges, minimum_spanning_forest
+    from .operators.eulertour import tree_depths
 
-    parts = _small_graph_parts(spark)
-    pairs = (
-        mod_edges(spark, sf_dir)
-        .where(F.col("src") != F.col("dst"))
-        .select(F.least("src", "dst").alias("u"),
-                F.greatest("src", "dst").alias("v"))
-        .distinct()
-    )
-    weighted = pairs.select(
-        F.col("u").alias("src"), F.col("v").alias("dst"),
-        hash60(
-            F.concat(F.lit("mw:"), F.col("u").cast("string"), F.lit(":"),
-                     F.col("v").cast("string"))
-        ).alias("w"),
-    )
-    tree = forest_edges(
-        minimum_spanning_forest(spark, weighted, num_partitions=parts,
-                                resume=False)
-    ).select("u", "v")
-    cc = connected_components_star(
-        spark, pairs.select(F.col("u").alias("src"),
-                            F.col("v").alias("dst")),
-        num_partitions=parts, resume=False,
-    ).state
-    et = euler_tour(spark, tree, cc, parts)
-    return tree_depths(et).orderBy("id")
+    et, _ = _mod_spanning_tour(spark, sf_dir)
+    d = tree_depths(et)
+    # roots carry NULL parent internally (any long is a legal vertex
+    # id); the oracle's walk emits -1, so map at the boundary
+    return d.select(
+        "id", F.coalesce("parent", F.lit(-1)).alias("parent"),
+        "depth", "subtree_size",
+    ).orderBy("id")
 
 
 _TREE_LCA_ORACLE = _TREE_WALK_CTES + """,
@@ -8739,36 +8767,9 @@ def q_tree_lca_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     between the two first-entries, answered from a doubling sparse
     table in two equi-joins per pair. Oracle: ancestor chains over the
     minimax-reproduced forest, deepest common ancestor per pair."""
-    from .operators.components import connected_components_star
-    from .operators.eulertour import euler_tour, lca_pairs
-    from .operators.msf import forest_edges, minimum_spanning_forest
+    from .operators.eulertour import lca_pairs
 
-    parts = _small_graph_parts(spark)
-    pairs = (
-        mod_edges(spark, sf_dir)
-        .where(F.col("src") != F.col("dst"))
-        .select(F.least("src", "dst").alias("u"),
-                F.greatest("src", "dst").alias("v"))
-        .distinct()
-    )
-    weighted = pairs.select(
-        F.col("u").alias("src"), F.col("v").alias("dst"),
-        hash60(
-            F.concat(F.lit("mw:"), F.col("u").cast("string"), F.lit(":"),
-                     F.col("v").cast("string"))
-        ).alias("w"),
-    )
-    tree = forest_edges(
-        minimum_spanning_forest(spark, weighted, num_partitions=parts,
-                                resume=False)
-    ).select("u", "v")
-    cc = connected_components_star(
-        spark, pairs.select(F.col("u").alias("src"),
-                            F.col("v").alias("dst")),
-        num_partitions=parts, resume=False,
-    ).state
-    et = euler_tour(spark, tree, cc, parts)
-
+    et, cc = _mod_spanning_tour(spark, sf_dir)
     small = cc.select("id", "component").orderBy("id").limit(30)
     a = small.select(F.col("id").alias("u"),
                      F.col("component").alias("comp"))

@@ -117,3 +117,13 @@ def test_jobspec_kinds(spark, tmp_path):
                            "input": {"edges_parquet": p}, "params": {}})
     got = {r["id"]: r["comp2"] for r in out2.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_negative_vertex_ids(spark):
+    # roots are NULL-parent internally, not a -1 sentinel: a graph
+    # whose component min is negative (or contains vertex -1) must
+    # report every bridge
+    pairs = [(-5, 3), (3, 7)]
+    assert _bridges(spark, pairs) == [(-5, 3), (3, 7)]
+    pairs = [(-1, 0), (0, 1), (1, -1), (1, 2)]
+    assert _bridges(spark, pairs) == [(1, 2)]

@@ -53,7 +53,7 @@ def py_tour(tree_pairs):
     sys.setrecursionlimit(100000)
     for root, comp in comps:
         pos = [off]
-        first, last, parent = {}, {}, {root: -1}
+        first, last, parent = {}, {}, {root: None}
 
         def walk(u, p):
             for w in sorted(adj[u]):
@@ -97,6 +97,9 @@ def _check(spark, tree_pairs):
 
 def test_path_star_forest(spark):
     _check(spark, [(i, i + 1) for i in range(9)])
+    # negative vertex ids: roots are NULL-parent, not a -1 sentinel —
+    # a graph containing vertex -1 (or any negative id) must still work
+    _check(spark, [(i, i + 1) for i in range(-5, 4)])
     _check(spark, [(0, i) for i in range(1, 8)])
     rng = random.Random(5)
     pairs = []
@@ -119,7 +122,7 @@ def test_folds_match_bruteforce(spark):
     rng = random.Random(9)
     pairs = [(rng.randrange(i), i) for i in range(1, n)]
     et, want = _check(spark, pairs)
-    vals = {v: (v * v + 1) for v in want if want[v][0] != -1}
+    vals = {v: (v * v + 1) for v in want if want[v][0] is not None}
 
     placed = et.arcs.select("gpos").join(
         et.arcs.sparkSession.createDataFrame(
@@ -138,14 +141,15 @@ def test_folds_match_bruteforce(spark):
             F.coalesce("hi", F.lit(NEUTRAL_HI)).alias("hi"))
     tall, _ = tour_range_minmax(placed2, et.total)
     qs = spark.createDataFrame(
-        [(c, want[c][1], want[c][2]) for c in want if want[c][0] != -1],
+        [(c, want[c][1], want[c][2]) for c in want
+         if want[c][0] is not None],
         "c long, qfirst long, qlast long")
     rmq = {r["c"]: (r["range_lo"], r["range_hi"])
            for r in range_minmax_query(qs, tall).collect()}
 
     for c in want:
         p, f, l = want[c]
-        if p == -1:
+        if p is None:
             continue
         sub = [vals[v] for v in vals if f <= want[v][1] <= l]
         expect_xor = functools.reduce(operator.xor, sub, 0)
@@ -167,7 +171,7 @@ def test_tree_depths(spark):
 
     def depth_of(v):
         d = 0
-        while want[v][0] != -1:
+        while want[v][0] is not None:
             v = want[v][0]
             d += 1
         return d
@@ -177,8 +181,8 @@ def test_tree_depths(spark):
         # count only non-root entries in the interval, +1 for the root
         f, l = want[v][1], want[v][2]
         n = sum(1 for x in want
-                if want[x][0] != -1 and f <= want[x][1] <= l)
-        return n + (1 if want[v][0] == -1 else 0)
+                if want[x][0] is not None and f <= want[x][1] <= l)
+        return n + (1 if want[v][0] is None else 0)
 
     assert got == {v: (want[v][0], depth_of(v), size_of(v))
                    for v in want}
@@ -196,7 +200,7 @@ def test_lca_pairs(spark):
 
     def ancestors(v):
         out = [v]
-        while want[v][0] != -1:
+        while want[v][0] is not None:
             v = want[v][0]
             out.append(v)
         return out
