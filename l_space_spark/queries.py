@@ -8887,11 +8887,14 @@ _DRIVER_WINDOW: list[str] = [
     # — rotate them in for r5, swapping out
     # entries that go green in CORRECTNESS_r04.
     # r5 rotation planning data (sf0.01 wall, Spark+oracle, from
-    # rehearse_driver_gate.py on round-4-final code): biconnected_components
-    # ~77-105s, bowtie_classes ~43s, salsa_top20 ~18s, node2vec_walks ~13s,
-    # eigencentrality_top20/densest/*_betweenness ~5-10s; everything else
-    # <5s. Budget the 50-slot window so its total stays comparable to
-    # r4's (~4-5 min).
+    # rehearse_driver_gate.py --all on round-4 session-5 final code —
+    # 177/177 clean, 643s total): two_edge_components 48s,
+    # biconnected_components 48s, bowtie_classes 42s, scan_roles 27s,
+    # maximal_matching 27s, build_order_levels 23s,
+    # articulation_points 20s, bridge_edges 17s,
+    # attack_robustness_curve 15s, tree_lca_pairs 14s; everything else
+    # <14s and the current 50-slot window totals 139s. Budget the r5
+    # window accordingly (~4-5 min is fine).
 ]
 
 
