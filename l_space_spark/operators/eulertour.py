@@ -522,3 +522,127 @@ def lca_pairs(
                 (F.col("du") + F.col("dv") - 2 * F.col("dl"))
                 .alias("tree_dist"))
     )
+
+
+def path_max_pairs(
+    et: EulerTour,
+    wtree: DataFrame,
+    pairs: DataFrame,
+) -> DataFrame:
+    """Maximum edge weight on the unique forest path —
+    ``(u, v, path_max)`` per SAME-COMPONENT pair in ``pairs(u, v)``.
+
+    On the minimum spanning forest this IS the minimax/bottleneck
+    distance of the underlying graph (cycle property: any non-tree
+    edge's fundamental cycle has the tree path as its lighter part), so
+    with hash weights it answers "what is the weakest link on the most
+    reliable route". ``wtree(u, v, w)`` are the forest edges with
+    weights.
+
+    Plan: binary lifting with a max carry — ``lift_k(v) = (2^k-th
+    ancestor, max edge weight on that segment)``, built by K =
+    ceil(log2(max depth)) self-joins (the pointer-doubling budget, NOT
+    O(depth) rounds); every pair then resolves through 2(K+1)
+    conditional equi-joins of the pairs table against the lift tables:
+    equalize depths, then descend the highest differing jumps, then one
+    final parent step on each side. Cross-component pairs are the
+    caller's precondition (same contract as ``lca_pairs``)."""
+    depths = reset_stats_checkpoint(tree_depths(et))
+
+    # parent-edge weight per non-root vertex (canonical key lookup)
+    wcanon = wtree.select(
+        F.least("u", "v").alias("_a"), F.greatest("u", "v").alias("_b"),
+        "w",
+    )
+    lift0 = (
+        depths.where(F.col("parent").isNotNull())
+        .select(
+            F.col("id").alias("v"), F.col("parent").alias("anc"),
+            F.least("id", "parent").alias("_a"),
+            F.greatest("id", "parent").alias("_b"),
+        )
+        .join(wcanon, ["_a", "_b"])
+        .select("v", "anc", F.col("w").alias("mx"))
+    )
+    lift0 = reset_stats_checkpoint(lift0)
+
+    max_depth = depths.agg(F.max("depth")).collect()[0][0] or 0
+    K = max(0, int(max_depth).bit_length() - 1)  # floor(log2(max_depth))
+    lifts = [lift0]
+    for _ in range(K):
+        prev = lifts[-1]
+        up = prev.select(F.col("v").alias("anc"),
+                         F.col("anc").alias("anc2"),
+                         F.col("mx").alias("mx2"))
+        nxt = (
+            prev.join(up, "anc")
+            .select("v", F.col("anc2").alias("anc"),
+                    F.greatest("mx", "mx2").alias("mx"))
+        )
+        lifts.append(reset_stats_checkpoint(nxt))
+
+    du = depths.select(F.col("id").alias("u"), F.col("depth").alias("du"))
+    dv = depths.select(F.col("id").alias("v"), F.col("depth").alias("dv"))
+    st = (
+        pairs.join(du, "u").join(dv, "v")
+        .select("u", "v", F.col("u").alias("cu"), F.col("v").alias("cv"),
+                "du", "dv", F.lit(None).cast("long").alias("mx"))
+    )
+
+    def _joined(state, k, side):
+        lk = lifts[k].select(F.col("v").alias(f"c{side}"),
+                             F.col("anc").alias(f"_a{side}"),
+                             F.col("mx").alias(f"_m{side}"))
+        return state.join(lk, f"c{side}", "left")
+
+    # phase 1: lift the deeper endpoint until depths match
+    for k in range(K, -1, -1):
+        step = F.lit(1 << k)
+        st = _joined(_joined(st, k, "u"), k, "v").select(
+            "u", "v",
+            F.when(F.col("du") - F.col("dv") >= step, F.col("_au"))
+            .otherwise(F.col("cu")).alias("cu"),
+            F.when(F.col("dv") - F.col("du") >= step, F.col("_av"))
+            .otherwise(F.col("cv")).alias("cv"),
+            F.when(F.col("du") - F.col("dv") >= step,
+                   F.col("du") - step).otherwise(F.col("du")).alias("du"),
+            F.when(F.col("dv") - F.col("du") >= step,
+                   F.col("dv") - step).otherwise(F.col("dv")).alias("dv"),
+            F.when(F.col("du") - F.col("dv") >= step,
+                   F.greatest(F.coalesce("mx", F.lit(NEUTRAL_HI)),
+                              F.col("_mu")))
+            .when(F.col("dv") - F.col("du") >= step,
+                  F.greatest(F.coalesce("mx", F.lit(NEUTRAL_HI)),
+                             F.col("_mv")))
+            .otherwise(F.col("mx")).alias("mx"),
+        )
+        st = reset_stats_checkpoint(st)
+
+    # phase 2: equal depths — descend the highest jumps that keep the
+    # endpoints apart, landing one step below the LCA
+    done = st.where(F.col("cu") == F.col("cv"))
+    live = st.where(F.col("cu") != F.col("cv"))
+    for k in range(K, -1, -1):
+        live = _joined(_joined(live, k, "u"), k, "v")
+        jump = (F.col("_au").isNotNull() & F.col("_av").isNotNull()
+                & (F.col("_au") != F.col("_av")))
+        live = live.select(
+            "u", "v",
+            F.when(jump, F.col("_au")).otherwise(F.col("cu")).alias("cu"),
+            F.when(jump, F.col("_av")).otherwise(F.col("cv")).alias("cv"),
+            "du", "dv",
+            F.when(jump,
+                   F.greatest(F.coalesce("mx", F.lit(NEUTRAL_HI)),
+                              F.greatest("_mu", "_mv")))
+            .otherwise(F.col("mx")).alias("mx"),
+        )
+        live = reset_stats_checkpoint(live)
+    # final parent step on both sides closes the path at the LCA
+    live = _joined(_joined(live, 0, "u"), 0, "v").select(
+        "u", "v",
+        F.greatest(F.coalesce("mx", F.lit(NEUTRAL_HI)),
+                   F.greatest("_mu", "_mv")).alias("path_max"),
+    )
+    return live.unionByName(
+        done.select("u", "v", F.col("mx").alias("path_max"))
+    )

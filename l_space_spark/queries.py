@@ -8608,7 +8608,8 @@ def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mod_spanning_tour(spark: SparkSession, sf_dir: str):
-    """(EulerTour, cc) of the hashed mod graph under the SAME
+    """(EulerTour, cc, weighted forest edges) of the hashed mod
+    graph under the SAME
     deterministic (w, u, v) weights as ``msf_edges`` — the forest the
     ``_TREE_WALK_CTES`` oracles reproduce. Shared by the
     spanning_tree_depths and tree_lca_pairs entries so the weight tag /
@@ -8641,7 +8642,12 @@ def _mod_spanning_tour(spark: SparkSession, sf_dir: str):
                             F.col("v").alias("dst")),
         num_partitions=parts, resume=False,
     ).state
-    return euler_tour(spark, tree, cc, parts), cc
+    wtree = tree.join(
+        weighted.select(F.col("src").alias("u"), F.col("dst").alias("v"),
+                        "w"),
+        ["u", "v"],
+    )
+    return euler_tour(spark, tree, cc, parts), cc, wtree
 
 
 def _replace_or_raise(base: str, old: str, new: str) -> str:
@@ -8720,7 +8726,7 @@ def q_spanning_tree_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     walk + ancestor-chain descendant counts."""
     from .operators.eulertour import tree_depths
 
-    et, _ = _mod_spanning_tour(spark, sf_dir)
+    et, _, _ = _mod_spanning_tour(spark, sf_dir)
     d = tree_depths(et)
     # roots carry NULL parent internally (any long is a legal vertex
     # id); the oracle's walk emits -1, so map at the boundary
@@ -8730,14 +8736,18 @@ def q_spanning_tree_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
-_TREE_LCA_ORACLE = _TREE_WALK_CTES + """,
+# same-component pairs among the 30 smallest vertices — the query-pair
+# sample shared by the lca and minimax oracles
+_MOD_PAIRS_CTES = """
 small AS (SELECT DISTINCT id FROM verts ORDER BY id LIMIT 30),
 -- DISTINCT: verts is built with UNION inside WITH RECURSIVE, which
 -- DuckDB evaluates with bag semantics for non-recursive CTEs
 qp AS (SELECT x.id AS u, y.id AS v
        FROM small x JOIN small y ON x.id < y.id
        JOIN comp cu ON cu.id = x.id JOIN comp cv ON cv.id = y.id
-       WHERE cu.root = cv.root),
+       WHERE cu.root = cv.root)"""
+
+_TREE_LCA_ORACLE = _TREE_WALK_CTES + "," + _MOD_PAIRS_CTES + """,
 common AS (SELECT q.u, q.v, xa.a, wd.depth
            FROM qp q
            JOIN anc xa ON xa.v = q.u
@@ -8769,7 +8779,7 @@ def q_tree_lca_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimax-reproduced forest, deepest common ancestor per pair."""
     from .operators.eulertour import lca_pairs
 
-    et, cc = _mod_spanning_tour(spark, sf_dir)
+    et, cc, _ = _mod_spanning_tour(spark, sf_dir)
     small = cc.select("id", "component").orderBy("id").limit(30)
     a = small.select(F.col("id").alias("u"),
                      F.col("component").alias("comp"))
@@ -8777,6 +8787,39 @@ def q_tree_lca_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("component").alias("comp"))
     qp = a.join(b, "comp").where(F.col("u") < F.col("v")).select("u", "v")
     return lca_pairs(et, qp).orderBy("u", "v")
+
+
+_MINIMAX_ORACLE = (
+    _TREE_WALK_CTES + "," + _MOD_PAIRS_CTES + f"""
+SELECT q.u, q.v, CAST(substr(r.wk, 1, 20) AS BIGINT) AS path_max
+FROM qp q JOIN r{MSF_DOUBLINGS} r ON r.a = q.u AND r.b = q.v
+ORDER BY q.u, q.v"""
+)
+
+
+@register("minimax_path_pairs", _MINIMAX_ORACLE)
+def q_minimax_path_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottleneck (minimax) path weight between every same-component
+    pair among the 30 smallest vertices: the minimum over all
+    connecting paths of the maximum edge weight — "the weakest link on
+    the most reliable route" of a dependency graph. By the cycle
+    property this equals the max edge on the unique spanning-forest
+    path, so the Spark side answers it with binary lifting over the
+    Euler-tour-rooted forest (eulertour.path_max_pairs — O(log depth)
+    lift tables, 2(K+1) conditional equi-joins of the pair table, no
+    O(depth) walking); the oracle reads the SAME quantity from the
+    msf oracle's all-pairs minimax doubling closure, numerically
+    decoded from its fixed-width (w, u, v) key."""
+    from .operators.eulertour import path_max_pairs
+
+    et, cc, wtree = _mod_spanning_tour(spark, sf_dir)
+    small = cc.select("id", "component").orderBy("id").limit(30)
+    a = small.select(F.col("id").alias("u"),
+                     F.col("component").alias("comp"))
+    b = small.select(F.col("id").alias("v"),
+                     F.col("component").alias("comp"))
+    qp = a.join(b, "comp").where(F.col("u") < F.col("v")).select("u", "v")
+    return path_max_pairs(et, wtree, qp).orderBy("u", "v")
 
 
 # The driver's correctness gate samples the FIRST 50 entries of ``queries()``
@@ -8883,7 +8926,7 @@ _DRIVER_WINDOW: list[str] = [
     # double_sweep_diameter, closeness_centrality_sampled,
     # cycle_rank_components, parity_conflict_edges,
     # hashed_linear_quality, kcenter_coreset,
-    # spanning_tree_depths, tree_lca_pairs)
+    # spanning_tree_depths, tree_lca_pairs, minimax_path_pairs)
     # — rotate them in for r5, swapping out
     # entries that go green in CORRECTNESS_r04.
     # r5 rotation planning data (sf0.01 wall, Spark+oracle, from

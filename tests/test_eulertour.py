@@ -223,3 +223,47 @@ def test_lca_pairs(spark):
                       len(ancestors(l)))
         expect2[(a, b)] = (l, da + db - 2 * dl)
     assert got == expect2
+
+
+def test_path_max_pairs(spark):
+    from itertools import combinations
+
+    from l_space_spark.operators.eulertour import path_max_pairs
+
+    rng = random.Random(31)
+    pairs = [(rng.randrange(i), i) for i in range(1, 28)]
+    pairs += [(300, 301), (301, 302)]
+    wmap = {(min(a, b), max(a, b)): rng.randrange(1, 10 ** 9)
+            for a, b in pairs}
+    et, want = _check(spark, pairs)
+
+    def chain(v):
+        out = [v]
+        while want[v][0] is not None:
+            v = want[v][0]
+            out.append(v)
+        return out
+
+    comp = {v: chain(v)[-1] for v in want}
+    qp = [(a, b) for a, b in combinations(sorted(want), 2)
+          if comp[a] == comp[b]]
+    expect = {}
+    for a, b in qp:
+        ca, cb = chain(a), set(chain(b))
+        lca = next(x for x in ca if x in cb)
+        mx = 0
+        for side in (a, b):
+            v = side
+            while v != lca:
+                p = want[v][0]
+                mx = max(mx, wmap[(min(v, p), max(v, p))])
+                v = p
+        expect[(a, b)] = mx
+
+    wtree = spark.createDataFrame(
+        [(u, v, wmap[(min(u, v), max(u, v))]) for u, v in pairs],
+        "u long, v long, w long")
+    qdf = spark.createDataFrame(qp, "u long, v long")
+    got = {(r["u"], r["v"]): r["path_max"]
+           for r in path_max_pairs(et, wtree, qdf).collect()}
+    assert got == expect
