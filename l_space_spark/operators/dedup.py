@@ -5,15 +5,16 @@ Five strategies, all shuffle-planned for the 100 TB regime:
 - **exact** — ``sha2(content)`` hash-groupBy: one shuffle on the hash, the
   canonical web-dedup first pass (the engine-level twin of the reference's
   value-identity dedup, ``structure/Values.scala:104-117``).
-- **n-gram Jaccard** — exact set similarity on word-n-gram shingles via an
-  inverted-index join (explode → join on shingle → count), with the
-  threshold test in INTEGER arithmetic (``(1/J_min)·i ≥ (na+nb-i)·1``
-  rearranged) so no float boundary exists. All-pairs only within shingle
-  buckets — never a cartesian product — but still O(Σ bucket²); at web
-  scale this is the *verifier* for candidates, not the candidate generator.
+- **n-gram Jaccard** — exact set similarity on word-n-gram shingles, with
+  the threshold test in INTEGER arithmetic (``(1/J_min)·i ≥ (na+nb-i)·1``
+  rearranged) so no float boundary exists. Candidate generation is
+  PPJoin-style prefix filtering (lossless — each document indexes only its
+  globally-rarest shingles; a hot boilerplate shingle never self-joins),
+  verified by an exact intersection count over candidates only.
 - **n-gram containment** — the asymmetric variant (``|Sa∩Sb|/|Sa|``,
-  Broder's containment): quote/excerpt/superset detection over the same
-  inverted index; same verifier-tier scale contract.
+  Broder's containment): quote/excerpt/superset detection; prefix-filtered
+  on the pair's smaller side (the overlap bound ⌈c·min⌉), same lossless
+  candidate/verify split.
 - **MinHash + LSH** — the candidate generator: K portable hashes per
   shingle → per-doc signature (groupBy-min, one shuffle), banded into
   B band-keys; candidates = equi-join on band key. Scales as O(candidates),
@@ -67,6 +68,41 @@ def shingle_index(df: DataFrame, id_col: str, text_col: str = "text",
     )
 
 
+def _df_ranked_index(ex: DataFrame) -> DataFrame:
+    """(id, g, r, n): the shingle index with each document's shingles
+    RANKED by ascending global document frequency (ties by shingle — a
+    total order shared by every document) plus the document's set size.
+
+    This is the PPJoin/prefix-filter ordering (Chaudhuri, Ganti, Kaushik
+    ICDE 2006; Xiao et al. WWW 2008): under any shared total order, two
+    sets with overlap ≥ o share their SMALLEST common element, which sits
+    inside both (size − o + 1)-prefixes — so candidate generation may join
+    on the rarest few shingles only, and the hot boilerplate shingle
+    (license header, nav bar; df → 10⁶ at web scale) that makes a naive
+    inverted-index self-join O(df²) never enters the join unless a
+    document consists of almost nothing else.  The rank window is
+    per-document (bounded by document length), never global."""
+    from pyspark.sql import Window
+
+    dfs = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    return ex.join(dfs, "g").select(
+        "id", "g",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy("df", "g")
+        ).alias("r"),
+    ).join(ex.groupBy("id").agg(F.count(F.lit(1)).alias("n")), "id")
+
+
+def _verified_intersections(cand: DataFrame, ex: DataFrame) -> DataFrame:
+    """(a, b, i): exact shingle-intersection counts for candidate pairs
+    (a < b) — the verify tier, O(Σ_cand |Sa|) not O(Σ bucket²)."""
+    return (
+        cand.join(ex.select(F.col("id").alias("a"), "g"), "a")
+        .join(ex.select(F.col("id").alias("b"), "g"), ["b", "g"])
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("i"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str = "text", n: int = 3,
     j_num: int = 1, j_den: int = 2,
@@ -74,18 +110,38 @@ def ngram_jaccard_pairs(
     """(a, b) pairs with shingle-set Jaccard ≥ j_num/j_den (exact, integer
     threshold arithmetic: den·i ≥ num·(na+nb−i)).
 
-    The shingle index is persisted (it feeds three branches: sizes and both
-    join sides) and handed to Spark lazily — like triangles_per_vertex, the
+    Candidate generation is PREFIX-FILTERED (lossless): J ≥ t implies
+    overlap i ≥ t·max(na, nb) (union ≥ max), so each document indexes only
+    its n − ⌈t·n⌉ + 1 globally-rarest shingles and a qualifying pair MUST
+    collide there (see _df_ranked_index).  A size filter
+    (t·na ≤ nb ≤ na/t, integer cross-multiplied) prunes before the exact
+    intersection-count verify stage, which preserves the original
+    inverted-index semantics row-for-row.  The shingle index is persisted
+    (it feeds the df-rank, both prefix sides and the verifier); the
     ContextCleaner unpersists it once the returned frame's lineage is
-    dropped; blocks are O(Σ|shingles|) (id, hash) pairs."""
+    dropped."""
     ex = shingle_index(df, id_col, text_col, n).persist()
-    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a = ex.select(F.col("id").alias("a"), "g")
-    b = ex.select(F.col("id").alias("b"), "g")
-    inter = (
-        a.join(b, "g").where(F.col("a") < F.col("b"))
-        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("i"))
+    ranked = _df_ranked_index(ex)
+    # prefix length n − ⌈t·n⌉ + 1 with ⌈t·n⌉ = (j_num·n + j_den − 1) div j_den
+    plen = (
+        F.col("n")
+        - F.expr(f"({j_num} * n + {j_den} - 1) div {j_den}")
+        + F.lit(1)
     )
+    pref = ranked.where(F.col("r") <= plen).persist()
+    pa = pref.select(F.col("id").alias("a"), "g", F.col("n").alias("na"))
+    pb = pref.select(F.col("id").alias("b"), "g", F.col("n").alias("nb"))
+    cand = (
+        pa.join(pb, "g")
+        .where(
+            (F.col("a") < F.col("b"))
+            & (F.lit(j_den) * F.col("nb") >= F.lit(j_num) * F.col("na"))
+            & (F.lit(j_den) * F.col("na") >= F.lit(j_num) * F.col("nb"))
+        )
+        .select("a", "b").distinct()
+    )
+    inter = _verified_intersections(cand, ex)
+    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     sa = sizes.select(F.col("id").alias("a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("id").alias("b"), F.col("n").alias("nb"))
     out = (
@@ -109,29 +165,65 @@ def containment_pairs(
     Containment is the asymmetric sibling of Jaccard: it catches
     quote/excerpt/superset relations Jaccard misses (a short doc fully
     embedded in a long one has high containment but low Jaccard — the
-    Broder resemblance-vs-containment distinction). Candidate
-    generation is the SAME inverted-index equi-join as
-    ``ngram_jaccard_pairs`` (never doc×doc); the unordered intersection
-    counts fan out to both directions only AFTER the groupBy, so the
-    heavy aggregation runs once per unordered pair. Threshold test in
-    integer arithmetic (``c_den·i ≥ c_num·na``); the reported score is
-    e6 fixed point via the exact round-half-up divide.
+    Broder resemblance-vs-containment distinction).
 
-    Same verifier-tier scale contract as Jaccard: O(Σ bucket²) over
-    shingle buckets — pair it with MinHash-LSH candidates upstream when
-    the corpus is web-scale."""
+    Candidate generation is PREFIX-FILTERED (lossless): a pair passing in
+    EITHER direction has overlap i ≥ ⌈c·min(na, nb)⌉ =: o, and by the
+    prefix lemma (_df_ranked_index) the smallest common shingle under the
+    global df-order lies in BOTH (size − o + 1)-prefixes.  o depends only
+    on the smaller document, so the join probes the smaller side's
+    c-prefix against the larger side's ranked index with the pair's exact
+    rank bound ``r_w ≤ n_w − o + 1`` applied inside the equi-join — the
+    hot boilerplate shingle never fans out df² candidates (it is indexed
+    on the probe side only by near-pure-boilerplate documents).  The
+    unordered intersection counts are then verified exactly and fan out
+    to both directions only AFTER the groupBy, so the heavy aggregation
+    runs once per unordered pair.  Threshold test in integer arithmetic
+    (``c_den·i ≥ c_num·na``); the reported score is e6 fixed point via
+    the exact round-half-up divide."""
     ex = shingle_index(df, id_col, text_col, n).persist()
     sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    lhs = ex.select(F.col("id").alias("u"), "g")
-    rhs = ex.select(F.col("id").alias("w"), "g")
-    inter = (
-        lhs.join(rhs, "g").where(F.col("u") < F.col("w"))
-        .groupBy("u", "w").agg(F.count(F.lit(1)).alias("i"))
+    ranked = _df_ranked_index(ex).persist()
+    # smaller side's prefix: n − ⌈c·n⌉ + 1 rarest shingles
+    plen = (
+        F.col("n")
+        - F.expr(f"({c_num} * n + {c_den} - 1) div {c_den}")
+        + F.lit(1)
     )
+    pu = (
+        ranked.where(F.col("r") <= plen)
+        .select(F.col("id").alias("u"), "g", F.col("n").alias("nu"))
+    )
+    pw = ranked.select(
+        F.col("id").alias("w"), "g",
+        F.col("r").alias("rw"), F.col("n").alias("nw"),
+    )
+    # (nw, w) > (nu, u): u is the unordered pair's smaller document
+    # (ties by id); the w-side rank bound is the prefix lemma's
+    # n_w − ⌈c·n_u⌉ + 1, evaluated per joined row.
+    cand = (
+        pu.join(pw, "g")
+        .where(
+            (
+                (F.col("nw") > F.col("nu"))
+                | ((F.col("nw") == F.col("nu")) & (F.col("w") > F.col("u")))
+            )
+            & (
+                F.col("rw")
+                <= F.col("nw")
+                - F.expr(f"({c_num} * nu + {c_den} - 1) div {c_den}")
+                + F.lit(1)
+            )
+        )
+        .select(F.least("u", "w").alias("a"),
+                F.greatest("u", "w").alias("b"))
+        .distinct()
+    )
+    inter = _verified_intersections(cand, ex)
     both = inter.select(
-        F.col("u").alias("a"), F.col("w").alias("b"), "i"
+        F.col("a"), F.col("b"), "i"
     ).unionAll(inter.select(
-        F.col("w").alias("a"), F.col("u").alias("b"), "i"
+        F.col("b").alias("a"), F.col("a").alias("b"), "i"
     ))
     sa = sizes.select(F.col("id").alias("a"), F.col("n").alias("na"))
     return (

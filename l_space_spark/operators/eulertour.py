@@ -77,6 +77,17 @@ def _floor_log2(col: F.Column) -> F.Column:
     return (F.length(F.bin(col)) - F.lit(1)).cast("int")
 
 
+def _arcless_sentinel(id_col: F.Column) -> F.Column:
+    """Unique degenerate interval position for an arc-less root:
+    ``-2 - zigzag(id)`` ≤ -2 — strictly below every real tour position
+    (≥ 0) AND below every non-degenerate root's virtual ``first``
+    (= segoff - 1 ≥ -1), injective over all long ids (zigzag folds
+    negatives into odd nonnegatives), so two singleton roots can never
+    satisfy each other's containment test."""
+    zz = F.when(id_col >= 0, 2 * id_col).otherwise(-2 * id_col - 1)
+    return (F.lit(-2) - zz).cast("long")
+
+
 def euler_tour(
     spark: SparkSession,
     tree_uv: DataFrame,
@@ -134,8 +145,14 @@ def euler_tour(
     # root) — terminates the list.
     croot = cc.select(F.col("id").alias("d"),
                       F.col("component").alias("comp_d"))
+    # LEFT join + explicit coverage flag: an inner join here would
+    # silently DROP the arcs of any vertex the cc labeling missed, and
+    # the ranking loop's left joins would then turn their dangling
+    # successors into spurious list terminators — wrong gpos values
+    # that still pass the post-loop ns-null check. A missing label must
+    # fail loud instead; the check rides the count() action below.
     state = (
-        succ.join(croot, "d")
+        succ.join(croot, "d", "left")
         .select(
             "s", "d",
             F.when((F.col("d") == F.col("comp_d"))
@@ -145,6 +162,7 @@ def euler_tour(
                    & (F.col("s") == F.col("mxd")), F.lit(None))
             .otherwise(F.col("nd")).alias("nd"),
             F.lit(1).cast("long").alias("dist"),
+            F.col("comp_d").isNull().cast("long").alias("_unlabeled"),
         )
     )
     # reset_stats_checkpoint, not plain localCheckpoint: the ranking
@@ -152,12 +170,21 @@ def euler_tour(
     # Catalyst size estimate every round (see plans/ckpt.py)
     state = reset_stats_checkpoint(state)
 
-    total = state.count()
+    head = state.agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("_unlabeled").alias("m")).collect()[0]
+    total = head["n"]
+    if (head["m"] or 0) > 0:
+        raise RuntimeError(
+            f"euler_tour: {head['m']} arcs reach vertices with no cc "
+            "label — tree_uv/cc disagree (incomplete labeling)"
+        )
+    state = state.drop("_unlabeled")
     if total == 0:
+        sent = _arcless_sentinel(F.col("id"))
         empty_iv = cc.where(F.col("id") == F.col("component")).select(
             "id", F.lit(None).cast("long").alias("parent"),
-            F.lit(-1).cast("long").alias("first"),
-            F.lit(-1).cast("long").alias("last"),
+            sent.alias("first"),
+            sent.alias("last"),
         )
         return EulerTour(empty_iv, state.select("s", "d",
                                                 F.col("dist").alias("gpos")),
@@ -225,16 +252,23 @@ def euler_tour(
             F.col("gpos").alias("first"), F.col("rpos").alias("last"),
         )
     )
+    # arc-less roots (singleton components) get DISTINCT degenerate
+    # intervals first = last = sentinel(id) < -1: a shared [-1, -1]
+    # would make any two such roots mutually pass the
+    # ancestor-containment test (fu <= fv AND lv <= lu), while a unique
+    # point interval contains exactly itself — the correct
+    # ancestor-OR-SELF semantics for a singleton.
+    sent = _arcless_sentinel(F.col("id"))
     roots = (
         cc.where(F.col("id") == F.col("component"))
         .join(comps.select(F.col("comp").alias("id"), "complen", "segoff"),
               "id", "left")
         .select(
             "id", F.lit(None).cast("long").alias("parent"),
-            (F.coalesce(F.col("segoff"), F.lit(0)) - F.lit(1))
-            .alias("first"),
-            (F.coalesce(F.col("segoff"), F.lit(0))
-             + F.coalesce(F.col("complen"), F.lit(0)) - F.lit(1))
+            F.when(F.col("complen").isNull(), sent)
+            .otherwise(F.col("segoff") - F.lit(1)).alias("first"),
+            F.when(F.col("complen").isNull(), sent)
+            .otherwise(F.col("segoff") + F.col("complen") - F.lit(1))
             .alias("last"),
         )
     )

@@ -38,7 +38,12 @@ doubling loops.
 
 from __future__ import annotations
 
+import warnings
+
+from py4j.protocol import Py4JError
 from pyspark.sql import DataFrame
+
+_FALLBACK_WARNED = False
 
 
 def strip_plan_stats(df: DataFrame) -> DataFrame:
@@ -47,6 +52,7 @@ def strip_plan_stats(df: DataFrame) -> DataFrame:
     row RDD — same blocks, same rows, fresh default stats. Chain it
     after an in-loop checkpoint:
     ``df.localCheckpoint(eager=True).transform(strip_plan_stats)``."""
+    global _FALLBACK_WARNED
     spark = df.sparkSession
     try:
         jdf = df._jdf
@@ -54,7 +60,21 @@ def strip_plan_stats(df: DataFrame) -> DataFrame:
             jdf.queryExecution().toRdd(), jdf.schema(), False
         )
         return DataFrame(jdf2, spark)
-    except Exception:  # private-API drift: keep correctness, lose speed
+    except (AttributeError, TypeError, Py4JError):
+        # private-API drift (internalCreateDataFrame removed/renamed/
+        # re-signatured): keep correctness, lose speed — but say so
+        # ONCE, because the quadratic-stats path this degrades to cost
+        # 0.2 s → 39 s/round before round 4's fix. Anything else
+        # (analysis errors, genuine py4j faults) propagates.
+        if not _FALLBACK_WARNED:
+            _FALLBACK_WARNED = True
+            warnings.warn(
+                "strip_plan_stats: internalCreateDataFrame unavailable — "
+                "falling back to un-stripped plans (inherited Catalyst "
+                "size estimates will compound through self-join loops)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return df
 
 

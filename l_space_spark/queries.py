@@ -876,6 +876,128 @@ def q_graphql_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(*flat)
 
 
+def _nation_wire_graph(spark: SparkSession, sf_dir: str):
+    """The customer→nation property graph both wire front ends traverse:
+    customer vertices (vid = 2·custkey, props c_acctbal + c_name),
+    nation vertices (vid = 2·nationkey+1, prop n_name), ``in_nation``
+    edges customer→nation — the shared fixture of the DSL / GraphQL /
+    JSON-LD triplet so their oracles stay comparable."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    cv = c.select((F.col("c_custkey") * 2).alias("vid"),
+                  "c_acctbal", "c_name")
+    nv = n.select((F.col("n_nationkey") * 2 + 1).alias("vid"), "n_name")
+    props = Graph.melt_properties(
+        cv, "vid", num_cols=["c_acctbal"], str_cols=["c_name"]
+    ).unionByName(Graph.melt_properties(nv, "vid", str_cols=["n_name"]))
+    links = c.select(
+        (F.col("c_custkey") * 2).alias("src"),
+        F.lit("in_nation").alias("label"),
+        F.lit("node").alias("dst_kind"),
+        (F.col("c_nationkey") * 2 + 1).alias("dst_id"),
+        F.lit(None).cast("string").alias("dst_str"),
+        F.lit(None).cast("double").alias("dst_dbl"),
+        F.lit(None).cast("long").alias("dst_lng"),
+        F.lit(None).cast("date").alias("dst_dt"),
+    )
+    verts = cv.select(F.col("vid").alias("id")).unionByName(
+        nv.select(F.col("vid").alias("id"))
+    )
+    return Graph(verts, props.unionByName(links))
+
+
+# the reference's JSON-LD serialized-traversal wire format
+# (parse/core/.../codec/json/jsonld/DecodeJsonLD.scala:134-146, spec
+# documents JsonLDDecoderSpec.scala:73-115) carrying
+# N.has('c_acctbal', P.gt(9000)).out('in_nation').out('n_name') — the
+# dsl_traversal_nation program as a client would POST it.
+_JSONLD_NATION_DOC = (
+    '{"@context":{"0":"https://ns.l-space.eu/librarian/"},'
+    '"@type":"0:Traversal","0:Traversal/steps":{"@value":['
+    '{"@type":"0:step/N"},'
+    '{"@type":"0:step/Has","0:step/Has/Key":{"@id":"c_acctbal"},'
+    '"0:step/Has/Predicate":{"@type":"0:p/Gt",'
+    '"0:p/value":{"@value":9000.0,"@type":"@double"}}},'
+    '{"@type":"0:step/Out","0:MoveStep/label":{"@id":"in_nation"}},'
+    '{"@type":"0:step/Out","0:MoveStep/label":{"@id":"n_name"}}],'
+    '"@type":"@vector(https://ns.l-space.eu/librarian/Step)"}}'
+)
+
+
+@register(
+    "jsonld_wire_nation",  # JSON-LD wire doc → decode → traverse (jsonld.py)
+    """
+SELECT n.n_name AS name
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE c.c_acctbal > 9000
+ORDER BY name
+""".strip(),
+)
+def q_jsonld_wire_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JSON-LD wire path end-to-end: decode the reference-format
+    serialized traversal (_JSONLD_NATION_DOC — the syntax of
+    JsonLDDecoderSpec.scala:73-115) with jsonld.jsonld_to_steps, execute
+    the decoded step list through the jobspec step applicator, and
+    compare against the SAME oracle as the dsl_traversal_nation twin —
+    the wire decoding can therefore not drift from the DSL semantics."""
+    from .jobspec import _apply_steps
+    from .jsonld import jsonld_to_steps
+
+    steps = jsonld_to_steps(_JSONLD_NATION_DOC)
+    g = _nation_wire_graph(spark, sf_dir)
+    t = _apply_steps(g.N(), steps[1:])
+    return t.to_df().select(F.col("_str").alias("name")).orderBy("name")
+
+
+@register(
+    "graphql_nested_clip",  # nested projection + limit/offset (graphql.py)
+    """
+WITH picked AS (
+  SELECT c.c_custkey, c.c_name
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_3'
+  ORDER BY c.c_custkey LIMIT 5 OFFSET 2
+)
+SELECT 'NATION_3' AS name,
+       (SELECT coalesce(array_to_string(list_sort(list(c_name)), '|'), '')
+        FROM picked) AS customers_name,
+       (SELECT coalesce(array_to_string(list_sort(list('NATION_3')), '|'),
+                        '')
+        FROM picked) AS customers_nation_n_name
+""".strip(),
+)
+def q_graphql_nested_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphQL nested projection with projection-level clipping
+    (graphql/Query.scala:16-36 + Projection.scala:19-46 semantics):
+    ``customers(limit: 5, offset: 2)`` clips the reverse hop PER START
+    NODE, deterministically by the DSL's ``_ord`` (typed identity — here
+    ascending customer vid = 2·custkey), and the TWO-DEEP leaf path
+    ``customers → nation → n_name`` hops back out of the clipped set, so
+    the oracle can name the surviving customers exactly (custkey ranks
+    3..7 within the nation).  Leaf columns flatten to sorted '|'-joined
+    strings for the driver's canonicalizer, as graphql_nation does."""
+    from .graphql import graphql_to_dataframe
+
+    g = _nation_wire_graph(spark, sf_dir)
+    out = graphql_to_dataframe(
+        g,
+        '{ _(n_name: "NATION_3") { name: n_name '
+        'customers(limit: 5, offset: 2) { name: c_name '
+        'nation { n_name } } } }',
+        context={
+            "customers": {"property": "in_nation", "reverse": True},
+            "nation": {"property": "in_nation"},
+        },
+    )
+    flat = [
+        F.array_join(F.array_sort(F.col(f.name)), "|").alias(f.name)
+        if f.dataType.typeName() == "array"
+        else F.col(f.name)
+        for f in out.schema.fields
+    ]
+    return out.select(*flat)
+
+
 # ----------------------------------------------------------------- events
 @register(
     "events_per_user",
@@ -8607,13 +8729,26 @@ def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
+_MOD_TOUR_CACHE: dict[tuple[str, str], tuple] = {}
+
+
 def _mod_spanning_tour(spark: SparkSession, sf_dir: str):
     """(EulerTour, cc, weighted forest edges) of the hashed mod
     graph under the SAME
     deterministic (w, u, v) weights as ``msf_edges`` — the forest the
     ``_TREE_WALK_CTES`` oracles reproduce. Shared by the
-    spanning_tree_depths and tree_lca_pairs entries so the weight tag /
-    canonicalization cannot drift between them."""
+    spanning_tree_depths, tree_lca_pairs and minimax_path_pairs entries
+    so the weight tag / canonicalization cannot drift between them —
+    and MEMOIZED per (Spark application, sf_dir), because the Boruvka
+    forest + star-contraction CC + tour ranking would otherwise be
+    recomputed from scratch by each of the three entries in an --all
+    gate run (round-4 ADVICE). The cached frames are
+    reset_stats_checkpointed, so reuse replays materialized blocks, not
+    lineage; the cache dies with the JVM app, never across sessions."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _MOD_TOUR_CACHE.get(key)
+    if hit is not None:
+        return hit
     from .operators.components import connected_components_star
     from .operators.eulertour import euler_tour
     from .operators.msf import forest_edges, minimum_spanning_forest
@@ -8647,7 +8782,12 @@ def _mod_spanning_tour(spark: SparkSession, sf_dir: str):
                         "w"),
         ["u", "v"],
     )
-    return euler_tour(spark, tree, cc, parts), cc, wtree
+    from .plans.ckpt import reset_stats_checkpoint
+
+    out = (euler_tour(spark, tree, cc, parts),
+           reset_stats_checkpoint(cc), reset_stats_checkpoint(wtree))
+    _MOD_TOUR_CACHE[key] = out
+    return out
 
 
 def _replace_or_raise(base: str, old: str, new: str) -> str:
@@ -8830,114 +8970,89 @@ def q_minimax_path_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # representative core of each already-green family.  Everything else follows
 # in registration order (still exported — the driver just doesn't sample it).
 _DRIVER_WINDOW: list[str] = [
-    # former red rows (fixed this round — must re-prove under the driver)
-    "graphql_nation",
-    "repetition_stats",
-    # round-2/3 algorithm family — never driver-sampled before round 4
-    "scc_members",
-    "mis_members",
-    "greedy_coloring",
-    "coreness",
-    "trussness",
-    "ktruss_edges",
-    "anf_neighborhood",
-    "anf_distance_stats",
-    "betweenness_sampled",
-    "random_walks",
-    "hits_top20",
-    "personalized_pagerank",
-    "weighted_pagerank_top20",
-    "kcore_members",
-    # new in round 4
-    "simrank_pairs",
-    "lp_modularity",
-    "dedup_cluster_canonical",
-    "reciprocity_dyads",
-    "quotient_graph",
-    "snapshot_diff",
-    "resource_allocation_pairs",
-    "component_size_distribution",
-    # traversal / relational steps never driver-sampled before round 4
-    "argminmax_per_group",
-    "clip_range_tail",
-    "coalesce_choose",
-    "intersect_except",
-    "bfs_repeat_path",
-    "outmap_neighbors",
-    "coin_hash_sample",
-    "conditional_agg_filter",
-    "percentile_stats",
-    "json_props_extract",
-    # temporal / streaming / sink never driver-sampled before round 4
-    "hypertable_rollup",
-    "asof_join_events",
-    "range_join_counts",
-    "kafka_payload_encode",
-    "events_hourly_windows",
-    "dedup_stream_events",
-    "sessionize_events",
-    # similarity / multimodal never driver-sampled before round 4
-    "ann_ivf_topk",
-    "multimodal_binary_meta",
-    "multimodal_features",
-    # representative already-green core (keep hard evidence fresh each round)
+    # ---- round-5 rotation: 44 never-driver-sampled entries + the two new
+    # wire entries + the pinned evergreen core.  Selection policy (final
+    # round): (a) every LLM-pipeline-table row the round-4 verdict marked
+    # "untested" gets a driver row; (b) the judge's 15-entry rehearsal set
+    # converts to hard-gate evidence; (c) remaining slots maximize FAMILY
+    # breadth so every operator family carries at least one driver-green
+    # member.  Costs from the r4 rehearsal ledger (sf0.01 Spark+oracle):
+    # biconnected_components 48s, articulation_points 20s, bridge_edges
+    # 17s, tree_lca_pairs 14s (now amortized by the _mod_spanning_tour
+    # memo), everything else <14s — window ≈ 6 min.
+    # (a) LLM-pipeline rows previously local-green only
+    "prefix_jaccard_pairs",
+    "ngram_containment_pairs",
+    "semdedup_keep",
+    "pq_codes",
+    "pq_adc_topk",
+    "dsir_selection",
+    "doc_chunks",
+    "pack_contexts",
+    "khop_sample_edges",
+    "hll_distinct_sketch",
+    "bloom_membership",
+    "cms_heavy_hitters",
+    # (b) the r4 judge-rehearsed 15 -> driver evidence
+    "louvain_multilevel",
+    "msf_edges",
+    "tree_lca_pairs",
+    "minimax_path_pairs",
+    "exact_substring_dedup",
+    "gopher_quality",
+    "biconnected_components",
+    "densest_subgraph_rounds",
+    "triad_census",
+    "negative_samples",
+    "salsa_top20",
+    "eigencentrality_top20",
+    "paragraph_dedup",
+    "wl_colors",
+    "articulation_points",
+    # (c) family breadth
+    "spanning_tree_depths",
+    "bridge_edges",
+    "louvain_communities",
+    "louvain_modularity",
+    "lp_conductance",
+    "closeness_centrality_sampled",
+    "double_sweep_diameter",
+    "spam_mass_top",
+    "rectangle_count",
+    "global_transitivity",
+    "adamic_adar_pairs",
+    "tfidf_top_terms",
+    "kmeans_embeddings",
+    "fastrp_embeddings",
+    "node2vec_walks",
+    "train_val_test_split",
+    "temporal_reachability",
+    # new round-5 wire-path entries (judge item 3)
+    "jsonld_wire_nation",
+    "graphql_nested_clip",
+    # evergreen core (keep hard evidence fresh each round)
     "pagerank_top20",
     "connected_components",
     "label_propagation",
     "triangle_count",
-    # late round-4 additions — never driver-sampled; they take the last two
-    # slots from predicate_suite + dsl_traversal_nation (both driver-green
-    # in CORRECTNESS_r03, their families still in-window via
-    # coalesce_choose/intersect_except + graphql_nation)
-    "bowtie_classes",
-    "katz_top20",
-    # (group_agg_q1, ann_lsh_topk, join_group_topk, window_topk_per_group,
-    #  dedup_exact_sha, sssp_weighted, minhash_lsh_pairs rotated out for
-    #  the seven round-4 entries — all seven were green in
-    #  CORRECTNESS_r03 and their families stay covered: join/group/topk
-    #  by snapshot_diff + quotient_graph + predicate_suite, window by
-    #  clip_range_tail/percentile_stats, dedup/similarity by
-    #  dedup_cluster_canonical + ann_ivf_topk, shortest-path/iterative by
-    #  bfs_repeat_path + harmonic/betweenness family)
-    # ROUND-5 TODO: after CORRECTNESS_r04, the only never-driver-sampled
-    # entries are adamic_adar_pairs, rectangle_count, build_order_levels,
-    # preferential_attachment_pairs, lp_conductance, wl_colors,
+    # POST-R5 LEDGER: entries that will still lack a driver-oracle row
+    # after this window runs (40; every one is green on the local exact
+    # DuckDB gate + rehearse_driver_gate.py --all, and each family has a
+    # driver-green sibling in-window): bpe_merge_candidates,
+    # lm_familiarity_scores, winnow_fingerprints, winnow_match_pairs,
+    # scan_roles, edge_betweenness_sampled, build_order_levels,
+    # preferential_attachment_pairs, louvain_quotient, louvain_refined,
     # rich_club_curve, local_bridges, embeddedness_distribution,
-    # louvain_communities, louvain_modularity, louvain_quotient,
-    # louvain_multilevel, maximal_matching, eccentricity_sample, k4_count,
-    # edge_betweenness_sampled, msf_edges, global_transitivity,
-    # avg_neighbor_degree, tfidf_top_terms, kmeans_embeddings,
-    # kmeans_cluster_sizes, plus the post-freeze session additions
-    # (temporal_reachability, label_spreading_seeded, bridge_edges,
-    # two_edge_components, train_val_test_split, event_hour_anomalies,
-    # ppr_sweep_cut, articulation_points, biconnected_components,
-    # cocitation_coupling, densest_subgraph_rounds,
-    # densest_subgraph_members, doc_chunks, pack_contexts,
-    # salsa_top20, triad_census, node2vec_walks, skipgram_pairs,
-    # mixture_allocation, exact_substring_dedup, paragraph_dedup,
-    # gopher_quality, khop_sample_edges, negative_samples,
-    # neighbor_feature_sums, item_cooccurrence_topk, partition_stats,
-    # source_quality_rollup, boilerplate_clusters, rmat_edges, pq_codes,
-    # pq_adc_topk, eigencentrality_top20, hll_distinct_sketch,
-    # bpe_merge_candidates, lm_familiarity_scores, attack_robustness_curve,
-    # fastrp_embeddings, winnow_fingerprints, winnow_match_pairs,
-    # scan_roles, spam_mass_top, bloom_membership, cms_heavy_hitters,
-    # prefix_jaccard_pairs, landmark_distance_bounds,
-    # double_sweep_diameter, closeness_centrality_sampled,
+    # maximal_matching, eccentricity_sample, attack_robustness_curve,
+    # k4_count, avg_neighbor_degree, kmeans_cluster_sizes,
+    # label_spreading_seeded, two_edge_components, event_hour_anomalies,
+    # ppr_sweep_cut, cocitation_coupling, densest_subgraph_members,
+    # skipgram_pairs, mixture_allocation, neighbor_feature_sums,
+    # item_cooccurrence_topk, partition_stats, source_quality_rollup,
+    # boilerplate_clusters, rmat_edges, landmark_distance_bounds,
     # cycle_rank_components, parity_conflict_edges,
-    # hashed_linear_quality, kcenter_coreset,
-    # spanning_tree_depths, tree_lca_pairs, minimax_path_pairs)
-    # — rotate them in for r5, swapping out
-    # entries that go green in CORRECTNESS_r04.
-    # r5 rotation planning data (sf0.01 wall, Spark+oracle, from
-    # rehearse_driver_gate.py --all on round-4 session-5 final code —
-    # 177/177 clean, 643s total): two_edge_components 48s,
-    # biconnected_components 48s, bowtie_classes 42s, scan_roles 27s,
-    # maximal_matching 27s, build_order_levels 23s,
-    # articulation_points 20s, bridge_edges 17s,
-    # attack_robustness_curve 15s, tree_lca_pairs 14s; everything else
-    # <14s and the current 50-slot window totals 139s. Budget the r5
-    # window accordingly (~4-5 min is fine).
+    # hashed_linear_quality, kcenter_coreset, funnel_conversion,
+    # retention_cohorts.
 ]
 
 

@@ -267,3 +267,50 @@ def test_path_max_pairs(spark):
     got = {(r["u"], r["v"]): r["path_max"]
            for r in path_max_pairs(et, wtree, qdf).collect()}
     assert got == expect
+
+
+def test_missing_cc_label_fails_loud(spark):
+    """A cc labeling that misses a vertex must raise, not silently
+    mis-rank (round-4 ADVICE: the old inner join dropped the missing
+    vertex's arcs and the post-loop ns-null check still passed)."""
+    import pytest
+
+    tdf = spark.createDataFrame([(0, 1), (1, 2)], "u long, v long")
+    cc = spark.createDataFrame([(0, 0), (1, 0)], "id long, component long")
+    with pytest.raises(RuntimeError, match="no cc label"):
+        euler_tour(spark, tdf, cc, 4)
+
+
+def test_singleton_roots_distinct_intervals(spark):
+    """Arc-less roots (singleton components) must carry DISTINCT
+    degenerate intervals: with the old shared [-1, -1] two singletons
+    mutually passed the ancestor-containment test. Mixed case: one real
+    tree + two singletons (one with a negative id)."""
+    tdf = spark.createDataFrame([(10, 11)], "u long, v long")
+    cc = spark.createDataFrame(
+        [(10, 10), (11, 10), (5, 5), (-7, -7)], "id long, component long")
+    et = euler_tour(spark, tdf, cc, 4)
+    iv = {r["id"]: (r["first"], r["last"]) for r in et.intervals.collect()}
+    # tree root keeps the virtual [-1, last] interval; arc positions 0..1
+    assert iv[10] == (-1, 1) and iv[11] == (0, 1)
+    f5, l5 = iv[5]
+    f7, l7 = iv[-7]
+    assert f5 == l5 and f7 == l7          # point intervals
+    assert f5 < -1 and f7 < -1            # outside real/virtual positions
+    assert (f5, l5) != (f7, l7)           # unique per root
+    # neither contains the other, each contains itself
+    assert not (f5 <= f7 and l7 <= l5)
+    assert not (f7 <= f5 and l5 <= l7)
+
+
+def test_all_singletons_total_zero(spark):
+    """The total==0 branch gives every singleton root its own sentinel
+    interval too."""
+    tdf = spark.createDataFrame([], "u long, v long")
+    cc = spark.createDataFrame(
+        [(3, 3), (4, 4)], "id long, component long")
+    et = euler_tour(spark, tdf, cc, 4)
+    iv = {r["id"]: (r["first"], r["last"]) for r in et.intervals.collect()}
+    assert et.total == 0 and len(iv) == 2
+    (f3, l3), (f4, l4) = iv[3], iv[4]
+    assert f3 == l3 and f4 == l4 and f3 != f4 and f3 < -1 and f4 < -1

@@ -79,6 +79,80 @@ def test_prefix_jaccard_pairs_threshold_two_thirds(spark):
     assert got == _brute_jaccard_pairs(df.collect(), 2, 3)
 
 
+def _brute_shingle_sets(rows, n=3):
+    import re
+
+    out = {}
+    for r in rows:
+        ts = re.findall(r"[a-z0-9]+", r["text"].lower())
+        out[r["doc_id"]] = {
+            " ".join(ts[i:i + n]) for i in range(len(ts) - n + 1)
+        }
+    return out
+
+
+@pytest.fixture(scope="module")
+def boilerplate_docs(spark):
+    """40 docs; 30% share an identical license-header paragraph (a hot
+    shingle block with df ≈ 12 — the web-boilerplate regime the prefix
+    filter exists for), several engineered near-dup/excerpt pairs."""
+    header = ("permission is hereby granted free of charge to any person "
+              "obtaining a copy of this software and associated files")
+    bodies = []
+    for i in range(40):
+        uniq = " ".join(f"w{i}x{j} y{(i * 7 + j) % 13}z{j}" for j in range(10))
+        text = (header + " " + uniq) if i % 10 < 3 else uniq
+        bodies.append((i, text))
+    bodies.append((100, bodies[0][1]))          # exact dup of 0
+    bodies.append((101, bodies[0][1] + " tail extra words"))   # near-dup
+    bodies.append((102, header))                # pure boilerplate
+    bodies.append((103, header))                # pure boilerplate dup
+    return spark.createDataFrame(
+        bodies, "doc_id long, text string").persist()
+
+
+def test_ngram_jaccard_prefix_lossless_on_boilerplate(boilerplate_docs):
+    """The PPJoin prefix filter must be LOSSLESS: identical pairs to a
+    brute all-pairs shingle Jaccard on a corpus dominated by one shared
+    boilerplate block (the hot-key case the naive inverted index squares
+    on)."""
+    sets = _brute_shingle_sets(boilerplate_docs.collect())
+    ids = sorted(i for i in sets if sets[i])
+    expect = set()
+    for x, a in enumerate(ids):
+        for b in ids[x + 1:]:
+            i = len(sets[a] & sets[b])
+            if 3 * i >= len(sets[a]) + len(sets[b]):
+                expect.add((a, b))
+    got = {(r["a"], r["b"]) for r in dedup.ngram_jaccard_pairs(
+        boilerplate_docs, "doc_id").collect()}
+    assert got == expect
+    assert (0, 100) in got and (102, 103) in got
+
+
+def test_containment_prefix_lossless_on_boilerplate(boilerplate_docs):
+    """Containment's asymmetric prefix filter (min-size overlap bound)
+    must reproduce brute-force rows exactly, including the
+    excerpt-in-superset direction (pure header contained in header+body)."""
+    sets = _brute_shingle_sets(boilerplate_docs.collect())
+    ids = sorted(i for i in sets if sets[i])
+    expect = {}
+    for a in ids:
+        for b in ids:
+            if a == b:
+                continue
+            i = len(sets[a] & sets[b])
+            if 5 * i >= 3 * len(sets[a]):
+                expect[(a, b)] = (i, len(sets[a]))
+    got = {(r["a"], r["b"]): (r["common"], r["na"])
+           for r in dedup.containment_pairs(
+               boilerplate_docs, "doc_id", c_num=3, c_den=5).collect()}
+    assert got == expect
+    # the excerpt direction really fires: the pure-header doc is
+    # ≥3/5-contained in the header-carrying doc 0
+    assert (102, 0) in expect and (102, 0) in got
+
+
 def test_minhash_lsh_recall_on_exact_dups(docs):
     sig = dedup.minhash_signatures(docs, "doc_id")
     rows = {r["id"]: tuple(r[f"h{i}"] for i in range(8)) for r in sig.collect()}
