@@ -12,9 +12,11 @@ ascending global df and indexes only each document's rarest
 (it is prefix-indexed only by documents that are almost nothing but
 boilerplate).
 
-Corpus: every doc = 14-token license header (shared by --boiler-pct %)
-+ 20 doc-unique tokens; docs (100k, 100k+1) duplicate each other's
-unique tail → n/100 planted J=1 pairs.  Reported per rung:
+Corpus: every doc = 19-token license header (shared by --boiler-pct %
+of each 100-block, decided on the PAIR seed so a planted dup and its
+twin always agree) + 20 doc-unique tokens; docs (100k, 100k+1)
+duplicate each other's unique tail → n/100 planted J=1 pairs.
+Reported per rung:
 
 - ``naive_joined_rows``  Σ df² fan-out of the unfiltered g-self-join
   (the rows the old plan's groupBy had to absorb)
@@ -42,7 +44,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from l_space_spark.operators.dedup import (  # noqa: E402
-    _df_ranked_index, ngram_jaccard_pairs, shingle_index,
+    jaccard_prefix_candidates, ngram_jaccard_pairs, shingle_index,
 )
 from l_space_spark.session import get_spark  # noqa: E402
 
@@ -69,8 +71,12 @@ def synth_docs(spark, n_docs: int, parts: int, boiler_pct: int):
         ),
         " ",
     )
+    # header membership keyed on the PAIR seed, not the raw id: a
+    # planted dup (100k) and its twin (100k+1) must agree, or at
+    # --boiler-pct 1 the twin would lack the header and the pair's
+    # Jaccard would drop below 1/2 (probe assertion failure)
     text = F.when(
-        F.pmod(F.col("id"), F.lit(100)) < F.lit(boiler_pct),
+        F.pmod(seed, F.lit(100)) < F.lit(boiler_pct),
         F.concat(F.lit(HEADER + " "), uniq),
     ).otherwise(uniq)
     return spark.range(0, n_docs, 1, parts).select(
@@ -116,19 +122,12 @@ def main() -> None:
             )
             rung["naive_cand_wall_s"] = round(time.time() - t0, 2)
 
-        # prefix-filtered candidates: the new generation path, j = 1/2
-        ranked = _df_ranked_index(ex)
-        plen = F.col("n") - F.expr("(1 * n + 2 - 1) div 2") + F.lit(1)
-        pref = ranked.where(F.col("r") <= plen)
-        pa = pref.select(F.col("id").alias("a"), "g", F.col("n").alias("na"))
-        pb = pref.select(F.col("id").alias("b"), "g", F.col("n").alias("nb"))
+        # prefix-filtered candidates: the EXACT production generation
+        # stage (exported from dedup.py so this probe cannot drift from
+        # the operator's plan), j = 1/2
         t0 = time.time()
         rung["prefix_cand_pairs"] = (
-            pa.join(pb, "g")
-            .where((F.col("a") < F.col("b"))
-                   & (2 * F.col("nb") >= F.col("na"))
-                   & (2 * F.col("na") >= F.col("nb")))
-            .select("a", "b").distinct().count()
+            jaccard_prefix_candidates(ex, 1, 2).count()
         )
         rung["prefix_cand_wall_s"] = round(time.time() - t0, 2)
 

@@ -101,14 +101,33 @@ def main() -> None:
             row["stages"].append(sid)
         job_rows.append(row)
 
-    # steady-state supersteps: the trailing `iters` jobs with nonzero
-    # shuffle (setup jobs precede them; the final collect trails)
-    shuffling = [r for r in job_rows if r["write"] > 0]
-    steady = shuffling[-args.iters:]
-    per_step_write = [r["write"] for r in steady]
-    per_step_read = [r["read"] for r in steady]
-    med_w = statistics.median(per_step_write)
-    med_r = statistics.median(per_step_read)
+    # Superstep cycle detection: each superstep starts with the RANK
+    # EXCHANGE job — the |V|-row state table written fresh (read == 0,
+    # write in the 4-40 bytes/vertex band).  The one-time prepare_links edge
+    # repartitions also have read == 0 but write ~|E|-scaled bytes, far
+    # above the per-vertex band, so the band separates them.  A cycle's
+    # total shuffle = all job writes until the next rank exchange
+    # (contribution partial-agg + scalar dangling-mass agg ride along).
+    a_idx = [i for i, r in enumerate(job_rows)
+             if r["read"] == 0 and 4 <= r["write"] / args.vertices <= 40]
+    # the final rank exchange has no following boundary, so its cycle
+    # is deliberately dropped (its tail would mis-attribute the result
+    # collect job); with I supersteps the ledger records I-1 cycles.
+    cycles = [
+        dict(
+            write=sum(r["write"] for r in job_rows[s:e]),
+            read=sum(r["read"] for r in job_rows[s:e]),
+            rank_exchange=job_rows[s]["write"],
+        )
+        for s, e in zip(a_idx, a_idx[1:])
+    ]
+    steady = cycles[-min(5, len(cycles)):]
+    med_w = statistics.median(c["write"] for c in steady) if steady else 0
+    med_r = statistics.median(c["read"] for c in steady) if steady else 0
+    med_rank = statistics.median(
+        c["rank_exchange"] for c in steady) if steady else 0
+    setup_write = sum(r["write"] for r in job_rows[:a_idx[0]]) \
+        if a_idx else 0
 
     out = {
         "workload": {
@@ -117,16 +136,17 @@ def main() -> None:
             "shuffle_partitions": parts,
         },
         "wall_s": round(wall, 2),
-        "per_superstep_shuffle_write_bytes": per_step_write,
-        "per_superstep_shuffle_read_bytes": per_step_read,
+        "superstep_cycles": cycles,
         "median_superstep_write_bytes": int(med_w),
         "median_superstep_read_bytes": int(med_r),
-        "median_superstep_write_per_vertex_bytes":
-            round(med_w / args.vertices, 2),
+        "median_rank_exchange_bytes": int(med_rank),
+        "median_rank_exchange_per_vertex_bytes":
+            round(med_rank / args.vertices, 2),
+        "median_superstep_write_per_edge_bytes":
+            round(med_w / n_edges, 2),
+        "one_time_setup_write_bytes": int(setup_write),
         "spill_bytes_total": sum(r["mem_spill"] + r["disk_spill"]
                                  for r in job_rows),
-        "one_time_prepare_links_write_bytes":
-            int(shuffling[0]["write"]) if shuffling else 0,
         "jobs": [
             {k: v for k, v in r.items() if k != "stages"}
             for r in job_rows
@@ -137,8 +157,10 @@ def main() -> None:
         json.dump(out, f, indent=2)
     print(json.dumps({k: out[k] for k in (
         "workload", "wall_s", "median_superstep_write_bytes",
-        "median_superstep_read_bytes",
-        "median_superstep_write_per_vertex_bytes", "spill_bytes_total")}))
+        "median_superstep_read_bytes", "median_rank_exchange_bytes",
+        "median_rank_exchange_per_vertex_bytes",
+        "median_superstep_write_per_edge_bytes",
+        "one_time_setup_write_bytes", "spill_bytes_total")}))
 
 
 if __name__ == "__main__":

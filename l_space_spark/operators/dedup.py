@@ -81,25 +81,62 @@ def _df_ranked_index(ex: DataFrame) -> DataFrame:
     (license header, nav bar; df → 10⁶ at web scale) that makes a naive
     inverted-index self-join O(df²) never enters the join unless a
     document consists of almost nothing else.  The rank window is
-    per-document (bounded by document length), never global."""
+    per-document (bounded by document length), never global.
+
+    The set size ``n`` rides the SAME per-id exchange as the rank
+    window (an unbounded count over the id partition) — one shuffle,
+    not a separate groupBy + join."""
     from pyspark.sql import Window
 
+    w = Window.partitionBy("id")
     dfs = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     return ex.join(dfs, "g").select(
         "id", "g",
-        F.row_number().over(
-            Window.partitionBy("id").orderBy("df", "g")
-        ).alias("r"),
-    ).join(ex.groupBy("id").agg(F.count(F.lit(1)).alias("n")), "id")
+        F.row_number().over(w.orderBy("df", "g")).alias("r"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
 
 
-def _verified_intersections(cand: DataFrame, ex: DataFrame) -> DataFrame:
-    """(a, b, i): exact shingle-intersection counts for candidate pairs
-    (a < b) — the verify tier, O(Σ_cand |Sa|) not O(Σ bucket²)."""
+def _verified_intersections(cand: DataFrame, ex: DataFrame,
+                            carry: tuple[str, ...] = ()) -> DataFrame:
+    """(a, b, *carry, i): exact shingle-intersection counts for
+    candidate pairs (a < b) — the verify tier, O(Σ_cand |Sa|) not
+    O(Σ bucket²). ``carry`` columns (functionally dependent on the
+    pair, e.g. the sizes the candidate join already holds) ride the
+    groupBy so callers skip a re-join against the size table."""
     return (
         cand.join(ex.select(F.col("id").alias("a"), "g"), "a")
         .join(ex.select(F.col("id").alias("b"), "g"), ["b", "g"])
-        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("i"))
+        .groupBy("a", "b", *carry).agg(F.count(F.lit(1)).alias("i"))
+    )
+
+
+def jaccard_prefix_candidates(
+    ex: DataFrame, j_num: int, j_den: int,
+) -> DataFrame:
+    """(a, b, na, nb) candidate pairs for Jaccard ≥ j_num/j_den over the
+    shingle index ``ex(id, g)`` — the prefix-filter generation stage,
+    exported so probes measure the EXACT production join (a hand-copied
+    twin would silently drift).  Prefix length n − ⌈t·n⌉ + 1 with
+    ⌈t·n⌉ = (j_num·n + j_den − 1) div j_den; the size filter is
+    t·na ≤ nb ≤ na/t cross-multiplied."""
+    ranked = _df_ranked_index(ex)
+    plen = (
+        F.col("n")
+        - F.expr(f"({j_num} * n + {j_den} - 1) div {j_den}")
+        + F.lit(1)
+    )
+    pref = ranked.where(F.col("r") <= plen).persist()
+    pa = pref.select(F.col("id").alias("a"), "g", F.col("n").alias("na"))
+    pb = pref.select(F.col("id").alias("b"), "g", F.col("n").alias("nb"))
+    return (
+        pa.join(pb, "g")
+        .where(
+            (F.col("a") < F.col("b"))
+            & (F.lit(j_den) * F.col("nb") >= F.lit(j_num) * F.col("na"))
+            & (F.lit(j_den) * F.col("na") >= F.lit(j_num) * F.col("nb"))
+        )
+        .select("a", "b", "na", "nb").distinct()
     )
 
 
@@ -121,37 +158,14 @@ def ngram_jaccard_pairs(
     ContextCleaner unpersists it once the returned frame's lineage is
     dropped."""
     ex = shingle_index(df, id_col, text_col, n).persist()
-    ranked = _df_ranked_index(ex)
-    # prefix length n − ⌈t·n⌉ + 1 with ⌈t·n⌉ = (j_num·n + j_den − 1) div j_den
-    plen = (
-        F.col("n")
-        - F.expr(f"({j_num} * n + {j_den} - 1) div {j_den}")
-        + F.lit(1)
-    )
-    pref = ranked.where(F.col("r") <= plen).persist()
-    pa = pref.select(F.col("id").alias("a"), "g", F.col("n").alias("na"))
-    pb = pref.select(F.col("id").alias("b"), "g", F.col("n").alias("nb"))
-    cand = (
-        pa.join(pb, "g")
-        .where(
-            (F.col("a") < F.col("b"))
-            & (F.lit(j_den) * F.col("nb") >= F.lit(j_num) * F.col("na"))
-            & (F.lit(j_den) * F.col("na") >= F.lit(j_num) * F.col("nb"))
-        )
-        .select("a", "b").distinct()
-    )
-    inter = _verified_intersections(cand, ex)
-    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sizes.select(F.col("id").alias("a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("id").alias("b"), F.col("n").alias("nb"))
-    out = (
-        inter.join(sa, "a").join(sb, "b")
-        .where(
+    cand = jaccard_prefix_candidates(ex, j_num, j_den)
+    inter = _verified_intersections(cand, ex, carry=("na", "nb"))
+    return (
+        inter.where(
             (j_den + j_num) * F.col("i") >= j_num * (F.col("na") + F.col("nb"))
         )
         .select("a", "b")
     )
-    return out
 
 
 def containment_pairs(
@@ -182,7 +196,6 @@ def containment_pairs(
     (``c_den·i ≥ c_num·na``); the reported score is e6 fixed point via
     the exact round-half-up divide."""
     ex = shingle_index(df, id_col, text_col, n).persist()
-    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     ranked = _df_ranked_index(ex).persist()
     # smaller side's prefix: n − ⌈c·n⌉ + 1 rarest shingles
     plen = (
@@ -215,19 +228,25 @@ def containment_pairs(
                 + F.lit(1)
             )
         )
-        .select(F.least("u", "w").alias("a"),
-                F.greatest("u", "w").alias("b"))
+        .select(
+            F.least("u", "w").alias("a"),
+            F.greatest("u", "w").alias("b"),
+            F.when(F.col("u") < F.col("w"), F.col("nu"))
+            .otherwise(F.col("nw")).alias("sa"),
+            F.when(F.col("u") < F.col("w"), F.col("nw"))
+            .otherwise(F.col("nu")).alias("sb"),
+        )
         .distinct()
     )
-    inter = _verified_intersections(cand, ex)
+    inter = _verified_intersections(cand, ex, carry=("sa", "sb"))
     both = inter.select(
-        F.col("a"), F.col("b"), "i"
+        F.col("a"), F.col("b"), "i", F.col("sa").alias("na")
     ).unionAll(inter.select(
-        F.col("b").alias("a"), F.col("a").alias("b"), "i"
+        F.col("b").alias("a"), F.col("a").alias("b"), "i",
+        F.col("sb").alias("na"),
     ))
-    sa = sizes.select(F.col("id").alias("a"), F.col("n").alias("na"))
     return (
-        both.join(sa, "a")
+        both
         .where(c_den * F.col("i") >= c_num * F.col("na"))
         .select(
             "a", "b",

@@ -81,9 +81,11 @@ def _arcless_sentinel(id_col: F.Column) -> F.Column:
     """Unique degenerate interval position for an arc-less root:
     ``-2 - zigzag(id)`` ≤ -2 — strictly below every real tour position
     (≥ 0) AND below every non-degenerate root's virtual ``first``
-    (= segoff - 1 ≥ -1), injective over all long ids (zigzag folds
-    negatives into odd nonnegatives), so two singleton roots can never
-    satisfy each other's containment test."""
+    (= segoff - 1 ≥ -1), injective for ids with |id| < 2^61 (zigzag
+    folds negatives into odd nonnegatives; beyond ±2^61 the doubling
+    would wrap — far outside the engine's 60-bit hash id space, and no
+    injective long→(-∞,-2] map exists by pigeonhole), so two singleton
+    roots can never satisfy each other's containment test."""
     zz = F.when(id_col >= 0, 2 * id_col).otherwise(-2 * id_col - 1)
     return (F.lit(-2) - zz).cast("long")
 
@@ -101,10 +103,12 @@ def euler_tour(
     ``cc`` is the ``(id, component)`` labeling of every forest vertex
     with ``component`` = the min vertex id (the contract of
     ``components.connected_components_star``) — the root of each tree
-    is its component label. ``max_rounds`` caps the pointer-doubling
-    rounds (``ceil(log2(2|V|))`` needed — 64 covers any conceivable
-    input; the cap exists to fail loud on a malformed successor cycle,
-    e.g. ``cc`` labels that disagree with ``tree_uv``)."""
+    is its component label. Malformed inputs fail loud, never
+    mis-rank: a cc labeling that MISSES a tree vertex raises before the
+    ranking loop (labeled-arc check on the same count action), and a
+    successor structure that does not terminate (wrong labels, cycles)
+    trips either ``max_rounds`` (``ceil(log2(2|V|))`` needed — 64
+    covers any conceivable input) or the post-loop ns-null check."""
     arcs0 = (
         tree_uv.select(F.col("u").alias("s"), F.col("v").alias("d"))
         .unionByName(tree_uv.select(F.col("v").alias("s"),

@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import warnings
 
-from py4j.protocol import Py4JError
+from py4j.protocol import Py4JError, Py4JJavaError
 from pyspark.sql import DataFrame
 
 _FALLBACK_WARNED = False
@@ -60,12 +60,15 @@ def strip_plan_stats(df: DataFrame) -> DataFrame:
             jdf.queryExecution().toRdd(), jdf.schema(), False
         )
         return DataFrame(jdf2, spark)
-    except (AttributeError, TypeError, Py4JError):
+    except (AttributeError, TypeError, Py4JError) as e:
+        if isinstance(e, Py4JJavaError):
+            raise  # a real JVM fault (OOM, codegen, analysis) — not drift
         # private-API drift (internalCreateDataFrame removed/renamed/
-        # re-signatured): keep correctness, lose speed — but say so
+        # re-signatured → py4j method-resolution errors, NOT
+        # Py4JJavaError): keep correctness, lose speed — but say so
         # ONCE, because the quadratic-stats path this degrades to cost
         # 0.2 s → 39 s/round before round 4's fix. Anything else
-        # (analysis errors, genuine py4j faults) propagates.
+        # propagates.
         if not _FALLBACK_WARNED:
             _FALLBACK_WARNED = True
             warnings.warn(

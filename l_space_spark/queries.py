@@ -794,28 +794,9 @@ ORDER BY name
 )
 def q_dsl_traversal_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N.has('c_acctbal', P.gt(9000)).out('in_nation').out('n_name') — the
-    Has + Out + Out step chain compiled to joins by the DSL."""
-    c = load(spark, sf_dir, "customer")
-    n = load(spark, sf_dir, "nation")
-    cv = c.select((F.col("c_custkey") * 2).alias("vid"), "c_acctbal")
-    nv = n.select((F.col("n_nationkey") * 2 + 1).alias("vid"), "n_name")
-    props = Graph.melt_properties(cv, "vid", num_cols=["c_acctbal"]).unionByName(
-        Graph.melt_properties(nv, "vid", str_cols=["n_name"])
-    )
-    links = c.select(
-        (F.col("c_custkey") * 2).alias("src"),
-        F.lit("in_nation").alias("label"),
-        F.lit("node").alias("dst_kind"),
-        (F.col("c_nationkey") * 2 + 1).alias("dst_id"),
-        F.lit(None).cast("string").alias("dst_str"),
-        F.lit(None).cast("double").alias("dst_dbl"),
-        F.lit(None).cast("long").alias("dst_lng"),
-        F.lit(None).cast("date").alias("dst_dt"),
-    )
-    verts = cv.select(F.col("vid").alias("id")).unionByName(
-        nv.select(F.col("vid").alias("id"))
-    )
-    g = Graph(verts, props.unionByName(links))
+    Has + Out + Out step chain compiled to joins by the DSL, over the
+    shared customer→nation fixture (_nation_wire_graph)."""
+    g = _nation_wire_graph(spark, sf_dir)
     t = g.N().has("c_acctbal", P.gt(9000.0)).out("in_nation").out("n_name")
     return t.to_df().select(F.col("_str").alias("name")).orderBy("name")
 
@@ -841,32 +822,19 @@ def q_graphql_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalizer sorts rows via pandas and cannot hash list cells."""
     from .graphql import graphql_to_dataframe
 
-    c = load(spark, sf_dir, "customer")
-    n = load(spark, sf_dir, "nation")
-    cv = c.select((F.col("c_custkey") * 2).alias("vid"), "c_name")
-    nv = n.select((F.col("n_nationkey") * 2 + 1).alias("vid"), "n_name")
-    props = Graph.melt_properties(cv, "vid", str_cols=["c_name"]).unionByName(
-        Graph.melt_properties(nv, "vid", str_cols=["n_name"])
-    )
-    links = c.select(
-        (F.col("c_custkey") * 2).alias("src"),
-        F.lit("in_nation").alias("label"),
-        F.lit("node").alias("dst_kind"),
-        (F.col("c_nationkey") * 2 + 1).alias("dst_id"),
-        F.lit(None).cast("string").alias("dst_str"),
-        F.lit(None).cast("double").alias("dst_dbl"),
-        F.lit(None).cast("long").alias("dst_lng"),
-        F.lit(None).cast("date").alias("dst_dt"),
-    )
-    verts = cv.select(F.col("vid").alias("id")).unionByName(
-        nv.select(F.col("vid").alias("id"))
-    )
-    g = Graph(verts, props.unionByName(links))
+    g = _nation_wire_graph(spark, sf_dir)
     out = graphql_to_dataframe(
         g,
         '{ _(n_name: "NATION_7") { name: n_name customers { c_name } } }',
         context={"customers": {"property": "in_nation", "reverse": True}},
     )
+    return _flatten_array_columns(out)
+
+
+def _flatten_array_columns(out: DataFrame) -> DataFrame:
+    """Sorted '|'-joined strings for every array column — the driver's
+    canonicalizer sorts rows via pandas and cannot hash list cells, so
+    every GraphQL catalog entry flattens through this one helper."""
     flat = [
         F.array_join(F.array_sort(F.col(f.name)), "|").alias(f.name)
         if f.dataType.typeName() == "array"
@@ -944,6 +912,11 @@ def q_jsonld_wire_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .jsonld import jsonld_to_steps
 
     steps = jsonld_to_steps(_JSONLD_NATION_DOC)
+    if not steps or steps[0]["step"] != "N":
+        # same contract as jobspec._run_traversal: a doc that does not
+        # open with the node scan must fail loud, not silently drop its
+        # first step into an unfiltered N()
+        raise ValueError("jsonld_wire_nation: document must start with N")
     g = _nation_wire_graph(spark, sf_dir)
     t = _apply_steps(g.N(), steps[1:])
     return t.to_df().select(F.col("_str").alias("name")).orderBy("name")
@@ -989,13 +962,7 @@ def q_graphql_nested_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nation": {"property": "in_nation"},
         },
     )
-    flat = [
-        F.array_join(F.array_sort(F.col(f.name)), "|").alias(f.name)
-        if f.dataType.typeName() == "array"
-        else F.col(f.name)
-        for f in out.schema.fields
-    ]
-    return out.select(*flat)
+    return _flatten_array_columns(out)
 
 
 # ----------------------------------------------------------------- events
