@@ -429,3 +429,71 @@ def test_negative_samples_invariants(spark, pairs, wts):
         (c, x, j) for c, x in pairs for j in range(2)
     }
     assert all(r["neg"] in wts for r in out)
+
+
+# random tiny corpora over a 6-word vocabulary: maximal shingle
+# collisions (hot shingles shared by most docs — the regime the prefix
+# filter must stay lossless in), doc lengths 0..8 so the <n-token
+# empty-shingle edge is generated too
+_VOCAB = ["aa", "bb", "cc", "dd", "ee", "ff"]
+doc_lists = st.lists(
+    st.lists(st.integers(0, 5), min_size=0, max_size=8),
+    min_size=2,
+    max_size=12,
+)
+
+
+def _docs_df(spark, docs):
+    rows = [(i, " ".join(_VOCAB[w] for w in ws))
+            for i, ws in enumerate(docs)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _sets(docs, n=3):
+    return {
+        i: {" ".join(_VOCAB[w] for w in ws[j:j + n])
+            for j in range(len(ws) - n + 1)}
+        for i, ws in enumerate(docs)
+    }
+
+
+@given(docs=doc_lists)
+@settings(**SETTINGS)
+def test_ngram_jaccard_prefix_filter_lossless(spark, docs):
+    """The PPJoin prefix-filtered candidate generation must be exactly
+    lossless vs brute-force all-pairs shingle Jaccard on ANY corpus."""
+    from l_space_spark.operators.dedup import ngram_jaccard_pairs
+
+    sets = _sets(docs)
+    ids = sorted(i for i in sets if sets[i])
+    want = set()
+    for x, a in enumerate(ids):
+        for b in ids[x + 1:]:
+            i = len(sets[a] & sets[b])
+            if 3 * i >= len(sets[a]) + len(sets[b]):
+                want.add((a, b))
+    got = {(r["a"], r["b"]) for r in
+           ngram_jaccard_pairs(_docs_df(spark, docs), "doc_id").collect()}
+    assert got == want
+
+
+@given(docs=doc_lists)
+@settings(**SETTINGS)
+def test_containment_prefix_filter_lossless(spark, docs):
+    """The asymmetric (min-size overlap bound) prefix filter must
+    reproduce brute-force containment rows exactly on ANY corpus."""
+    from l_space_spark.operators.dedup import containment_pairs
+
+    sets = _sets(docs)
+    ids = sorted(i for i in sets if sets[i])
+    want = {}
+    for a in ids:
+        for b in ids:
+            if a != b:
+                i = len(sets[a] & sets[b])
+                if 5 * i >= 3 * len(sets[a]):
+                    want[(a, b)] = (i, len(sets[a]))
+    got = {(r["a"], r["b"]): (r["common"], r["na"])
+           for r in containment_pairs(_docs_df(spark, docs), "doc_id",
+                                      c_num=3, c_den=5).collect()}
+    assert got == want
